@@ -1,0 +1,269 @@
+"""LazyFrame: the engine's fluent query-building facade.
+
+Mirrors the reference API surface (from_dataframe / from_csv / select /
+filter / limit / inner_join / collect / collect_streaming — see
+/root/reference/src/logical_plan/builder.rs:26-113) and extends it with
+the Spark-native superset: parquet sources, group_by/agg, sort, distinct,
+set ops, window functions.
+
+Design stance (SURVEY §7): wrap, don't reimplement. A LazyFrame holds a
+PySpark DataFrame — itself a lazy Catalyst logical plan — so optimize /
+validate / physical planning / execution are all delegated to Catalyst +
+Tungsten. What this layer adds is the reference's *semantics*: eager
+column validation with reference-style errors, the join output-schema
+contract, expression typing rules, and dual collect modes.
+
+Divergences from the reference (intentional, SURVEY §7.4):
+- joins implement the reference's LOGICAL schema contract (left columns,
+  then right minus right key, ``_right`` suffix on collisions); its
+  physical executor contradicts its own planner.
+- ``collect_streaming`` keeps aliases and real nulls (the reference
+  drops aliases and corrupts nulls on this path — bugs we fix).
+- SQL three-valued null semantics (Null==Null -> null, not true): the
+  correctness oracle is ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import (
+    ColumnNotFoundError,
+    DuplicateColumnError,
+    IncompatibleJoinKeysError,
+    InvalidPredicateError,
+    LengthMismatchError,
+    SchemaRequiredError,
+)
+from .expressions.expr import Expr, Schema
+from .schema import DataType, comparable, infer_series_type, struct_type
+
+_JOIN_TYPES = {"inner", "left", "right", "outer", "full", "semi", "anti", "cross"}
+
+
+class LazyFrame:
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # ------------------------------------------------------------------
+    # sources
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_spark(cls, df: DataFrame) -> "LazyFrame":
+        return cls(df)
+
+    @classmethod
+    def from_dataframe(cls, spark: SparkSession, data: dict[str, list[Any]]) -> "LazyFrame":
+        """In-memory source with reference-style per-column inference:
+        first non-null value's type wins; Int64+Float64 promotes to
+        Float64; other mixes raise MixedTypesError; all-null -> NullType.
+        """
+        names = list(data)
+        if len(set(names)) != len(names):
+            for n in names:
+                if names.count(n) > 1:
+                    raise DuplicateColumnError(n)
+        lengths = {n: len(v) for n, v in data.items()}
+        if len(set(lengths.values())) > 1:
+            raise LengthMismatchError(str(lengths))
+        fields = []
+        for n in names:
+            dt = infer_series_type(list(data[n]))
+            fields.append((n, dt))
+        # Int64+Float64 columns must be promoted value-side too
+        rows = []
+        n_rows = next(iter(lengths.values()), 0)
+        for i in range(n_rows):
+            row = []
+            for n, dt in fields:
+                v = data[n][i]
+                if v is not None and dt is DataType.FLOAT64:
+                    v = float(v)
+                row.append(v)
+            rows.append(tuple(row))
+        st = struct_type(fields)
+        return cls(spark.createDataFrame(rows, st))
+
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str,
+                 schema: list[tuple[str, DataType]] | dict[str, DataType] | None = None,
+                 delimiter: str = ",") -> "LazyFrame":
+        """Schema-required CSV scan with the reference's parsing contract
+        (header skipped; ""/"null" -> null; booleans accept t/f/1/0).
+        Delegates to sources.csv."""
+        from .sources.csv import read_csv
+
+        if schema is None:
+            raise SchemaRequiredError("csv")
+        return cls(read_csv(spark, path, schema, delimiter))
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "LazyFrame":
+        return cls(spark.read.parquet(path))
+
+    # ------------------------------------------------------------------
+    # schema access
+    # ------------------------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def logical_schema(self) -> Schema:
+        """(name, logical DataType) pairs; superset Spark types map to
+        the nearest logical type or NULL placeholder."""
+        out: Schema = []
+        for f in self._df.schema.fields:
+            dt = DataType.from_spark(f.dataType)
+            out.append((f.name, dt if dt is not None else DataType.NULL))
+        return out
+
+    def _logical_schema_for_exprs(self) -> Schema:
+        return self.logical_schema
+
+    # ------------------------------------------------------------------
+    # operators (reference surface)
+    # ------------------------------------------------------------------
+    def _as_expr(self, e: "Expr | str") -> Expr:
+        return Expr.col(e) if isinstance(e, str) else e
+
+    def select(self, *exprs: "Expr | str") -> "LazyFrame":
+        schema = self._logical_schema_for_exprs()
+        compiled = []
+        seen: set[str] = set()
+        for e in exprs:
+            ex = self._as_expr(e)
+            ex.validate(schema)
+            name = ex.output_name()
+            if name in seen:
+                raise DuplicateColumnError(name)
+            seen.add(name)
+            compiled.append(ex.to_spark(schema))
+        return LazyFrame(self._df.select(*compiled))
+
+    def filter(self, predicate: Expr) -> "LazyFrame":
+        schema = self._logical_schema_for_exprs()
+        predicate.validate(schema)
+        out_t = predicate.output_type(schema)
+        if out_t not in (DataType.BOOLEAN, DataType.NULL):
+            raise InvalidPredicateError(
+                f"predicate must be Boolean, got {out_t.value}")
+        return LazyFrame(self._df.filter(predicate._compile(schema)))
+
+    def limit(self, n: int) -> "LazyFrame":
+        return LazyFrame(self._df.limit(n))
+
+    def inner_join(self, other: "LazyFrame", left_key: str, right_key: str,
+                   broadcast_right: bool = False) -> "LazyFrame":
+        return self.join(other, left_key, right_key, how="inner",
+                         broadcast_right=broadcast_right)
+
+    def join(self, other: "LazyFrame", left_key: str | list[str],
+             right_key: str | list[str], how: str = "inner",
+             broadcast_right: bool = False) -> "LazyFrame":
+        """Join with the reference's logical output contract: left columns,
+        then right columns minus the right key(s); right-side name
+        collisions get a ``_right`` suffix. Superset: multi-key + all Spark
+        join types; the reference supports only single-key inner."""
+        if how not in _JOIN_TYPES:
+            raise InvalidPredicateError(f"unsupported join type {how!r}")
+        lks = [left_key] if isinstance(left_key, str) else list(left_key)
+        rks = [right_key] if isinstance(right_key, str) else list(right_key)
+        if len(lks) != len(rks):
+            raise LengthMismatchError("left and right key lists differ in length")
+        lschema, rschema = dict(self.logical_schema), dict(other.logical_schema)
+        for lk, rk in zip(lks, rks):
+            if lk not in lschema:
+                raise ColumnNotFoundError(lk, list(lschema))
+            if rk not in rschema:
+                raise ColumnNotFoundError(rk, list(rschema))
+            if not comparable(lschema[lk], rschema[rk]):
+                raise IncompatibleJoinKeysError(lk, lschema[lk].value, rk, rschema[rk].value)
+
+        l = self._df.alias("__rvl")
+        r = other._df.alias("__rvr")
+        if broadcast_right:
+            r = F.broadcast(r)
+        cond = None
+        for lk, rk in zip(lks, rks):
+            c = F.col(f"__rvl.{lk}") == F.col(f"__rvr.{rk}")
+            cond = c if cond is None else (cond & c)
+        joined = l.join(r, cond, how)
+        if how in ("semi", "anti"):
+            return LazyFrame(joined)
+        out_cols = [F.col(f"__rvl.{c}") for c in self.columns]
+        for c in other.columns:
+            if c in rks:
+                continue
+            name = f"{c}_right" if c in self.columns else c
+            out_cols.append(F.col(f"__rvr.{c}").alias(name))
+        return LazyFrame(joined.select(*out_cols))
+
+    # ------------------------------------------------------------------
+    # operators (Spark-native superset)
+    # ------------------------------------------------------------------
+    def with_column(self, name: str, expr: "Expr | Column") -> "LazyFrame":
+        if isinstance(expr, Expr):
+            schema = self._logical_schema_for_exprs()
+            expr.validate(schema)
+            expr = expr._compile(schema)
+        return LazyFrame(self._df.withColumn(name, expr))
+
+    def sort(self, *cols: str, descending: bool | list[bool] = False) -> "LazyFrame":
+        if isinstance(descending, bool):
+            descending = [descending] * len(cols)
+        order = [F.col(c).desc() if d else F.col(c).asc()
+                 for c, d in zip(cols, descending)]
+        return LazyFrame(self._df.orderBy(*order))
+
+    def distinct(self) -> "LazyFrame":
+        return LazyFrame(self._df.distinct())
+
+    def union(self, other: "LazyFrame") -> "LazyFrame":
+        return LazyFrame(self._df.unionByName(other._df))
+
+    def group_by(self, *keys: str) -> "GroupedFrame":
+        for k in keys:
+            if k not in self.columns:
+                raise ColumnNotFoundError(k, self.columns)
+        return GroupedFrame(self._df, list(keys))
+
+    # ------------------------------------------------------------------
+    # sinks
+    # ------------------------------------------------------------------
+    def collect(self) -> list[Row]:
+        return self._df.collect()
+
+    def collect_streaming(self) -> list[Row]:
+        """Incremental analogue of collect(): drives the plan through
+        ``toLocalIterator`` (one partition at a time on the driver) and
+        concatenates — semantically identical output to collect(),
+        including aliases and nulls (fixing the reference's divergences).
+        """
+        return list(self.stream_batches())
+
+    def stream_batches(self) -> Iterator[Row]:
+        return self._df.toLocalIterator(prefetchPartitions=True)
+
+    def to_spark(self) -> DataFrame:
+        return self._df
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode=mode)
+
+    def count(self) -> int:
+        return self._df.count()
+
+
+class GroupedFrame:
+    """Thin grouped-aggregation facade over Spark's GroupedData."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def agg(self, *aggs: Column) -> LazyFrame:
+        return LazyFrame(self._df.groupBy(*self._keys).agg(*aggs))

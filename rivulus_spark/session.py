@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores);
+the same config block is what we would ship for a real cluster — AQE for
+runtime re-planning (skew joins, partition coalescing), Arrow for any
+pandas-UDF boundary, and a UTC session timezone so timestamp semantics
+are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine configs to any builder (also used on cluster)."""
+    return (
+        builder
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("RIVULUS_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+
+
+def get_spark(app_name: str = "rivulus-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("RIVULUS_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return configure(builder).getOrCreate()

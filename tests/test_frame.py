@@ -1,0 +1,181 @@
+"""Core LazyFrame semantics — ports of the reference's end-to-end tests
+(/root/reference/src/logical_plan/builder.rs:433-533 and src/main.rs demo
+queries), rewritten against the PySpark-native engine."""
+
+from __future__ import annotations
+
+import pytest
+
+from rivulus_spark import (
+    ColumnNotFoundError,
+    DataType,
+    DuplicateColumnError,
+    IncompatibleJoinKeysError,
+    InvalidPredicateError,
+    LazyFrame,
+    LengthMismatchError,
+    MixedTypesError,
+    col,
+    lit,
+)
+
+
+def rows_as_tuples(rows):
+    return [tuple(r) for r in rows]
+
+
+class TestSelectFilterLimit:
+    def test_select_filter(self, people):
+        out = people.select("name", "age").filter(col("age") > 30).collect()
+        assert sorted((r.name, r.age) for r in out) == [("Charlie", 35), ("Eve", 42)]
+
+    def test_select_alias(self, people):
+        out = people.select(col("age").alias("user_age")).collect()
+        assert out[0].__fields__ == ["user_age"]
+
+    def test_filter_score_gte(self, people):
+        out = people.filter(col("score") >= 90.0).collect()
+        assert sorted(r.name for r in out) == ["Bob", "Diana"]
+
+    def test_filter_string_eq(self, people):
+        out = people.filter(col("name") == "Alice").collect()
+        assert len(out) == 1 and out[0].age == 25
+
+    def test_filter_compound_and(self, people):
+        out = people.filter((col("age") > 25) & (col("score") > 90.0)).collect()
+        assert sorted(r.name for r in out) == ["Bob", "Diana"]
+
+    def test_limit(self, people):
+        assert len(people.limit(2).collect()) == 2
+
+    def test_limit_zero_keeps_schema(self, people):
+        out = people.limit(0)
+        assert out.collect() == []
+        assert out.columns == ["name", "age", "score"]
+
+    def test_limit_over_height(self, people):
+        assert len(people.limit(100).collect()) == 5
+
+    def test_no_match_filter(self, people):
+        assert people.filter(col("age") > 100).collect() == []
+
+    def test_select_missing_column_raises(self, people):
+        with pytest.raises(ColumnNotFoundError):
+            people.select("nonexistent")
+
+    def test_filter_missing_column_raises(self, people):
+        with pytest.raises(ColumnNotFoundError):
+            people.filter(col("salary") > 0)
+
+    def test_duplicate_output_name_raises(self, people):
+        with pytest.raises(DuplicateColumnError):
+            people.select("age", col("score").alias("age"))
+
+    def test_non_boolean_predicate_raises(self, people):
+        with pytest.raises(InvalidPredicateError):
+            people.filter(col("age") + 1)
+
+
+class TestExpressions:
+    def test_arithmetic_promotion(self, people):
+        out = people.select((col("age") + col("score")).alias("combo"))
+        assert out.logical_schema == [("combo", DataType.FLOAT64)]
+        vals = sorted(r.combo for r in out.collect())
+        assert vals[0] == pytest.approx(25 + 85.5)
+
+    def test_int_int_division_stays_int(self, people):
+        out = people.select((col("age") / lit(10)).alias("decade"))
+        assert out.logical_schema == [("decade", DataType.INT64)]
+        assert sorted(r.decade for r in out.collect()) == [2, 2, 3, 3, 4]
+
+    def test_literal_column_named_literal(self, people):
+        out = people.select(lit(1))
+        assert out.columns == ["literal"]
+
+    def test_binary_expr_takes_left_name(self, people):
+        out = people.select(col("age") + lit(1))
+        assert out.columns == ["age"]
+
+    def test_computed_predicate(self, people):
+        # the reference's physical planners reject this; we execute it
+        out = people.filter((col("age") + 10) > 40).collect()
+        assert sorted(r.name for r in out) == ["Charlie", "Eve"]
+
+
+class TestMemorySource:
+    def test_mixed_numeric_promotes(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"x": [1, 2.5, 3]})
+        assert lf.logical_schema == [("x", DataType.FLOAT64)]
+        assert sorted(r.x for r in lf.collect()) == [1.0, 2.5, 3.0]
+
+    def test_all_null_column(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"x": [None, None]})
+        assert lf.logical_schema == [("x", DataType.NULL)]
+
+    def test_mixed_types_raises(self, spark):
+        with pytest.raises(MixedTypesError):
+            LazyFrame.from_dataframe(spark, {"x": [1, "two"]})
+
+    def test_length_mismatch_raises(self, spark):
+        with pytest.raises(LengthMismatchError):
+            LazyFrame.from_dataframe(spark, {"x": [1], "y": [1, 2]})
+
+    def test_nulls_survive(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"x": [1, None, 3]})
+        assert lf.logical_schema == [("x", DataType.INT64)]
+        assert sorted((r.x is None, r.x) for r in lf.collect())[2] == (True, None)
+
+
+class TestJoin:
+    def test_inner_join_contract(self, users, orders):
+        out = users.inner_join(orders, "user_id", "user_id")
+        # logical contract: left cols, right minus right key, _right suffix
+        assert out.columns == ["user_id", "name", "city", "order_id", "amount"]
+        rows = out.collect()
+        assert len(rows) == 4  # user 99 dangles, Alice matches twice
+        alice = sorted(r.amount for r in rows if r.name == "Alice")
+        assert alice == [25.99, 99.99]
+
+    def test_join_collision_suffix(self, spark, users):
+        right = LazyFrame.from_dataframe(spark, {
+            "uid": [1, 2], "name": ["A2", "B2"],
+        })
+        out = users.inner_join(right, "user_id", "uid")
+        assert out.columns == ["user_id", "name", "city", "name_right"]
+
+    def test_join_missing_key_raises(self, users, orders):
+        with pytest.raises(ColumnNotFoundError):
+            users.inner_join(orders, "nope", "user_id")
+
+    def test_join_incompatible_keys_raises(self, spark, users):
+        right = LazyFrame.from_dataframe(spark, {"k": ["a", "b"]})
+        with pytest.raises(IncompatibleJoinKeysError):
+            users.inner_join(right, "user_id", "k")
+
+    def test_join_int_float_keys_ok(self, spark, users):
+        right = LazyFrame.from_dataframe(spark, {"k": [1.0, 2.0], "v": [10, 20]})
+        out = users.inner_join(right, "user_id", "k")
+        assert sorted(r.v for r in out.collect()) == [10, 20]
+
+    def test_join_then_select(self, users, orders):
+        out = (users.inner_join(orders, "user_id", "user_id")
+               .select("name", "amount")
+               .filter(col("amount") > 20.0))
+        assert sorted(r.name for r in out.collect()) == ["Alice", "Alice", "Charlie"]
+
+
+class TestCollectStreaming:
+    def test_streaming_matches_collect(self, people):
+        q = people.select("name", col("age").alias("years")).filter(col("years") > 26)
+        a = sorted(rows_as_tuples(q.collect()))
+        b = sorted(rows_as_tuples(q.collect_streaming()))
+        assert a == b
+        assert q.columns == ["name", "years"]  # aliases kept (ref drops them)
+
+    def test_streaming_keeps_nulls(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"x": [1, None, 3]})
+        vals = [r.x for r in lf.collect_streaming()]
+        assert None in vals  # ref corrupts nulls to 0 on this path
+
+    def test_streaming_limit_early_out(self, people):
+        assert len(people.limit(2).collect_streaming()) == 2
