@@ -1,0 +1,243 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of this module — these run against ~100 TB of
+documents on a real cluster):
+
+- **exact**: group on a 128-bit MD5 fingerprint, not the document body —
+  the shuffle carries (16-byte key, doc_id) pairs only, with map-side
+  partial aggregation.
+- **signatures (MinHash / SimHash) are computed as pure projections**
+  using higher-order array functions (``aggregate`` over the shingle
+  array) — no explode, no shuffle, whole-stage codegen. Cost is linear
+  in corpus size and embarrassingly parallel.
+- **candidate generation is LSH banding**: equal band-hash => candidate,
+  i.e. a shuffle keyed on (band_idx, band_hash) whose output is ~the
+  number of true near-dup pairs, instead of the O(n^2) cross join.
+  With r=4 rows/band and b=32 bands, a pair at Jaccard 0.8 is missed
+  with probability (1 - 0.8^4)^32 ~= 4e-8.
+- **verification** joins candidates back to shingle sets and computes
+  exact Jaccard, so the output has no false positives.
+
+All hashes derive from MD5 (engine-portable) and all integer arithmetic
+stays below 2^62 (Spark 4 ANSI mode raises on 64-bit overflow; the
+word hash is 60-bit, reduced mod P=2^31-1 before affine permutations).
+
+The reference engine has no dedup surface at all (SURVEY §2.6); these
+are north-star operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens, word_hash
+
+#: Mersenne prime modulus for MinHash permutations (fits in int32)
+MINHASH_P = 2_147_483_647
+NUM_PERM = 128
+LSH_ROWS = 4  # rows per band
+LSH_BANDS = NUM_PERM // LSH_ROWS  # 32 bands
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic affine permutation coefficients (a_i, b_i) for the
+    i-th MinHash function; a_i in [1, P-1], b_i in [0, P-1]."""
+    a = (i * 1_000_003 + 12_345) % MINHASH_P
+    if a == 0:
+        a = 1
+    b = (i * 9_176_429 + 7) % MINHASH_P
+    return a, b
+
+
+# ----------------------------------------------------------------------
+# shingling
+# ----------------------------------------------------------------------
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-gram word shingles (space-joined) of a text column.
+    Pure projection; documents shorter than k tokens get an empty set."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def shingle_hashes(col: str | Column, k: int = 3) -> Column:
+    """Distinct k-gram shingle hashes reduced mod P (ready for MinHash)."""
+    return F.array_distinct(
+        F.transform(shingles(col, k), lambda s: word_hash(s) % MINHASH_P))
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: keeper id (min), copy count.
+    Groups on the MD5 fingerprint so shuffle rows are tiny at scale."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard (exact baseline; O(n^2) — use LSH at scale)
+# ----------------------------------------------------------------------
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Brute-force all-pairs k-gram Jaccard >= threshold. Exact baseline
+    for the LSH path; quadratic — restrict the input or prefer
+    minhash_lsh_dedup on full corpora."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(text_col, k).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 3).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signatures: (id, sig array<long> of length num_perm).
+
+    Formulated as explode(shingle hashes) -> groupBy(id) with num_perm
+    min() aggregates: each shingle is hashed exactly once (the naive
+    per-row array-aggregate formulation re-derives the MD5 of every
+    shingle once per permutation and generates pathological codegen),
+    and the shuffle benefits from map-side partial min combining — at
+    scale the exchanged rows are one (id, 128 longs) tuple per doc per
+    map partition, not one per shingle."""
+    hs = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingle_hashes(text_col, k)).alias("h"))
+    aggs = []
+    for i in range(num_perm):
+        a, b = perm_coeffs(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
+                    .alias(f"m{i}"))
+    sig = hs.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+                      .alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
+                        sig_col: str = "sig",
+                        rows_per_band: int = LSH_ROWS) -> DataFrame:
+    """LSH banding: docs sharing any full band are candidates.
+    One shuffle keyed on (band_idx, band_hash); output is deduplicated
+    candidate pairs (doc_a < doc_b)."""
+    num_perm = NUM_PERM
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm // rows_per_band - 1)),
+        lambda bi: F.struct(
+            bi.alias("band_idx"),
+            F.md5(F.concat_ws(
+                "|",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(rows_per_band)),
+                    lambda r: F.element_at(F.col(sig_col), bi * rows_per_band + r)
+                    .cast("string"),
+                ),
+            )).alias("band_hash"),
+        ),
+    )
+    exploded = (sigs.select(F.col(id_col).alias("id"), bands.alias("bands"))
+                .select("id", F.explode("bands").alias("b"))
+                .select("id", F.col("b.band_idx").alias("band_idx"),
+                        F.col("b.band_hash").alias("band_hash")))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    return (
+        l.join(r, (F.col("l.band_idx") == F.col("r.band_idx"))
+               & (F.col("l.band_hash") == F.col("r.band_hash"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs at Jaccard >= threshold via MinHash+LSH
+    candidates, then exact-Jaccard verification (no false positives;
+    false-negative probability ~4e-8 at threshold 0.8)."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    cands = lsh_candidate_pairs(sigs)
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    return (
+        cands
+        .join(sh.alias("sa"), cands.doc_a == F.col("sa.id"))
+        .join(sh.alias("sb"), cands.doc_b == F.col("sb.id"))
+        .select("doc_a", "doc_b",
+                F.round(jaccard(F.col("sa.sh"), F.col("sb.sh")), 3).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def simhash32(col: str | Column) -> Column:
+    """32-bit SimHash over occurrence-weighted word hashes, as a pure
+    projection: per bit j, sum +-1 votes across tokens; bit j of the
+    output is 1 iff the vote is >= 0. 32 bits keeps the value (and all
+    intermediates) comfortably inside a signed 64-bit long under ANSI
+    arithmetic."""
+    hs = F.transform(tokens(col), lambda w: word_hash(w))
+
+    def bit_vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bits = []
+    for j in range(32):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), bit_vote(j))
+        bits.append(F.when(vote >= 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidate pairs whose 32-bit SimHashes differ in at most
+    ``max_hamming`` bits. Brute-force pair generation — at scale, band
+    the simhash into (max_hamming+1) chunks and join on equal chunks
+    (pigeonhole) before verifying."""
+    s = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

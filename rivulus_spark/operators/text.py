@@ -1,0 +1,87 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure JVM-side column expressions (no Python UDFs):
+tokenization, token counting, quality features, language-ID heuristics,
+and document fingerprinting. They run inside whole-stage codegen and
+scale linearly with a parquet scan — no shuffle except where a groupBy
+is explicitly part of the semantics.
+
+These are superset operators (the reference engine has no scalar
+function library — /root/reference/src/expressions/expr.rs defines only
+12 binary ops); they are built for the 100 TB training-data use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: token marker sets for the n-gram/stopword language-ID heuristic
+EN_MARKERS = ["the", "a", "of", "and", "to", "is", "in", "it"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text (deterministic,
+    locale-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_hash(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a token: the first 15 hex
+    digits of its MD5. MD5 is engine-portable (identical in Spark,
+    DuckDB, Python), which is what makes dedup signatures verifiable
+    against an independent oracle; 60 bits keeps all downstream integer
+    arithmetic inside a signed 64-bit range (Spark 4 runs ANSI mode and
+    raises on overflow)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def avg_token_len(col: str | Column) -> Column:
+    """Mean token length, truncated (not rounded) to 2 decimals —
+    floor(x*100)/100 is bit-deterministic across engines, while round()
+    diverges on exact .xx5 halves (Spark rounds via the decimal string
+    repr, DuckDB rounds the raw double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    ratio = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("double") / n
+    return F.floor(ratio * 100).cast("double") / 100
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features: char/token counts, mean
+    token length, a short-doc flag. Single projection, no shuffle."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(c).alias("n_chars_actual"),
+        token_count(c).alias("n_tokens"),
+        avg_token_len(c).alias("avg_token_len"),
+        (F.size(tokens(c)) < 50).alias("is_short"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language-ID heuristic: counts distinct English
+    marker tokens present; >= 2 distinct markers => 'en'. (A real
+    pipeline would use per-language marker sets + char n-gram stats;
+    the scoring scaffold is identical.)"""
+    toks = tokens(text_col)
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n = F.size(F.array_intersect(toks, markers))
+    return df.select(
+        "doc_id",
+        n.alias("en_markers"),
+        F.when(n >= 2, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: MD5 of the raw text (engine-portable).
+    Used as the exact-dedup key at scale — grouping on a 128-bit
+    fingerprint instead of the full text keeps shuffle rows small."""
+    return df.select("doc_id", F.md5(F.col(text_col)).alias("fp_md5"))

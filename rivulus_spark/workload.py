@@ -1,0 +1,701 @@
+"""The engine's query workload: every operator from SURVEY §2 (and the
+north-star superset) expressed as a named query over the driver's
+TPC-H-ish testdata, each paired with an ANSI-SQL oracle that DuckDB can
+run on the same parquet files.
+
+Conventions (driver contract, __spark_entry__.py):
+- every computed column is aliased identically in the Spark query and
+  the oracle SQL (the driver's compare sorts columns by name);
+- float aggregates are rounded (sum order across engines differs at the
+  last ulp); per-row float arithmetic is left raw (bit-deterministic);
+- timestamps are emitted as formatted strings (engine-neutral);
+- computed integer outputs are cast to long/BIGINT on both sides
+  (Spark size()/length()/row_number() return INT, DuckDB returns BIGINT).
+
+Reference-surface queries (select/filter/limit/join/expressions) are
+built through the LazyFrame/Expr facade so the engine layer itself is
+what's exercised; superset queries use the facade's Spark-native
+escape hatches (group_by/agg, windows) or the operator modules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .expressions import col, lit
+from .frame import LazyFrame
+from .operators import dedup, similarity, text as text_ops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session confs the workload depends on, set at runtime so they
+    hold in any caller's session (the driver uses its own)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _lf(spark: SparkSession, sf_dir: str, table: str) -> LazyFrame:
+    _prep(spark)
+    return LazyFrame.from_parquet(spark, f"{sf_dir}/{table}.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects. Read nanos as long (legacy conf,
+    runtime-settable) and rebuild a microsecond timestamp with integer
+    division (double division would lose precision above 2^53 ns)."""
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ======================================================================
+# Reference surface: projection / filter / limit / join / expressions
+# (parity: /root/reference/src/logical_plan/builder.rs:57-94 operators)
+# ======================================================================
+
+@_q("select_project", """
+SELECT c_custkey, c_name AS customer_name, c_mktsegment
+FROM customer
+""")
+def q_select_project(spark, sf_dir):
+    """Projection with alias (ref: LazyFrame::select, builder.rs:57-64)."""
+    return (_lf(spark, sf_dir, "customer")
+            .select("c_custkey", col("c_name").alias("customer_name"),
+                    "c_mktsegment")
+            .to_spark())
+
+
+@_q("filter_compare", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 45.0
+""")
+def q_filter_compare(spark, sf_dir):
+    """col-cmp-literal filter (ref: builder.rs:66-73, the only predicate
+    shape its eager physical layer accepts)."""
+    return (_lf(spark, sf_dir, "lineitem")
+            .filter(col("l_quantity") > 45.0)
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .to_spark())
+
+
+@_q("filter_compound", """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND (o_totalprice > 150000.0 OR o_orderpriority = '1-URGENT')
+""")
+def q_filter_compound(spark, sf_dir):
+    """And/Or predicate algebra — representable but rejected by the
+    reference's physical planners (planner.rs:146-156); we execute it."""
+    return (_lf(spark, sf_dir, "orders")
+            .filter((col("o_orderstatus") == "F")
+                    & ((col("o_totalprice") > 150000.0)
+                       | (col("o_orderpriority") == "1-URGENT")))
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .to_spark())
+
+
+@_q("expr_arith", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem WHERE l_quantity <= 5.0
+""")
+def q_expr_arith(spark, sf_dir):
+    """Computed projection over the 12-op expression algebra
+    (ref rejects computed SELECT exprs, planner.rs:124-126)."""
+    revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    charge = (col("l_extendedprice") * (lit(1) - col("l_discount"))) \
+        * (lit(1) + col("l_tax"))
+    return (_lf(spark, sf_dir, "lineitem")
+            .filter(col("l_quantity") <= 5.0)
+            .select("l_orderkey", "l_linenumber",
+                    revenue.alias("revenue"), charge.alias("charge"))
+            .to_spark())
+
+
+@_q("expr_int_div", """
+SELECT l_orderkey, l_linenumber, l_orderkey // 1000 AS okey_bucket
+FROM lineitem WHERE l_linenumber = 1
+""")
+def q_expr_int_div(spark, sf_dir):
+    """Int64/Int64 division stays Int64 (truncating) — reference typing
+    rule (plan.rs:253-255) diverging from Spark's native `/`."""
+    return (_lf(spark, sf_dir, "lineitem")
+            .filter(col("l_linenumber") == 1)
+            .select("l_orderkey", "l_linenumber",
+                    (col("l_orderkey") / lit(1000)).alias("okey_bucket"))
+            .to_spark())
+
+
+@_q("limit_topk", """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def q_limit_topk(spark, sf_dir):
+    """Deterministic limit: sort + limit (ref limit: builder.rs:75-82;
+    sort is a superset op). Catalyst plans this as TakeOrderedAndProject
+    — a per-partition top-k + single merge, no global sort."""
+    return (_lf(spark, sf_dir, "orders")
+            .sort("o_totalprice", "o_orderkey", descending=[True, False])
+            .limit(10)
+            .select("o_orderkey", "o_totalprice")
+            .to_spark())
+
+
+@_q("join_inner", """
+SELECT c.c_custkey, c.c_name, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 8000.0
+""")
+def q_join_inner(spark, sf_dir):
+    """Single-key inner equi-join with the logical output contract
+    (ref: builder.rs:84-94; contract plan.rs:86-110). nation is a
+    dimension table — broadcast, no shuffle of the fact side."""
+    cust = _lf(spark, sf_dir, "customer").filter(col("c_acctbal") > 8000.0)
+    nat = _lf(spark, sf_dir, "nation")
+    return (cust.inner_join(nat, "c_nationkey", "n_nationkey",
+                            broadcast_right=True)
+            .select("c_custkey", "c_name", "n_name")
+            .to_spark())
+
+
+@_q("join_three", """
+SELECT n.n_name, count(*) AS n_orders
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY n.n_name
+""")
+def q_join_three(spark, sf_dir):
+    """Join chain + aggregation; dimension side broadcast."""
+    cust = _lf(spark, sf_dir, "customer").filter(col("c_mktsegment") == "BUILDING")
+    nat = _lf(spark, sf_dir, "nation")
+    orders = _lf(spark, sf_dir, "orders")
+    joined = (orders.inner_join(cust, "o_custkey", "c_custkey")
+              .inner_join(nat, "c_nationkey", "n_nationkey",
+                          broadcast_right=True))
+    return joined.group_by("n_name").agg(F.count("*").alias("n_orders")).to_spark()
+
+
+# ======================================================================
+# Superset: aggregation / window / set ops (SURVEY §2.6 gap table —
+# absent in the reference, Spark built-ins here)
+# ======================================================================
+
+@_q("agg_q1", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_agg_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary. Partial (map-side) aggregation
+    then a 4-group shuffle — the canonical scale-friendly agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                 F.count("*").alias("count_order")))
+
+
+@_q("agg_q3", """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""")
+def q_agg_q3(spark, sf_dir):
+    """TPC-H Q3-style: join + agg + top-k by revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                     "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "revenue", "orderdate", "o_orderpriority"))
+
+
+@_q("agg_q5", """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""")
+def q_agg_q5(spark, sf_dir):
+    """TPC-H Q5-style: 6-table join (dims broadcast) + per-nation
+    revenue. Includes a multi-condition join (suppkey + nationkey)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey)
+                    & (s.s_nationkey == c.c_nationkey))
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@_q("agg_having", """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+""")
+def q_agg_having(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+            .filter(F.col("n_orders") >= 15))
+
+
+@_q("distinct_op", """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""")
+def q_distinct_op(spark, sf_dir):
+    return (_lf(spark, sf_dir, "orders")
+            .select("o_orderstatus", "o_orderpriority")
+            .distinct()
+            .to_spark())
+
+
+@_q("union_op", """
+SELECT c_name AS name FROM customer WHERE c_acctbal > 9900.0
+UNION
+SELECT s_name AS name FROM supplier WHERE s_acctbal > 9000.0
+""")
+def q_union_op(spark, sf_dir):
+    c = (_lf(spark, sf_dir, "customer")
+         .filter(col("c_acctbal") > 9900.0)
+         .select(col("c_name").alias("name")))
+    s = (_lf(spark, sf_dir, "supplier")
+         .filter(col("s_acctbal") > 9000.0)
+         .select(col("s_name").alias("name")))
+    return c.union(s).distinct().to_spark()
+
+
+@_q("semi_join", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+""")
+def q_semi_join(spark, sf_dir):
+    c = _lf(spark, sf_dir, "customer")
+    o = _lf(spark, sf_dir, "orders").filter(col("o_totalprice") > 300000.0)
+    return (c.join(o, "c_custkey", "o_custkey", how="semi")
+            .select("c_custkey", "c_name")
+            .to_spark())
+
+
+@_q("anti_join", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_anti_join(spark, sf_dir):
+    c = _lf(spark, sf_dir, "customer")
+    o = _lf(spark, sf_dir, "orders")
+    return (c.join(o, "c_custkey", "o_custkey", how="anti")
+            .select("c_custkey", "c_name")
+            .to_spark())
+
+
+@_q("window_rank", """
+SELECT c_nationkey, c_custkey, rnk FROM (
+  SELECT c_nationkey, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer) WHERE rnk <= 3
+""")
+def q_window_rank(spark, sf_dir):
+    """Top-3 customers per nation by balance (ranking window)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (_t(spark, sf_dir, "customer")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select("c_nationkey", "c_custkey", "rnk"))
+
+
+@_q("window_running", """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+""")
+def q_window_running(spark, sf_dir):
+    """Running per-customer spend (analytic window, explicit frame)."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")))
+
+
+@_q("window_lag", """
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap_us
+FROM events
+""")
+def q_window_lag(spark, sf_dir):
+    """Per-user inter-event gap in microseconds (lag window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (_events(spark, sf_dir)
+            .select("event_id", "user_id",
+                    (F.unix_micros(F.col("ts"))
+                     - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")))
+
+
+@_q("rollup_count", """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup_count(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@_q("events_hourly", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY hour, event_type
+""")
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the event stream table —
+    the batch analogue of the Structured Streaming windowed agg."""
+    return (_events(spark, sf_dir)
+            .groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                   "yyyy-MM-dd HH:00").alias("hour"),
+                     "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@_q("sessionize", """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions
+FROM gaps GROUP BY user_id
+""")
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag window to mark
+    session starts, then a per-user count."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(lag_ts.isNull(), 1).when(
+        F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 1_800_000_000, 1
+    ).otherwise(0)
+    return (_events(spark, sf_dir)
+            .select("user_id", new_s.alias("new_session"))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions")))
+
+
+@_q("events_json", """
+SELECT event_type, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+FROM events GROUP BY event_type
+""")
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction: pull a key out of the JSON props
+    column and aggregate (JVM-side JSON path, no UDF)."""
+    return (_events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.sum(F.get_json_object(F.col("props"), "$.k").cast("long"))
+                 .alias("sum_k")))
+
+
+# ======================================================================
+# North star: text analysis (operators/text.py)
+# ======================================================================
+
+@_q("text_token_count", """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+FROM documents
+""")
+def q_text_token_count(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    text_ops.token_count("text").cast("long").alias("n_tokens")))
+
+
+@_q("text_quality", """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_actual,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+       floor(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+             / len(regexp_split_to_array(trim(text), '\\s+')) * 100) / 100 AS avg_token_len,
+       len(regexp_split_to_array(trim(text), '\\s+')) < 50 AS is_short
+FROM documents
+""")
+def q_text_quality(spark, sf_dir):
+    df = text_ops.quality_features(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id",
+                     F.col("n_chars_actual").cast("long"),
+                     F.col("n_tokens").cast("long"),
+                     "avg_token_len", "is_short")
+
+
+@_q("text_fingerprint", """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    return text_ops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q("lang_id", """
+SELECT doc_id,
+       len(list_intersect(regexp_split_to_array(trim(text), '\\s+'),
+           ['the','a','of','and','to','is','in','it']))::BIGINT AS en_markers,
+       CASE WHEN len(list_intersect(regexp_split_to_array(trim(text), '\\s+'),
+           ['the','a','of','and','to','is','in','it'])) >= 2
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+""")
+def q_lang_id(spark, sf_dir):
+    df = text_ops.lang_id(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("en_markers").cast("long"), "pred_lang")
+
+
+@_q("doc_stats_by_source", """
+SELECT source, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source
+""")
+def q_doc_stats_by_source(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+# ======================================================================
+# North star: dedup (operators/dedup.py)
+# ======================================================================
+
+@_q("dedup_exact", """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 250)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))), 3) AS jacc
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.5
+"""
+
+
+@_q("ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (j >= 0.5) on a bounded
+    subset — the brute-force baseline the LSH path approximates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))), 3) AS jacc
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.8
+"""
+
+
+@_q("dedup_minhash_lsh", _MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (128 perms) + LSH banding (32 bands x 4 rows) + exact
+    verification at Jaccard >= 0.8. The oracle is the brute-force exact
+    computation — identical output unless LSH misses a pair (p ~ 4e-8).
+    """
+    return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
+                                   threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32))
+    val = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2 ** j} ELSE 0 END)"
+                     for j in range(32))
+    return f"""
+WITH w AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents)
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, ({val})::BIGINT AS simhash32 FROM v
+"""
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash (pure projection, no shuffle);
+    the oracle recomputes it relationally (explode + group-by)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", dedup.simhash32("text").alias("simhash32")))
+
+
+# ======================================================================
+# North star: embedding similarity search (operators/similarity.py)
+# ======================================================================
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+), r AS (
+  SELECT q_id, n_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+  FROM p)
+SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+
+@_q("knn_cosine", _KNN_ORACLE)
+def q_knn_cosine(spark, sf_dir):
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast the queries, scan the corpus once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.knn_cosine(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), "sim")
+
+
+_NEARDUP_COS_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
+"""
+
+
+@_q("embedding_neardup", _NEARDUP_COS_ORACLE)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-duplicate pairs at cosine >= 0.4 (exact)."""
+    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                           threshold=0.4)
+
+
+@_q("embedding_label_stats", """
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+           AS avg_norm
+FROM embeddings GROUP BY label
+""")
+def q_embedding_label_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round(F.avg(similarity.l2_norm(v)), 4).alias("avg_norm")))

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, then compare row count, schema (column names), and
+an order-insensitive value comparison.
+
+Usage: python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def norm_rows(cols, rows):
+    # sort columns by name (driver contract), then rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+def compare(name, s_cols, s_rows, d_cols, d_rows) -> list[str]:
+    problems = []
+    sc, sr = norm_rows(s_cols, s_rows)
+    dc, dr = norm_rows(d_cols, d_rows)
+    if sc != dc:
+        problems.append(f"schema mismatch: spark={sc} duck={dc}")
+        return problems
+    if len(sr) != len(dr):
+        problems.append(f"rowcount mismatch: spark={len(sr)} duck={len(dr)}")
+    n_bad = 0
+    for a, b in zip(sr, dr):
+        if a != b:
+            # allow tiny float wiggle for diagnosis (still reported)
+            if n_bad < 3:
+                problems.append(f"value mismatch: spark={a} duck={b}")
+            n_bad += 1
+    if n_bad:
+        problems.append(f"total mismatched rows: {n_bad}/{len(sr)}")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from rivulus_spark import get_spark
+    from rivulus_spark.workload import ORACLE, QUERIES
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    names = args.queries or list(QUERIES)
+    failures = 0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in ORACLE:
+            print(f"....  {name}: no oracle (rows-only) -> {len(s_rows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(ORACLE[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, s_cols, s_rows, d_cols, d_rows)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({len(s_rows)} spark rows, {len(d_rows)} oracle rows) "
+                  f"[{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+    spark.stop()
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
