@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark: run the full workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full plan
+runs, nothing is collected to the driver — measures engine throughput,
+not driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from rivulus_spark import get_spark
+    from rivulus_spark.workload import QUERIES
+
+    spark = get_spark("rivulus-bench")
+    # one warmup action so JVM/codegen startup isn't charged to query 1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # a failing query gets a sentinel, not a crash
+            dt = time.perf_counter() - t0
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "workload_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
