@@ -1,0 +1,27 @@
+"""Event-time stream processing (Structured Streaming).
+
+The reference's "streaming" is Volcano-style incremental batch
+execution (/root/reference/src/execution/stream.rs:25-54) — covered by
+``LazyFrame.collect_streaming``. THIS package is the north-star
+superset: real event-time processing with watermarks, tumbling /
+sliding / session windows, and late-data handling, built on Spark
+Structured Streaming.
+"""
+
+from .windows import (
+    load_events,
+    read_event_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+__all__ = [
+    "load_events",
+    "read_event_stream",
+    "run_available_now",
+    "session_agg",
+    "sliding_agg",
+    "tumbling_agg",
+]

@@ -1,0 +1,148 @@
+"""Windowed event-time aggregation, written once for batch AND stream.
+
+Every transformation here takes a DataFrame that may be either a batch
+frame (``spark.read``) or a streaming frame (``spark.readStream``) —
+``F.window`` / ``F.session_window`` / ``withWatermark`` compose the same
+way in both modes. That is the core scale property: the same logical
+plan serves the 100 TB backfill (batch over partitioned parquet) and
+the live topic (micro-batch with state store + watermark eviction).
+
+At scale the windowed groupBy shuffles on (window, keys); the state
+store holds only open windows because the watermark evicts closed ones
+— without a watermark an unbounded-stream agg would accumulate state
+forever, so ``tumbling_agg``/``sliding_agg``/``session_agg`` require
+one whenever their input is streaming.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def _nanos_to_ts(df: DataFrame) -> DataFrame:
+    """The testdata's events.parquet stores ts as TIMESTAMP(NANOS);
+    rebuild a microsecond timestamp with integer division (double
+    division loses precision above 2^53 ns)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of an events parquet path (nanos-ts aware)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _nanos_to_ts(spark.read.parquet(path))
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1,
+                      schema: StructType | None = None) -> DataFrame:
+    """File-based event stream: each parquet file in ``path`` becomes
+    (at most ``max_files_per_trigger`` per) micro-batch. Streaming
+    sources never infer, so the schema is discovered with a one-time
+    batch footer read when not supplied. A nanos-long ``ts`` (the raw
+    testdata layout) is converted to a real timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    df = reader.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = _nanos_to_ts(df)
+    return df
+
+
+def _require_watermark(df: DataFrame, time_col: str, watermark: str | None) -> DataFrame:
+    if df.isStreaming:
+        if watermark is None:
+            raise ValueError(
+                "streaming input requires a watermark (state would grow "
+                "without bound); pass watermark='30 minutes'")
+        return df.withWatermark(time_col, watermark)
+    return df
+
+
+def tumbling_agg(df: DataFrame, time_col: str, duration: str,
+                 aggs: Sequence[Column], keys: Sequence[str] = (),
+                 watermark: str | None = None) -> DataFrame:
+    """Non-overlapping fixed windows: groupBy(window(ts, d), *keys).
+    Output carries window_start/window_end as flat timestamp columns."""
+    df = _require_watermark(df, time_col, watermark)
+    out = (df.groupBy(F.window(time_col, duration), *keys).agg(*aggs))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"])
+
+
+def sliding_agg(df: DataFrame, time_col: str, duration: str, slide: str,
+                aggs: Sequence[Column], keys: Sequence[str] = (),
+                watermark: str | None = None) -> DataFrame:
+    """Overlapping windows of ``duration`` advancing every ``slide`` —
+    each event lands in duration/slide windows."""
+    df = _require_watermark(df, time_col, watermark)
+    out = df.groupBy(F.window(time_col, duration, slide), *keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"])
+
+
+def session_agg(df: DataFrame, time_col: str, gap: str,
+                keys: Sequence[str], aggs: Sequence[Column],
+                watermark: str | None = None) -> DataFrame:
+    """Gap-based session windows (``F.session_window``): a session
+    closes after ``gap`` of inactivity per key. The stateful analogue
+    of the batch lag-based sessionize query in the workload."""
+    df = _require_watermark(df, time_col, watermark)
+    out = df.groupBy(F.session_window(time_col, gap), *keys).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      checkpoint_dir: str, output_mode: str = "complete",
+                      timeout_s: int = 120) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    into an in-memory table and return it as a batch DataFrame.
+
+    Trigger.AvailableNow processes the backlog in bounded micro-batches
+    then stops — the batch-parity execution mode (and the pattern for
+    incremental backfills at scale: same query, durable checkpoint,
+    each run picks up where the last stopped). ``complete`` re-emits
+    the full aggregate each micro-batch (exact batch parity);
+    ``append`` emits only windows the watermark has closed (what a
+    production sink would receive).
+    """
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,110 @@
+"""Structured Streaming: batch/stream parity for windowed aggregation.
+
+The design contract of rivulus_spark.streaming is that every windowed
+transformation produces the SAME result whether its input is a batch
+read or a file stream drained with Trigger.AvailableNow — these tests
+assert exactly that, using the driver's events table as input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rivulus_spark.streaming import (
+    load_events,
+    read_event_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """The events table re-laid-out as 3 parquet files so the file
+    stream source produces 3 micro-batches (maxFilesPerTrigger=1)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_events(spark, EVENTS).repartition(3).write.mode("overwrite") \
+        .parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_parity(spark, event_dir, tmp_path):
+    aggs = [F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v")]
+    batch = tumbling_agg(spark.read.parquet(event_dir), "ts", "1 hour",
+                         aggs, keys=["event_type"])
+    stream = tumbling_agg(read_event_stream(spark, event_dir), "ts",
+                          "1 hour", aggs, keys=["event_type"],
+                          watermark="30 minutes")
+    got = run_available_now(stream, "t_tumbling", str(tmp_path / "ckpt"))
+    order = ["window_start", "event_type"]
+    assert _rows(got, *order) == _rows(batch, *order)
+    assert got.count() > 0
+
+
+def test_tumbling_requires_watermark(spark, event_dir):
+    with pytest.raises(ValueError, match="watermark"):
+        tumbling_agg(read_event_stream(spark, event_dir), "ts", "1 hour",
+                     [F.count("*").alias("n")])
+
+
+def test_sliding_parity(spark, event_dir, tmp_path):
+    aggs = [F.count("*").alias("n")]
+    batch = sliding_agg(spark.read.parquet(event_dir), "ts",
+                        "2 hours", "1 hour", aggs, keys=["user_id"])
+    stream = sliding_agg(read_event_stream(spark, event_dir), "ts",
+                         "2 hours", "1 hour", aggs, keys=["user_id"],
+                         watermark="1 hour")
+    got = run_available_now(stream, "t_sliding", str(tmp_path / "ckpt"))
+    order = ["window_start", "user_id"]
+    assert _rows(got, *order) == _rows(batch, *order)
+    # every event lands in duration/slide = 2 windows
+    n_events = spark.read.parquet(event_dir).count()
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * n_events
+
+
+def test_session_windows(spark, event_dir, tmp_path):
+    aggs = [F.count("*").alias("n_events")]
+    batch = session_agg(spark.read.parquet(event_dir), "ts", "30 minutes",
+                        ["user_id"], aggs)
+    # watermark wider than the table's time span: micro-batches arrive
+    # in random event-time order here, so any tighter watermark would
+    # (correctly) drop stragglers and break exact batch parity
+    stream = session_agg(read_event_stream(spark, event_dir), "ts",
+                         "30 minutes", ["user_id"], aggs,
+                         watermark="60 days")
+    got = run_available_now(stream, "t_session", str(tmp_path / "ckpt"))
+    order = ["session_start", "user_id"]
+    assert _rows(got, *order) == _rows(batch, *order)
+    # sessions never overlap per user and each holds >= 1 event
+    assert batch.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_append_mode_emits_closed_windows_only(spark, event_dir, tmp_path):
+    """Append mode emits a window only after the watermark passes its
+    end, and events arriving after that are dropped as late. So every
+    emitted window exists in the batch result and its count is <= the
+    batch count (equal when no stragglers were dropped — not guaranteed
+    here because micro-batches arrive in random event-time order)."""
+    aggs = [F.count("*").alias("n")]
+    batch = tumbling_agg(spark.read.parquet(event_dir), "ts", "1 hour",
+                         aggs, keys=["event_type"])
+    stream = tumbling_agg(read_event_stream(spark, event_dir), "ts",
+                          "1 hour", aggs, keys=["event_type"],
+                          watermark="10 minutes")
+    got = run_available_now(stream, "t_append", str(tmp_path / "ckpt"),
+                            output_mode="append")
+    batch_map = {(r["window_start"], r["event_type"]): r["n"]
+                 for r in batch.collect()}
+    emitted = got.collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        assert r["n"] <= batch_map[(r["window_start"], r["event_type"])]
