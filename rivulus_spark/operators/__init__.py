@@ -1,3 +1,3 @@
-from . import dedup, similarity, text
+from . import dedup, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,154 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Data model: media travels as a ``binary`` content column next to a
+typed metadata struct — the engine never interprets bytes JVM-side, so
+Catalyst still prunes/pushes around them, and the (large) binary column
+is only ever deserialized inside the Arrow batches of the Python stage
+that actually decodes it.
+
+Scale design:
+- decode / feature-extract run as ``mapInPandas`` (Arrow-batched,
+  one Python worker per core per partition) — the only sane way to run
+  per-blob Python at 100 TB. Batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+  large blobs never materializes at once.
+- CODEC NOTE: the real decoders (PIL/opencv/librosa) are NOT in this
+  container. ``decode=\"fake\"`` (default) derives deterministic
+  pseudo-features from an MD5 of the bytes — the full Spark plumbing
+  (schemas, Arrow batching, partitioning, explode) is real and
+  oracle-checkable; ``decode=\"real\"`` raises NotImplementedError at
+  the point where the codec call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_FIELDS = [
+    StructField("media_type", StringType()),      # image|audio|video
+    StructField("mime", StringType()),
+    StructField("source_uri", StringType()),
+]
+MEDIA_META_SCHEMA = StructType(MEDIA_META_FIELDS)
+
+
+def pack_media(content: Column, media_type: Column | str,
+               mime: Column | str, source_uri: Column) -> Column:
+    """Build the (content, meta) pair as a struct column."""
+    mt = F.lit(media_type) if isinstance(media_type, str) else media_type
+    mm = F.lit(mime) if isinstance(mime, str) else mime
+    return F.struct(content.alias("content"),
+                    F.struct(mt.alias("media_type"), mm.alias("mime"),
+                             source_uri.alias("source_uri")).alias("meta"))
+
+
+def _fake_fields(blob: bytes) -> tuple[int, int, int, int]:
+    """Deterministic pseudo-decode: MD5(content) hex nibbles -> fields.
+    Matches the SQL oracle expression in workload.py exactly."""
+    h = hashlib.md5(blob).hexdigest()
+    width = int(h[0:4], 16) % 1920 + 1
+    height = int(h[4:8], 16) % 1080 + 1
+    luma = int(h[8:12], 16) % 256
+    n_frames = int(h[12:14], 16) % 30 + 1
+    return width, height, luma, n_frames
+
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_pixels", LongType()),
+    StructField("mean_luma", DoubleType()),
+])
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content",
+                  decode: str = "fake") -> DataFrame:
+    """Per-image decode + feature extraction via mapInPandas.
+
+    Output: (doc_id, width, height, n_pixels, mean_luma). One Arrow
+    batch in, one out — no Python-side row loop over Spark rows, only
+    over blobs inside the batch (unavoidable: codecs are per-blob).
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                # real path: PIL.Image.open(io.BytesIO(b)) -> size/luma
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "use decode='fake' for the deterministic stub")
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, luma, _ = _fake_fields(bytes(blob))
+                rows.append((doc_id, w, h, w * h, luma / 255.0))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_FEATURES_SCHEMA.fields])
+
+    return (df.select(id_col, content_col)
+            .mapInPandas(_decode, IMAGE_FEATURES_SCHEMA))
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 3,
+                        id_col: str = "doc_id",
+                        content_col: str = "content",
+                        decode: str = "fake") -> DataFrame:
+    """Sample every ``every_n``-th frame of each video blob.
+
+    Fan-out operator: one input row -> ceil(n_frames/every_n) frame
+    rows. The fake decoder reports n_frames from the MD5 and emits the
+    blob itself as each \"frame\"; a real ffmpeg/opencv demuxer slots
+    into the same mapInPandas shape.
+    """
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "video codec not available in this environment; "
+                    "use decode='fake' for the deterministic stub")
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob)
+                *_, n_frames = _fake_fields(blob)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return (df.select(id_col, content_col)
+            .mapInPandas(_sample, FRAME_SCHEMA))
+
+
+def binary_stats(df: DataFrame, id_col: str = "doc_id",
+                 content_col: str = "content") -> DataFrame:
+    """Pure-JVM binary column stats — no Python stage: byte length and
+    SHA-256 content digest (the dedup / integrity primitive)."""
+    return df.select(
+        id_col,
+        F.octet_length(F.col(content_col)).cast("long").alias("n_bytes"),
+        F.sha2(F.col(content_col), 256).alias("sha256"))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .expressions import col, lit
 from .frame import LazyFrame
-from .operators import dedup, similarity, text as text_ops
+from .operators import dedup, multimodal, similarity, text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -636,6 +636,61 @@ def q_dedup_simhash(spark, sf_dir):
     the oracle recomputes it relationally (explode + group-by)."""
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", dedup.simhash32("text").alias("simhash32")))
+
+
+# ======================================================================
+# North star: multimodal columns (operators/multimodal.py)
+#
+# documents has no binary column, so each query first synthesizes
+# content = encode(text, 'UTF-8') — identically on the DuckDB side —
+# which makes the MD5-derived fake-decode features oracle-checkable.
+# ======================================================================
+
+
+def _media_docs(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content")))
+
+
+@_q("multimodal_image_features", """
+SELECT doc_id,
+       ('0x'||substr(md5(text),1,4))::BIGINT % 1920 + 1 AS width,
+       ('0x'||substr(md5(text),5,4))::BIGINT % 1080 + 1 AS height,
+       (('0x'||substr(md5(text),1,4))::BIGINT % 1920 + 1)
+         * (('0x'||substr(md5(text),5,4))::BIGINT % 1080 + 1) AS n_pixels,
+       (('0x'||substr(md5(text),9,4))::BIGINT % 256) / 255.0 AS mean_luma
+FROM documents
+""")
+def q_multimodal_image_features(spark, sf_dir):
+    """Arrow-batched image decode + feature extraction (mapInPandas).
+    The deterministic fake decoder derives fields from MD5(content);
+    the oracle recomputes them from md5(text) hex in SQL."""
+    return multimodal.decode_images(_media_docs(spark, sf_dir))
+
+
+@_q("multimodal_frame_sample", """
+SELECT doc_id,
+       unnest(range(0, ('0x'||substr(md5(text),13,2))::BIGINT % 30 + 1, 3))
+           AS frame_idx
+FROM documents
+""")
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling fan-out: 1 blob row -> ceil(n_frames/3)
+    frame rows. Frame bytes dropped for the compare (binary payload is
+    engine-opaque); the fan-out shape is what's checked."""
+    return (multimodal.sample_video_frames(_media_docs(spark, sf_dir),
+                                           every_n=3)
+            .select("doc_id", "frame_idx"))
+
+
+@_q("multimodal_binary_stats", """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""")
+def q_multimodal_binary_stats(spark, sf_dir):
+    """Pure-JVM binary stats (no Python stage): byte length + SHA-256."""
+    return multimodal.binary_stats(_media_docs(spark, sf_dir))
 
 
 # ======================================================================
