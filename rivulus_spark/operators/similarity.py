@@ -96,19 +96,21 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
 # LSH-bucketed approximate variant (the 100 TB path)
 # ----------------------------------------------------------------------
 
+def plane_component(p: int, i: int) -> float:
+    """Component i of deterministic pseudo-random hyperplane p, in
+    [-0.5, 0.5). Shared by the Spark operator and the SQL oracle
+    generator so both engines see bit-identical planes."""
+    return (((p * 1_000_003 + i * 7_919 + 12_345) * 2_654_435_761)
+            % 1_000_000) / 1_000_000.0 - 0.5
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Random-hyperplane LSH signature: sign pattern of dot products
     with n_planes deterministic pseudo-random hyperplanes. Cosine-close
     vectors collide with high probability."""
     bits = []
     for p in range(n_planes):
-        # deterministic pseudo-random plane: component i of plane p is
-        # derived from an integer hash -> [-0.5, 0.5)
-        plane = F.array(*[
-            F.lit((((p * 1_000_003 + i * 7_919 + 12_345) * 2_654_435_761)
-                   % 1_000_000) / 1_000_000.0 - 0.5)
-            for i in range(dim)
-        ])
+        plane = F.array(*[F.lit(plane_component(p, i)) for i in range(dim)])
         bits.append(F.when(dot(vec, plane) >= 0,
                            F.lit(2 ** p).cast("long")).otherwise(F.lit(0)))
     out = bits[0]

@@ -302,6 +302,28 @@ def q_agg_q5(spark, sf_dir):
                  .alias("revenue")))
 
 
+@_q("join_part_promo", """
+SELECT p_type, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
+GROUP BY p_type
+""")
+def q_join_part_promo(spark, sf_dir):
+    """TPC-H Q14-style: lineitem x part revenue by part type. part is
+    the broadcast dimension; the date filter prunes the fact scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01"))))
+    p = _t(spark, sf_dir, "part")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .groupBy("p_type")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
 @_q("agg_having", """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
@@ -740,6 +762,51 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding near-duplicate pairs at cosine >= 0.4 (exact)."""
     return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
                                            threshold=0.4)
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
+    """Regenerate the LSH bucketing relationally: the plane literals
+    come from the same plane_component() the Spark operator uses, so
+    bucket assignment is bit-identical across engines."""
+    sig_terms = []
+    for p in range(n_planes):
+        arr = ", ".join(repr(similarity.plane_component(p, i))
+                        for i in range(dim))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(emb, [{arr}]) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)")
+    sig = "\n         + ".join(sig_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT vec_id, emb,
+         {sig} AS sig
+      FROM e),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM s q JOIN s c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+                   AND q.sig = c.sig),
+r AS (SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, n_id) AS rank
+      FROM p)
+SELECT q_id, n_id, rank, sim FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ann_lsh_topk", _ann_lsh_oracle())
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH bucketing — the
+    100 TB path: an equi-join on bucket signature replaces the cross
+    join of knn_cosine. Deterministic planes make even the approximate
+    result exactly oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ann_cosine_lsh(emb, emb.filter(F.col("vec_id") < 10),
+                                    k=5, dim=64, n_planes=8)
+    return out.select("q_id", "n_id",
+                      F.col("rank").cast("long").alias("rank"), "sim")
 
 
 @_q("embedding_label_stats", """
