@@ -660,6 +660,21 @@ def q_dedup_simhash(spark, sf_dir):
             .select("doc_id", dedup.simhash32("text").alias("simhash32")))
 
 
+@_q("dedup_simhash_pairs", f"""
+WITH s AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash32, b.simhash32))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+""")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance <= 3 (brute-force
+    pair generation; the scale path bands the hash by pigeonhole)."""
+    out = dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select("doc_a", "doc_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 # ======================================================================
 # North star: multimodal columns (operators/multimodal.py)
 #

@@ -1,0 +1,150 @@
+"""Unit tests for the north-star operator modules (dedup / similarity /
+text) over small in-memory fixtures — complements the DuckDB oracle
+coverage in tools/check_oracle.py with targeted semantic checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rivulus_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ----------------------------------------------------------------------
+# text
+# ----------------------------------------------------------------------
+
+def test_token_count(docs):
+    out = {r.doc_id: r.n for r in
+           docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert out[0] == 9 and out[4] == 1
+
+
+def test_quality_features(docs):
+    out = {r.doc_id: r for r in text.quality_features(docs).collect()}
+    assert out[4].is_short is True
+    assert out[0].n_tokens == 9
+    # avg token len of doc 4 ("short") = 5.0
+    assert out[4].avg_token_len == 5.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame([
+        (0, "it is a truth universally acknowledged"),  # it, is, a -> en
+        (1, "the quick brown fox"),                     # only 'the' -> other
+        (2, "lorem ipsum dolor sit amet"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert out == {0: "en", 1: "other", 2: "other"}
+
+
+def test_fingerprint_exact_dups_collide(docs):
+    out = {r.doc_id: r.fp_md5 for r in text.fingerprint(docs).collect()}
+    assert out[0] == out[2]
+    assert out[0] != out[1]
+
+
+# ----------------------------------------------------------------------
+# dedup
+# ----------------------------------------------------------------------
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    got = df.select(dedup.shingles("text").alias("s")).first().s
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert short.select(dedup.shingles("text").alias("s")).first().s == []
+
+
+def test_exact_duplicates(docs):
+    out = sorted((r.keep_id, r.n_copies)
+                 for r in dedup.exact_duplicates(docs).collect())
+    assert (0, 2) in out                       # docs 0 and 2 collapse
+    assert sum(n for _, n in out) == 5
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = {(r.doc_a, r.doc_b): r.jacc
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 2)] == 1.0                  # exact dup
+    assert 0.5 <= out[(0, 1)] < 1.0            # near dup
+
+
+def test_minhash_lsh_matches_bruteforce(docs):
+    lsh = {(r.doc_a, r.doc_b): r.jacc
+           for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    brute = {(r.doc_a, r.doc_b): r.jacc
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert lsh == brute
+
+
+def test_simhash_near_for_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 2)] == 0                  # identical text, identical hash
+    assert (0, 1) in pairs                     # near-dup within 8 bits
+
+
+# ----------------------------------------------------------------------
+# similarity
+# ----------------------------------------------------------------------
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),     # close to 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),    # opposite of 0
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([(1,)], "x long").select(
+        similarity.dot(F.array(F.lit(1.0), F.lit(2.0)),
+                       F.array(F.lit(3.0), F.lit(4.0))).alias("d"),
+        similarity.l2_norm(F.array(F.lit(3.0), F.lit(4.0))).alias("n"))
+    r = df.first()
+    assert r.d == 11.0 and r.n == 5.0
+
+
+def test_knn_cosine_ordering(vecs):
+    out = similarity.knn_cosine(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.n_id for r in rows] == [1, 4, 2, 3]
+    assert rows[0].sim == pytest.approx(0.9 / math.hypot(0.9, 0.1), abs=1e-6)
+    assert rows[-1].sim == -1.0
+
+
+def test_neardup_pairs_symmetric_free(vecs):
+    out = {(r.id_a, r.id_b) for r in
+           similarity.cosine_neardup_pairs(vecs, threshold=0.9).collect()}
+    assert (0, 1) in out
+    assert all(a < b for a, b in out)
+
+
+def test_ann_lsh_subset_of_exact(vecs):
+    """ANN results are exact cosines, ranked within buckets — every
+    returned neighbor must carry the same sim the exact path computes."""
+    exact = {(r.q_id, r.n_id): r.sim for r in
+             similarity.knn_cosine(vecs, vecs, k=4).collect()}
+    ann = similarity.ann_cosine_lsh(vecs, vecs, k=4, dim=3, n_planes=4)
+    for r in ann.collect():
+        assert exact[(r.q_id, r.n_id)] == r.sim
