@@ -654,10 +654,11 @@ SELECT doc_id, ({val})::BIGINT AS simhash32 FROM v
 
 @_q("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
-    """Per-document 32-bit SimHash (pure projection, no shuffle);
-    the oracle recomputes it relationally (explode + group-by)."""
-    return (_t(spark, sf_dir, "documents")
-            .select("doc_id", dedup.simhash32("text").alias("simhash32")))
+    """Per-document 32-bit SimHash via the codegen'd explode+group-by
+    formulation (simhash_table); the projection form simhash32() is the
+    shuffle-free alternative for narrow inputs."""
+    return (dedup.simhash_table(_t(spark, sf_dir, "documents"))
+            .select(F.col("id").alias("doc_id"), "simhash32"))
 
 
 @_q("dedup_simhash_pairs", f"""
@@ -774,9 +775,11 @@ WHERE round(list_dot_product(a.emb, b.emb)
 
 @_q("embedding_neardup", _NEARDUP_COS_ORACLE)
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding near-duplicate pairs at cosine >= 0.4 (exact)."""
-    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                           threshold=0.4)
+    """Embedding near-duplicate pairs at cosine >= 0.4 (exact), via the
+    blocked numpy matmul path (cosine_neardup_pairs is the pure-JVM
+    reference formulation of the same contract)."""
+    return similarity.cosine_neardup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:

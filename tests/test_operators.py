@@ -140,6 +140,19 @@ def test_neardup_pairs_symmetric_free(vecs):
     assert all(a < b for a, b in out)
 
 
+def test_blocked_neardup_matches_fold(vecs):
+    """Blocked numpy path == pure-JVM fold path, including complete
+    pair coverage (threshold -1 keeps every one of the n*(n-1)/2
+    pairs, exercising same-block and both cross-block orientations)."""
+    ref = {(r.id_a, r.id_b): r.sim for r in
+           similarity.cosine_neardup_pairs(vecs, threshold=-1.0).collect()}
+    got = {(r.id_a, r.id_b): r.sim for r in
+           similarity.cosine_neardup_pairs_blocked(
+               vecs, threshold=-1.0, n_blocks=3).collect()}
+    assert len(ref) == 10
+    assert got == ref
+
+
 def test_ann_lsh_subset_of_exact(vecs):
     """ANN results are exact cosines, ranked within buckets — every
     returned neighbor must carry the same sim the exact path computes."""
