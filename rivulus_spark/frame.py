@@ -248,6 +248,31 @@ class LazyFrame:
     def stream_batches(self) -> Iterator[Row]:
         return self._df.toLocalIterator(prefetchPartitions=True)
 
+    def write_parquet(self, path: str, mode: str = "error",
+                      partition_by: list[str] | None = None) -> None:
+        """Parquet sink (superset — the reference has no write paths).
+        ``partition_by`` produces hive-style directory partitioning,
+        which is what enables partition pruning on re-read at scale.
+        Note: partition column types on re-read follow Spark's partition
+        inference (numeric/date inferred; anything else, including
+        boolean, comes back as string)."""
+        w = self._df.write.mode(mode)
+        if partition_by:
+            for c in partition_by:
+                if c not in self.columns:
+                    raise ColumnNotFoundError(c, self.columns)
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_csv(self, path: str, mode: str = "error",
+                  delimiter: str = ",", header: bool = True) -> None:
+        """CSV sink with the source contract's null token ("null")."""
+        (self._df.write.mode(mode)
+         .option("sep", delimiter)
+         .option("header", header)
+         .option("nullValue", "null")
+         .csv(path))
+
     def to_spark(self) -> DataFrame:
         return self._df
 

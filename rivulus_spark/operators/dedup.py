@@ -142,20 +142,19 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
 # MinHash + LSH
 # ----------------------------------------------------------------------
 
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 3,
-                       num_perm: int = NUM_PERM) -> DataFrame:
-    """MinHash signatures: (id, sig array<long> of length num_perm).
+def signatures_from_rows(rows: DataFrame,
+                         num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signatures from distinct (id, s) shingle rows:
+    (id, sig array<long> of length num_perm).
 
-    Formulated as explode(shingle hashes) -> groupBy(id) with num_perm
-    min() aggregates: each shingle is hashed exactly once (the naive
-    per-row array-aggregate formulation re-derives the MD5 of every
-    shingle once per permutation and generates pathological codegen),
-    and the shuffle benefits from map-side partial min combining — at
-    scale the exchanged rows are one (id, 128 longs) tuple per doc per
-    map partition, not one per shingle."""
-    hs = shingle_rows(df, text_col, id_col, k).select(
-        "id", (word_hash(F.col("s")) % MINHASH_P).alias("h"))
+    Formulated as shingle rows -> groupBy(id) with num_perm min()
+    aggregates: each shingle is hashed exactly once (the naive per-row
+    array-aggregate formulation re-derives the MD5 of every shingle
+    once per permutation and generates pathological codegen), and the
+    shuffle benefits from map-side partial min combining — at scale the
+    exchanged rows are one (id, 128 longs) tuple per doc per map
+    partition, not one per shingle."""
+    hs = rows.select("id", (word_hash(F.col("s")) % MINHASH_P).alias("h"))
     aggs = []
     for i in range(num_perm):
         a, b = perm_coeffs(i)
@@ -164,6 +163,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sig = hs.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"m{i}") for i in range(num_perm)])
                       .alias("sig"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signatures: (id, sig array<long> of length num_perm)."""
+    return signatures_from_rows(shingle_rows(df, text_col, id_col, k),
+                                num_perm)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
@@ -214,9 +221,16 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     and Jaccard = inter / (|A| + |B| - inter). The joined rows number
     ~|candidates| * shingles-per-doc — proportional to true near-dups,
     never to the corpus squared — and compare full shingle strings, so
-    the result is exact (no hash collisions involved)."""
+    the result is exact (no hash collisions involved).
+
+    The shingle rows feed four consumers (signatures, both sides of the
+    intersection join, per-doc sizes). They are deliberately NOT
+    persisted: caching pins an InMemoryRelation under every consumer,
+    which blocks AQE's runtime join re-planning and measured ~6x slower
+    than recomputing the (cheap, codegen'd) shingle pipeline per
+    consumer."""
     rows = shingle_rows(df, text_col, id_col, k)
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    sigs = signatures_from_rows(rows)
     cands = lsh_candidate_pairs(sigs)
     sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (

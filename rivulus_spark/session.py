@@ -23,6 +23,9 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan output partitioning above cached relations
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.shuffle.partitions",
                 os.environ.get("RIVULUS_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.session.timeZone", "UTC")

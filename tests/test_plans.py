@@ -1,0 +1,61 @@
+"""Physical-plan shape tests: the properties that make the workload
+viable at 100 TB must be visible in the executed plan, not assumed —
+filter/column pushdown into the parquet scan, broadcast dimension
+joins, map-side partial aggregation, top-k instead of global sort, and
+no Python stages in JVM-only operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from rivulus_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "filter_compare")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    # select_project touches 3 of customer's columns; the scan must not
+    # read the rest (ReadSchema lists only what's projected)
+    p = plan(spark, "select_project")
+    readschema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in readschema and "c_name" in readschema
+    assert "c_acctbal" not in readschema and "c_address" not in readschema
+
+
+def test_dimension_join_broadcasts(spark):
+    assert "BroadcastHashJoin" in plan(spark, "join_inner")
+
+
+def test_agg_has_mapside_partial(spark):
+    # partial (map-side) then final aggregate around one exchange
+    p = plan(spark, "agg_q1")
+    assert p.count("HashAggregate") >= 2
+    assert "partial" in p.lower() or p.count("HashAggregate") >= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    assert "TakeOrderedAndProject" in plan(spark, "limit_topk")
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_simhash", "dedup_exact", "text_quality", "knn_cosine",
+    "multimodal_binary_stats",
+])
+def test_jvm_only_operators_have_no_python_stage(spark, name):
+    p = plan(spark, name)
+    assert "EvalPython" not in p, f"{name} plan contains a Python stage"
+
+
+def test_codegen_covers_core_query(spark):
+    # executedPlan().toString() marks whole-stage-codegen spans "*(n)"
+    assert plan(spark, "expr_arith").startswith("*(")
