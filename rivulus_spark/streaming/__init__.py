@@ -8,6 +8,7 @@ sliding / session windows, and late-data handling, built on Spark
 Structured Streaming.
 """
 
+from .stateful import running_totals, streaming_dedup
 from .windows import (
     load_events,
     read_event_stream,
@@ -21,7 +22,9 @@ __all__ = [
     "load_events",
     "read_event_stream",
     "run_available_now",
+    "running_totals",
     "session_agg",
     "sliding_agg",
+    "streaming_dedup",
     "tumbling_agg",
 ]

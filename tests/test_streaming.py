@@ -9,6 +9,7 @@ assert exactly that, using the driver's events table as input.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from rivulus_spark.streaming import (
@@ -108,3 +109,63 @@ def test_append_mode_emits_closed_windows_only(spark, event_dir, tmp_path):
     assert len(emitted) > 0
     for r in emitted:
         assert r["n"] <= batch_map[(r["window_start"], r["event_type"])]
+
+
+# ----------------------------------------------------------------------
+# custom stateful operators (applyInPandasWithState)
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def doc_dir(spark, tmp_path_factory):
+    """documents with a content fingerprint, laid out as 3 files so the
+    stream sees 3 micro-batches — duplicates may arrive in a later
+    batch than their original, which is exactly what the state store
+    must handle."""
+    d = tmp_path_factory.mktemp("docs_stream")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .select("doc_id", F.md5("text").alias("fp"))
+     .repartition(3)
+     .write.mode("overwrite").parquet(str(d / "docs")))
+    return str(d / "docs")
+
+
+def test_streaming_dedup_first_seen_wins(spark, doc_dir, tmp_path):
+    from rivulus_spark.streaming import streaming_dedup
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(doc_dir).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(doc_dir))
+    got = run_available_now(streaming_dedup(stream), "t_dedup",
+                            str(tmp_path / "ckpt"), output_mode="append")
+    batch = spark.read.parquet(doc_dir)
+    # one output row per distinct fingerprint
+    assert got.count() == batch.select("fp").distinct().count()
+    # keep_id semantics: min doc_id within the key's FIRST micro-batch
+    # of arrival, so it belongs to the key's doc_id set; with random
+    # file split we can only assert membership, not global min
+    ids = {(r.fp, r.keep_id) for r in got.collect()}
+    valid = {(r.fp, r.doc_id) for r in batch.collect()}
+    assert ids <= valid
+
+
+def test_running_totals_final_state_matches_batch(spark, event_dir, tmp_path):
+    from rivulus_spark.streaming import running_totals
+
+    stream = read_event_stream(spark, event_dir)
+    got = run_available_now(running_totals(stream, "user_id", "value"),
+                            "t_running", str(tmp_path / "ckpt"),
+                            output_mode="update")
+    # memory sink in update mode appends every emission; the LAST
+    # emission per key is the final cumulative state
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = (got.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1).select("user_id", "n", "total"))
+    batch = (spark.read.parquet(event_dir).groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("total")))
+    f = {r.user_id: (r.n, round(r.total, 6)) for r in final.collect()}
+    b = {r.user_id: (r.n, round(r.total, 6)) for r in batch.collect()}
+    assert f.keys() == b.keys()
+    for k in b:
+        assert f[k][0] == b[k][0]
+        assert abs(f[k][1] - b[k][1]) < 1e-6
