@@ -31,6 +31,24 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-style pre-tokenization pattern: letter runs, digit runs, and
+#: single non-alphanumeric marks — the RE2-compatible core of the GPT-2
+#: pre-tokenizer (no lookarounds, so Java regex and RE2 agree exactly)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """Subword-style pre-tokenization (letters / digits / punctuation
+    marks as separate tokens) — the unit a BPE vocabulary would merge
+    from, and a better token-budget estimate than whitespace words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def word_hash(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a token: the first 15 hex
     digits of its MD5. MD5 is engine-portable (identical in Spark,

@@ -533,6 +533,37 @@ def q_text_quality(spark, sf_dir):
                      "avg_token_len", "is_short")
 
 
+@_q("text_bpe_tokens", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+           AS n_bpe_tokens
+FROM documents
+""")
+def q_text_bpe_tokens(spark, sf_dir):
+    """Subword-style pre-tokenization count (BPE pre-tokenizer core;
+    RE2-compatible pattern so Java regex and DuckDB agree exactly)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", text_ops.bpe_token_count("text")
+                    .cast("long").alias("n_bpe_tokens")))
+
+
+@_q("agg_salted", """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+FROM orders GROUP BY o_custkey
+""")
+def q_agg_salted(spark, sf_dir):
+    """Two-stage salted aggregation (operators/skew.py) — identical
+    rows to the direct group-by; the salt spreads hot keys over 16
+    reducers before the final combine."""
+    from .operators import skew
+
+    out = skew.salted_agg(_t(spark, sf_dir, "orders"), ["o_custkey"],
+                          {"n_orders": ("count", "*"),
+                           "total_spend": ("sum", "o_totalprice")})
+    return out.select("o_custkey", "n_orders",
+                      F.round(F.col("total_spend"), 2).alias("total_spend"))
+
+
 @_q("text_fingerprint", """
 SELECT doc_id, md5(text) AS fp_md5 FROM documents
 """)

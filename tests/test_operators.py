@@ -161,3 +161,42 @@ def test_ann_lsh_subset_of_exact(vecs):
     ann = similarity.ann_cosine_lsh(vecs, vecs, k=4, dim=3, n_planes=4)
     for r in ann.collect():
         assert exact[(r.q_id, r.n_id)] == r.sim
+
+
+# ----------------------------------------------------------------------
+# skew-aware aggregation
+# ----------------------------------------------------------------------
+
+def test_salted_agg_matches_direct(spark):
+    from rivulus_spark.operators import skew
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = {r.o_custkey: (r.n_orders, round(r.total_spend, 6))
+           for r in skew.salted_agg(
+               orders, ["o_custkey"],
+               {"n_orders": ("count", "*"),
+                "total_spend": ("sum", "o_totalprice")}).collect()}
+    ref = {r.o_custkey: (r.n, round(r.t, 6))
+           for r in orders.groupBy("o_custkey")
+           .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("t"))
+           .collect()}
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert got[k][0] == ref[k][0]
+        assert abs(got[k][1] - ref[k][1]) < 1e-4
+
+
+def test_salted_agg_rejects_unknown_op(spark):
+    from rivulus_spark.operators import skew
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="op must be"):
+        skew.salted_agg(df, ["k"], {"a": ("avg", "v")})
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "don't stop 123 now!!"), (1, "")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", text.bpe_token_count("text").alias("n")).collect()}
+    assert out == {0: 8, 1: 0}
