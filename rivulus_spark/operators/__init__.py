@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, skew, text
+from . import dedup, multimodal, pipeline, similarity, skew, text
 
-__all__ = ["dedup", "multimodal", "similarity", "skew", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "similarity", "skew", "text"]

@@ -1,0 +1,66 @@
+"""Corpus curation pipeline: the end-to-end composition the engine is
+for — quality filtering, exact dedup, MinHash near-dedup, and corpus
+stats as ONE lazy Spark plan.
+
+Composition is deliberately pure DataFrame-to-DataFrame so Catalyst
+sees the whole pipeline at once: the quality filter pushes into the
+parquet scan, exact dedup's fingerprint group-by shrinks the corpus
+before the (more expensive) near-dup stage, and nothing materializes
+until the sink.
+
+Deterministic survivor rule (SQL-expressible, hence oracle-checkable):
+- exact stage: keep the smallest doc_id of each identical-text group;
+- near-dup stage: drop a doc iff it is the LARGER id of some pair with
+  Jaccard >= threshold (so the smallest member of every near-dup
+  cluster always survives; a chain a~b~c keeps only a).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+from .text import bpe_token_count, token_count
+
+
+def curate_corpus(df: DataFrame, min_tokens: int = 20,
+                  near_threshold: float = 0.8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Curated corpus: rows of ``df`` that survive quality filtering,
+    exact dedup, and near-dedup; adds n_tokens / n_bpe_tokens columns.
+
+    Stages (all one lazy plan):
+    1. quality: at least ``min_tokens`` whitespace tokens;
+    2. exact dedup: min doc_id per md5(text) group survives;
+    3. near-dedup: MinHash+LSH candidate pairs verified at
+       ``near_threshold`` exact Jaccard; the larger id of each
+       surviving pair is dropped (left anti join — no shuffle larger
+       than the near-dup pair set).
+    """
+    q = df.filter(token_count(text_col) >= min_tokens)
+
+    keep_exact = (q.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+                  .groupBy("fp").agg(F.min(id_col).alias(id_col))
+                  .select(id_col))
+    uniq = q.join(keep_exact, id_col, "semi")
+
+    pairs = dedup.minhash_lsh_dedup(uniq, threshold=near_threshold,
+                                    text_col=text_col, id_col=id_col)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    kept = uniq.join(losers, id_col, "anti")
+
+    return kept.select(
+        id_col, text_col,
+        token_count(text_col).cast("long").alias("n_tokens"),
+        bpe_token_count(text_col).cast("long").alias("n_bpe_tokens"))
+
+
+def corpus_stats(curated: DataFrame) -> DataFrame:
+    """One-row summary of a curated corpus (the training-budget view)."""
+    return curated.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"))

@@ -708,6 +708,67 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 # ======================================================================
+# North star: end-to-end corpus curation (operators/pipeline.py)
+# ======================================================================
+
+_CURATE_ORACLE_BASE = r"""
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20
+),
+keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+),
+uniq AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM uniq)
+),
+losers AS (
+  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.8
+),
+kept AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+             AS n_bpe_tokens
+  FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+"""
+
+
+@_q("pipeline_curate", _CURATE_ORACLE_BASE
+    + "SELECT doc_id, n_tokens, n_bpe_tokens FROM kept")
+def q_pipeline_curate(spark, sf_dir):
+    """Full curation pipeline (quality >= 20 tokens, exact dedup,
+    MinHash near-dedup at 0.8) as one lazy plan; emits the surviving
+    doc ids with token budgets."""
+    from .operators import pipeline
+
+    out = pipeline.curate_corpus(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+@_q("pipeline_stats", _CURATE_ORACLE_BASE + """
+SELECT count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_bpe_tokens)::BIGINT AS total_bpe_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens
+FROM kept
+""")
+def q_pipeline_stats(spark, sf_dir):
+    """Training-budget summary of the curated corpus (one row)."""
+    from .operators import pipeline
+
+    return pipeline.corpus_stats(
+        pipeline.curate_corpus(_t(spark, sf_dir, "documents")))
+
+
+# ======================================================================
 # North star: multimodal columns (operators/multimodal.py)
 #
 # documents has no binary column, so each query first synthesizes

@@ -200,3 +200,28 @@ def test_bpe_token_count(spark):
     out = {r.doc_id: r.n for r in df.select(
         "doc_id", text.bpe_token_count("text").alias("n")).collect()}
     assert out == {0: 8, 1: 0}
+
+
+# ----------------------------------------------------------------------
+# curation pipeline
+# ----------------------------------------------------------------------
+
+def test_curate_corpus_rules(spark):
+    from rivulus_spark.operators import pipeline
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base + " lambda mu"),          # survives
+        (1, base + " lambda mu"),          # exact dup of 0 -> dropped
+        (2, base + " lambda nu"),          # near dup of 0 -> dropped (larger id)
+        (3, "tiny doc"),                   # fails quality -> dropped
+        (4, " ".join(f"w{i}" for i in range(30))),  # distinct -> survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pipeline.curate_corpus(df, min_tokens=10, near_threshold=0.5)
+    kept = {r.doc_id: r for r in out.collect()}
+    assert set(kept) == {0, 4}
+    assert kept[0].n_tokens == 12
+    stats = pipeline.corpus_stats(out).first()
+    assert stats.n_docs == 2
+    assert stats.total_tokens == 12 + 30
