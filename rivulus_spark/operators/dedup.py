@@ -177,31 +177,28 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
                         sig_col: str = "sig",
                         rows_per_band: int = LSH_ROWS) -> DataFrame:
     """LSH banding: docs sharing any full band are candidates.
-    One shuffle keyed on (band_idx, band_hash); output is deduplicated
-    candidate pairs (doc_a < doc_b)."""
+    One shuffle keyed on the band hash; output is deduplicated
+    candidate pairs (doc_a < doc_b).
+
+    Band hashes are xxhash64 over the band's signature slots (band
+    index salted in), built from plain element_at projections — fully
+    codegen'd, no strings. Unlike the MD5 word/shingle hashes these
+    never need to be engine-portable: a band-hash collision only adds
+    a false CANDIDATE, which exact verification removes."""
     num_perm = NUM_PERM
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm // rows_per_band - 1)),
-        lambda bi: F.struct(
-            bi.alias("band_idx"),
-            F.md5(F.concat_ws(
-                "|",
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(rows_per_band)),
-                    lambda r: F.element_at(F.col(sig_col), bi * rows_per_band + r)
-                    .cast("string"),
-                ),
-            )).alias("band_hash"),
-        ),
-    )
-    exploded = (sigs.select(F.col(id_col).alias("id"), bands.alias("bands"))
-                .select("id", F.explode("bands").alias("b"))
-                .select("id", F.col("b.band_idx").alias("band_idx"),
-                        F.col("b.band_hash").alias("band_hash")))
+    n_bands = num_perm // rows_per_band
+    bands = F.array(*[
+        F.xxhash64(F.lit(b), *[
+            F.element_at(F.col(sig_col), b * rows_per_band + i + 1)
+            for i in range(rows_per_band)
+        ])
+        for b in range(n_bands)
+    ])
+    exploded = sigs.select(F.col(id_col).alias("id"),
+                           F.explode(bands).alias("bh"))
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
-        l.join(r, (F.col("l.band_idx") == F.col("r.band_idx"))
-               & (F.col("l.band_hash") == F.col("r.band_hash"))
+        l.join(r, (F.col("l.bh") == F.col("r.bh"))
                & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .distinct()
