@@ -37,6 +37,7 @@ class Op(enum.Enum):
     MUL = "*"
     DIV = "/"
     EQ = "=="
+    EQ_NULL_SAFE = "<=>"
     NEQ = "!="
     LT = "<"
     GT = ">"
@@ -46,7 +47,7 @@ class Op(enum.Enum):
     OR = "OR"
 
 
-_COMPARISONS = {Op.EQ, Op.NEQ, Op.LT, Op.GT, Op.LTE, Op.GTE}
+_COMPARISONS = {Op.EQ, Op.EQ_NULL_SAFE, Op.NEQ, Op.LT, Op.GT, Op.LTE, Op.GTE}
 _LOGICAL = {Op.AND, Op.OR}
 _ARITHMETIC = {Op.ADD, Op.SUB, Op.MUL, Op.DIV}
 
@@ -88,6 +89,14 @@ class Expr:
     def mul(self, o): return self._bin(Op.MUL, o)
     def div(self, o): return self._bin(Op.DIV, o)
     def eq(self, o): return self._bin(Op.EQ, o)
+
+    def eq_null_safe(self, o):
+        """SQL ``<=>``: null <=> null is TRUE — the reference's eager
+        engine treats Null == Null as true (its series.rs PartialEq);
+        the default ``eq`` keeps SQL three-valued logic, this builder
+        opts into the reference behavior per-expression."""
+        return self._bin(Op.EQ_NULL_SAFE, o)
+
     def neq(self, o): return self._bin(Op.NEQ, o)
     def lt(self, o): return self._bin(Op.LT, o)
     def gt(self, o): return self._bin(Op.GT, o)
@@ -182,6 +191,8 @@ class Expr:
                 out = (l / r).cast("long")
             return out
         if op in _COMPARISONS:
+            if op is Op.EQ_NULL_SAFE:
+                return l.eqNullSafe(r)
             return {Op.EQ: l == r, Op.NEQ: l != r, Op.LT: l < r,
                     Op.GT: l > r, Op.LTE: l <= r, Op.GTE: l >= r}[op]
         return (l & r) if op is Op.AND else (l | r)

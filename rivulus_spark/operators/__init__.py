@@ -1,3 +1,3 @@
-from . import dedup, multimodal, pipeline, similarity, skew, text
+from . import asof, dedup, multimodal, pipeline, similarity, skew, text
 
-__all__ = ["dedup", "multimodal", "pipeline", "similarity", "skew", "text"]
+__all__ = ["asof", "dedup", "multimodal", "pipeline", "similarity", "skew", "text"]

@@ -1,0 +1,61 @@
+"""As-of (point-in-time) join — a time-series primitive Spark has no
+built-in operator for.
+
+For each left row, attach the value columns of the LATEST right row of
+the same key with ``right.on <= left.on`` (backward as-of). Classic
+uses: attach the most recent quote to a trade, the last heartbeat to an
+event, the prior page-view to a purchase.
+
+Implementation is the union + carry-forward-window formulation, which
+is the scale-correct one: tag both inputs, union them, and run one
+``last(value, ignorenulls=True)`` window per key ordered by
+(time, side) so right rows at identical timestamps sort before left
+rows (<= semantics). Exactly ONE shuffle on the key — never a range
+cross-join, never a per-key Python loop — and the window state is one
+row (the current carried value), so it streams through each partition.
+A naive range join would be O(|L| * |R|) per key; this is
+O((|L|+|R|) log) for the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: list[str], value_cols: list[str] | None = None) -> DataFrame:
+    """Backward as-of join: left columns + right ``value_cols`` (null
+    when the key has no right row at or before the left row's ``on``).
+
+    ``on`` must be mutually comparable across inputs (timestamp or
+    numeric). Right rows tie-break AHEAD of left rows at equal ``on``,
+    i.e. the match condition is ``right.on <= left.on``. If several
+    right rows share (by, on), pre-aggregate the right side first (e.g.
+    ``max_by``) — which one carries is otherwise unspecified.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on and c not in by]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right value columns collide with left columns: {sorted(overlap)}")
+
+    rv = F.struct(*[F.col(c) for c in value_cols]).alias("__rv")
+    rtag = right.select(*by, F.col(on), F.lit(0).alias("__side"), rv)
+    rv_type = rtag.schema["__rv"].dataType
+    left_extra = [c for c in left.columns if c != on and c not in by]
+    ltag = left.select(*by, F.col(on), F.lit(1).alias("__side"),
+                       F.lit(None).cast(rv_type).alias("__rv"), *left_extra)
+    # right rows carry no left-extra columns
+    rtag = rtag.select(*by, on, "__side", "__rv",
+                       *[F.lit(None).cast(ltag.schema[c].dataType).alias(c)
+                         for c in left_extra])
+
+    w = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__side"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (ltag.unionByName(rtag)
+              .withColumn("__m", F.last("__rv", ignorenulls=True).over(w)))
+    return (merged.filter(F.col("__side") == 1)
+            .select(*by, on, *left_extra,
+                    *[F.col("__m")[c].alias(c) for c in value_cols]))

@@ -489,6 +489,32 @@ def q_sessionize(spark, sf_dir):
             .agg(F.sum("new_session").cast("long").alias("n_sessions")))
 
 
+@_q("asof_join_events", """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch_us(ts) AS tsu, value AS prior_view_value
+      FROM events WHERE event_type = 'view')
+SELECT l.event_id, l.user_id, r.prior_view_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+""")
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): each purchase picks up
+    the value of the user's most recent earlier-or-simultaneous view.
+    One key-partitioned sort window — no range cross-join. Times are
+    compared as unix micros on both engines (the parquet holds nanos;
+    micro truncation is applied identically)."""
+    from .operators import asof
+
+    ev = _events(spark, sf_dir)
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", F.unix_micros("ts").alias("tsu")))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.unix_micros("ts").alias("tsu"),
+                     F.col("value").alias("prior_view_value")))
+    out = asof.asof_join(left, right, on="tsu", by=["user_id"])
+    return out.select("event_id", "user_id", "prior_view_value")
+
+
 @_q("events_json", """
 SELECT event_type, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
 FROM events GROUP BY event_type

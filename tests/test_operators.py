@@ -225,3 +225,48 @@ def test_curate_corpus_rules(spark):
     stats = pipeline.corpus_stats(out).first()
     assert stats.n_docs == 2
     assert stats.total_tokens == 12 + 30
+
+
+# ----------------------------------------------------------------------
+# as-of join
+# ----------------------------------------------------------------------
+
+def test_asof_join_backward(spark):
+    from rivulus_spark.operators import asof
+
+    trades = spark.createDataFrame(
+        [(1, 10, "t10"), (1, 20, "t20"), (1, 5, "t5"), (2, 7, "t7")],
+        "user long, ts long, tag string")
+    quotes = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 20, 2.0), (1, 15, 3.0), (3, 1, 9.0)],
+        "user long, ts long, px double")
+    out = {(r.user, r.ts): r.px for r in
+           asof.asof_join(trades, quotes, on="ts", by=["user"]).collect()}
+    assert out[(1, 5)] is None          # no quote at or before 5
+    assert out[(1, 10)] == 1.0          # quote@8
+    assert out[(1, 20)] == 2.0          # tie: quote@20 matches (<=)
+    assert out[(2, 7)] is None          # user 2 has no quotes
+    # left extra columns survive
+    rows = asof.asof_join(trades, quotes, on="ts", by=["user"]).collect()
+    assert {r.tag for r in rows} == {"t10", "t20", "t5", "t7"}
+
+
+def test_asof_join_rejects_collisions(spark):
+    from rivulus_spark.operators import asof
+
+    l = spark.createDataFrame([(1, 1, 2.0)], "user long, ts long, px double")
+    r = spark.createDataFrame([(1, 1, 3.0)], "user long, ts long, px double")
+    with pytest.raises(ValueError, match="collide"):
+        asof.asof_join(l, r, on="ts", by=["user"])
+
+
+def test_eq_null_safe(spark):
+    from rivulus_spark import LazyFrame, col, lit
+
+    lf = LazyFrame.from_dataframe(spark, {"x": [1, None, 3],
+                                          "y": [1, None, 4]})
+    out = lf.select(col("x").eq_null_safe(col("y")).alias("e")).collect()
+    assert [r.e for r in out] == [True, True, False]
+    # plain eq keeps SQL three-valued logic: null == null -> null
+    out2 = lf.select((col("x") == col("y")).alias("e")).collect()
+    assert [r.e for r in out2] == [True, None, False]
