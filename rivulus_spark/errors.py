@@ -60,5 +60,8 @@ class SchemaRequiredError(RivulusError):
 
 
 class EmptySeriesError(RivulusError):
-    def __init__(self) -> None:
-        super().__init__("cannot build a Series from zero values (use Series.empty)")
+    def __init__(self, column: str | None = None) -> None:
+        where = f" (column {column!r})" if column else ""
+        super().__init__(
+            f"cannot build a Series from zero values{where} "
+            "(typed 0-row frames only arise as query results)")

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .errors import (
     ColumnNotFoundError,
     DuplicateColumnError,
+    EmptySeriesError,
     IncompatibleJoinKeysError,
     InvalidPredicateError,
     LengthMismatchError,
@@ -69,6 +70,11 @@ class LazyFrame:
         lengths = {n: len(v) for n, v in data.items()}
         if len(set(lengths.values())) > 1:
             raise LengthMismatchError(str(lengths))
+        # reference rejects user-constructed empty series
+        # (series.rs:186-188; typed 0-row frames only arise as results)
+        for n, ln in lengths.items():
+            if ln == 0:
+                raise EmptySeriesError(n)
         fields = []
         for n in names:
             dt = infer_series_type(list(data[n]))

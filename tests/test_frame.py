@@ -179,3 +179,10 @@ class TestCollectStreaming:
 
     def test_streaming_limit_early_out(self, people):
         assert len(people.limit(2).collect_streaming()) == 2
+
+
+def test_empty_series_rejected(spark):
+    from rivulus_spark import EmptySeriesError, LazyFrame
+
+    with pytest.raises(EmptySeriesError, match="zero values"):
+        LazyFrame.from_dataframe(spark, {"x": []})
