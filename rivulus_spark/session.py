@@ -42,7 +42,10 @@ def get_spark(app_name: str = "rivulus-spark") -> SparkSession:
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.driver.memory", os.environ.get("RIVULUS_DRIVER_MEM", "16g"))
+        # local[32] puts driver + all 32 task slots in one JVM heap; an
+        # undersized heap shows up as multi-second GC outliers on the
+        # wide-aggregate queries, not as OOM — size it generously.
+        .config("spark.driver.memory", os.environ.get("RIVULUS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     return configure(builder).getOrCreate()

@@ -100,6 +100,15 @@ def test_simhash_near_for_near_dups(docs):
     assert (0, 1) in pairs                     # near-dup within 8 bits
 
 
+@pytest.mark.parametrize("max_hamming", [1, 3, 8])
+def test_simhash_banded_matches_brute(docs, max_hamming):
+    banded = {(r.doc_a, r.doc_b): r.hamming
+              for r in dedup.simhash_pairs(docs, max_hamming=max_hamming).collect()}
+    brute = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_pairs_brute(docs, max_hamming=max_hamming).collect()}
+    assert banded == brute
+
+
 # ----------------------------------------------------------------------
 # similarity
 # ----------------------------------------------------------------------
