@@ -231,6 +231,14 @@ class LazyFrame:
     def union(self, other: "LazyFrame") -> "LazyFrame":
         return LazyFrame(self._df.unionByName(other._df))
 
+    def intersect(self, other: "LazyFrame") -> "LazyFrame":
+        """SQL INTERSECT (distinct rows present in both inputs)."""
+        return LazyFrame(self._df.intersect(other._df))
+
+    def except_(self, other: "LazyFrame") -> "LazyFrame":
+        """SQL EXCEPT (distinct rows of self absent from other)."""
+        return LazyFrame(self._df.subtract(other._df))
+
     def group_by(self, *keys: str) -> "GroupedFrame":
         for k in keys:
             if k not in self.columns:

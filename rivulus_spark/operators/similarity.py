@@ -185,6 +185,71 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return out
 
 
+def ivf_assign_cells(df: DataFrame, centroids: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, 6-decimal
+    rounded, centroid-id tie-break). Returns (id, vec, cell).
+
+    Scale shape: centroids are broadcast (an IVF list count is ~sqrt(N),
+    always tiny next to the corpus), the corpus-side explosion happens
+    map-side, and the argmax is a partially-aggregatable ``max_by`` — the
+    only shuffle carries one row per vector."""
+    c = centroids.select(F.col(id_col).alias("cid"),
+                         _as_double(F.col(vec_col)).alias("cvec"))
+    v = df.select(F.col(id_col).alias("id"),
+                  _as_double(F.col(vec_col)).alias("vec"))
+    sim = F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+    return (v.join(F.broadcast(c))
+            .select("id", "vec", F.col("cid"), sim.alias("csim"))
+            .groupBy("id")
+            .agg(F.first("vec").alias("vec"),
+                 F.max_by("cid", F.struct(F.col("csim"),
+                                          (-F.col("cid")).alias("t")))
+                 .alias("cell")))
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 stride: int = 16, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: partition the
+    corpus into Voronoi cells around centroid vectors, probe only the
+    ``nprobe`` nearest cells per query, rank exactly within the probed
+    subset. Same output contract as knn_cosine: (q_id, n_id, rank, sim).
+
+    Centroid selection here is a deterministic corpus sample
+    (``id % stride == 0``) so the result is exactly reproducible in the
+    SQL oracle; swapping in trained k-means centroids changes only the
+    ``centroids`` input of ivf_assign_cells, not the plan shape. The
+    100 TB behavior: one broadcast of the centroid set, a per-vector
+    map-side assignment, then an equi-join on cell id — probe cost is
+    nprobe/nlist of the corpus instead of all of it."""
+    cents = corpus.filter((F.col(id_col) % stride) == 0)
+    cells = ivf_assign_cells(corpus, cents, id_col, vec_col)
+
+    qc = cents.select(F.col(id_col).alias("cid"),
+                      _as_double(F.col(vec_col)).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       _as_double(F.col(vec_col)).alias("q_vec"))
+    qsim = F.round(cosine(F.col("q_vec"), F.col("cvec")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (q.join(F.broadcast(qc))
+              .select("q_id", "q_vec", "cid", qsim.alias("csim"))
+              .withColumn("prn", F.row_number().over(wq))
+              .filter(F.col("prn") <= nprobe)
+              .select("q_id", "q_vec", F.col("cid").alias("cell")))
+
+    pairs = (cells.join(F.broadcast(probes),
+                        (F.col("q_id") != F.col("id"))
+                        & (cells.cell == probes.cell))
+             .select("q_id", F.col("id").alias("n_id"),
+                     F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "sim"))
+
+
 def ann_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int,
                    dim: int, n_planes: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -386,6 +386,76 @@ def q_anti_join(spark, sf_dir):
             .to_spark())
 
 
+@_q("intersect_op", """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000.0
+""")
+def q_intersect_op(spark, sf_dir):
+    c = (_lf(spark, sf_dir, "customer")
+         .filter(col("c_acctbal") > 9000.0)
+         .select(col("c_nationkey").alias("nationkey")))
+    s = (_lf(spark, sf_dir, "supplier")
+         .filter(col("s_acctbal") > 9000.0)
+         .select(col("s_nationkey").alias("nationkey")))
+    return c.intersect(s).to_spark()
+
+
+@_q("except_op", """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
+""")
+def q_except_op(spark, sf_dir):
+    c = (_lf(spark, sf_dir, "customer")
+         .select(col("c_nationkey").alias("nationkey")))
+    s = (_lf(spark, sf_dir, "supplier")
+         .filter(col("s_acctbal") > 5000.0)
+         .select(col("s_nationkey").alias("nationkey")))
+    return c.except_(s).to_spark()
+
+
+@_q("cube_count", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube_count(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations of the two keys)."""
+    return (_t(spark, sf_dir, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@_q("range_join_events", """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+      WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, count(*) AS n_prior_views
+FROM p JOIN v ON p.user_id = v.user_id
+               AND v.tsu >= p.tsu - 1800000000 AND v.tsu <= p.tsu - 1
+GROUP BY p.event_id, p.user_id
+""")
+def q_range_join_events(spark, sf_dir):
+    """Banded range join (operators/asof.py): views by the same user in
+    the 30 minutes strictly before each purchase. The band-bucketing
+    turns the inequality join into an equi-join on (user, time-bucket) —
+    Spark's native plan for this predicate is a per-key nested loop."""
+    from .operators import asof
+
+    ev = _events(spark, sf_dir)
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", F.unix_micros("ts").alias("tsu")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.unix_micros("ts").alias("tsu")))
+    out = asof.range_join(p, v, by=["user_id"], left_on="tsu",
+                          right_on="tsu", lower=-1_800_000_000, upper=-1)
+    return (out.groupBy("event_id", "user_id")
+            .agg(F.count("*").alias("n_prior_views")))
+
+
 @_q("window_rank", """
 SELECT c_nationkey, c_custkey, rnk FROM (
   SELECT c_nationkey, c_custkey,
@@ -941,6 +1011,62 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ann_cosine_lsh(emb, emb.filter(F.col("vec_id") < 10),
                                     k=5, dim=64, n_planes=8)
+    return out.select("q_id", "n_id",
+                      F.col("rank").cast("long").alias("rank"), "sim")
+
+
+def _ivf_oracle(stride: int = 16, nprobe: int = 2, k: int = 5) -> str:
+    """Relational replica of ivf_ann_topk: deterministic sample
+    centroids, 6-decimal-rounded cosine assignment with centroid-id
+    tie-break, top-nprobe probes, exact rank within probed cells."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % {stride} = 0),
+asg AS (
+  SELECT vec_id, emb, cid AS cell FROM (
+    SELECT e.vec_id, e.emb, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, cent.cvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC,
+             cent.cid) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, emb AS q_emb, cid AS cell FROM (
+    SELECT e.vec_id, e.emb, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, cent.cvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC,
+             cent.cid) AS rn
+    FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE rn <= {nprobe}
+),
+p AS (
+  SELECT probes.q_id, asg.vec_id AS n_id,
+         round(list_dot_product(probes.q_emb, asg.emb)
+               / (sqrt(list_dot_product(probes.q_emb, probes.q_emb))
+                  * sqrt(list_dot_product(asg.emb, asg.emb))), 6) AS sim
+  FROM probes JOIN asg ON probes.cell = asg.cell
+                       AND asg.vec_id != probes.q_id
+),
+r AS (SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, n_id) AS rank
+      FROM p)
+SELECT q_id, n_id, rank, sim FROM r WHERE rank <= {k}
+"""
+
+
+@_q("ann_ivf_topk", _ivf_oracle())
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k — the cell-probing scale
+    path: broadcast centroids, map-side cell assignment, equi-join on
+    cell id; probe cost is nprobe/nlist of the corpus. Deterministic
+    sample centroids keep the approximation exactly oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                  k=5, stride=16, nprobe=2)
     return out.select("q_id", "n_id",
                       F.col("rank").cast("long").alias("rank"), "sim")
 

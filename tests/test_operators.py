@@ -260,6 +260,65 @@ def test_asof_join_backward(spark):
     assert {r.tag for r in rows} == {"t10", "t20", "t5", "t7"}
 
 
+def test_range_join_banded_matches_bruteforce(spark):
+    """The band-bucketed equi-join must return exactly the pairs a
+    naive inequality join would, across bucket boundaries and negative
+    offsets."""
+    import itertools
+    import random
+
+    from rivulus_spark.operators import asof
+
+    rng = random.Random(7)
+    lrows = [(i, rng.choice([1, 2]), rng.randrange(0, 200)) for i in range(30)]
+    rrows = [(j, rng.choice([1, 2, 3]), rng.randrange(0, 200)) for j in range(40)]
+    left = spark.createDataFrame(lrows, "lid long, user long, ts long")
+    right = spark.createDataFrame(rrows, "rid long, user long, ts long")
+
+    lower, upper = -25, 10
+    got = {(r.lid, r.rid) for r in
+           asof.range_join(left, right, by=["user"], left_on="ts",
+                           right_on="ts", lower=lower, upper=upper).collect()}
+    want = {(lid, rid)
+            for (lid, lu, lts), (rid, ru, rts)
+            in itertools.product(lrows, rrows)
+            if lu == ru and lts + lower <= rts <= lts + upper}
+    assert got == want
+
+
+def test_range_join_renames_collisions(spark):
+    from rivulus_spark.operators import asof
+
+    left = spark.createDataFrame([(0, 1, 100)], "lid long, user long, ts long")
+    right = spark.createDataFrame([(9, 1, 105)], "rid long, user long, ts long")
+    out = asof.range_join(left, right, by=["user"], left_on="ts",
+                          right_on="ts", lower=0, upper=10)
+    assert set(out.columns) == {"lid", "user", "ts", "rid", "ts_right"}
+    row = out.first()
+    assert (row.ts, row.ts_right, row.rid) == (100, 105, 9)
+
+
+def test_ivf_assign_cells_nearest(spark, vecs):
+    cents = vecs.filter(F.col("vec_id").isin(0, 2))
+    out = {r.id: r.cell for r in
+           similarity.ivf_assign_cells(vecs, cents).collect()}
+    assert out[0] == 0 and out[1] == 0       # (0.9,0.1,0) nearest to x-axis
+    assert out[2] == 2                       # y-axis vector to y centroid
+    assert out[3] == 2                       # (-1,0,0): cos -1 vs 0 -> cell 2
+    assert out[4] in (0, 2)                  # diagonal ties at cos 0.707...
+
+
+def test_ivf_topk_subset_of_exact(spark, vecs):
+    """Within probed cells the ranking must agree with exact knn."""
+    qs = vecs.filter(F.col("vec_id") == 0)
+    ivf = similarity.ivf_ann_topk(vecs, qs, k=3, stride=2, nprobe=2).collect()
+    exact = {(r.q_id, r.n_id): r.sim
+             for r in similarity.knn_cosine(vecs, qs, k=4).collect()}
+    assert len(ivf) > 0
+    for r in ivf:
+        assert exact[(r.q_id, r.n_id)] == r.sim
+
+
 def test_asof_join_rejects_collisions(spark):
     from rivulus_spark.operators import asof
 
