@@ -144,6 +144,53 @@ def sample_video_frames(df: DataFrame, every_n: int = 3,
             .mapInPandas(_sample, FRAME_SCHEMA))
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_us", LongType()),
+    StructField("rms", DoubleType()),
+])
+
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id",
+                 content_col: str = "content",
+                 decode: str = "fake") -> DataFrame:
+    """Per-clip audio decode + feature extraction via mapInPandas:
+    (doc_id, sample_rate, n_samples, duration_s, rms).
+
+    Same plumbing contract as decode_images — Arrow-batched binary in,
+    typed features out; a real soundfile/librosa load slots into the
+    marked point. Fake fields derive from MD5(content): sample_rate is
+    one of four standard rates, n_samples in [1, 2^20], rms in [0, 1);
+    duration is integer microseconds (n * 1e6 // rate — float rounding
+    never enters, so the SQL oracle reproduces it exactly)."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                # real path: soundfile.read(io.BytesIO(b)) -> rate/samples
+                raise NotImplementedError(
+                    "audio codec not available in this environment; "
+                    "use decode='fake' for the deterministic stub")
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                h = hashlib.md5(bytes(blob)).hexdigest()
+                rate = _AUDIO_RATES[int(h[14:16], 16) % 4]
+                n = int(h[16:21], 16) % (1 << 20) + 1
+                rms = int(h[21:25], 16) % 10_000 / 10_000.0
+                rows.append((doc_id, rate, n, n * 1_000_000 // rate, rms))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURES_SCHEMA.fields])
+
+    return (df.select(id_col, content_col)
+            .mapInPandas(_decode, AUDIO_FEATURES_SCHEMA))
+
+
 def binary_stats(df: DataFrame, id_col: str = "doc_id",
                  content_col: str = "content") -> DataFrame:
     """Pure-JVM binary column stats — no Python stage: byte length and

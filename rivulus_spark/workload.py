@@ -598,6 +598,85 @@ def q_events_json(spark, sf_dir):
                  .alias("sum_k")))
 
 
+@_q("sql_entry_q6", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""")
+def q_sql_entry_q6(spark, sf_dir):
+    """TPC-H Q6 through the engine's SQL string entry point (the
+    reference is API-only; rivulus_spark.sql adds the SQL surface).
+    Scan-only plan: every predicate pushes into the parquet scan."""
+    from . import sql as rsql
+
+    rsql.register_tables(spark, sf_dir, ["lineitem"])
+    return rsql.sql(spark, """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0
+    """).to_spark()
+
+
+@_q("sketch_quantiles", """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p05,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p095,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p099
+FROM orders GROUP BY o_orderpriority
+""")
+def q_sketch_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (PERCENTILE_CONT
+    semantics on both engines)."""
+    from .operators import sketch
+
+    return sketch.exact_quantiles(_t(spark, sf_dir, "orders"),
+                                  "o_totalprice", [0.5, 0.95, 0.99],
+                                  by=["o_orderpriority"])
+
+
+@_q("heavy_hitters", """
+WITH counted AS (
+  SELECT l_partkey AS value, count(*) AS n FROM lineitem GROUP BY l_partkey
+)
+SELECT value, n, row_number() OVER (ORDER BY n DESC, value) AS rank
+FROM counted ORDER BY n DESC, value LIMIT 20
+""")
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-20 most frequent part keys (heavy hitters)."""
+    from .operators import sketch
+
+    out = sketch.heavy_hitters(_t(spark, sf_dir, "lineitem"), "l_partkey", 20)
+    return out.select("value", "n", F.col("rank").cast("long").alias("rank"))
+
+
+@_q("approx_distinct_sketch")  # HLL result is engine-specific: rows-only check
+def q_approx_distinct_sketch(spark, sf_dir):
+    """HyperLogLog++ distinct counts over lineitem keys — mergeable
+    fixed-memory sketch, the 100 TB cardinality path. No SQL oracle
+    (DuckDB's HLL differs); the driver records the rows-only check."""
+    from .operators import sketch
+
+    return sketch.approx_distinct(_t(spark, sf_dir, "lineitem"),
+                                  ["l_partkey", "l_suppkey", "l_orderkey"])
+
+
+@_q("column_profile")  # contains approx sketches: rows-only check
+def q_column_profile(spark, sf_dir):
+    """Single-pass table profile (count / approx-distinct / min / max
+    per column) — N columns profiled in ONE aggregate scan."""
+    from .operators import sketch
+
+    return sketch.column_profile(_t(spark, sf_dir, "orders"),
+                                 ["o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_totalprice", "o_orderpriority"])
+
+
 # ======================================================================
 # North star: text analysis (operators/text.py)
 # ======================================================================
@@ -907,6 +986,23 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return (multimodal.sample_video_frames(_media_docs(spark, sf_dir),
                                            every_n=3)
             .select("doc_id", "frame_idx"))
+
+
+@_q("multimodal_audio_features", """
+SELECT doc_id,
+       [8000, 16000, 22050, 44100][('0x'||substr(md5(text),15,2))::BIGINT % 4 + 1]
+           AS sample_rate,
+       ('0x'||substr(md5(text),17,5))::BIGINT % 1048576 + 1 AS n_samples,
+       (('0x'||substr(md5(text),17,5))::BIGINT % 1048576 + 1) * 1000000
+         // [8000, 16000, 22050, 44100][('0x'||substr(md5(text),15,2))::BIGINT % 4 + 1]
+           AS duration_us,
+       (('0x'||substr(md5(text),22,4))::BIGINT % 10000) / 10000.0 AS rms
+FROM documents
+""")
+def q_multimodal_audio_features(spark, sf_dir):
+    """Arrow-batched audio decode stub (mapInPandas): rate / samples /
+    integer-microsecond duration / rms derived from MD5(content)."""
+    return multimodal.decode_audio(_media_docs(spark, sf_dir))
 
 
 @_q("multimodal_binary_stats", """

@@ -73,3 +73,22 @@ def test_binary_stats_jvm_only(media):
     explained = multimodal.binary_stats(media)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in explained
+
+
+def test_decode_audio_fake_matches_hashlib(media):
+    out = {r.doc_id: r for r in multimodal.decode_audio(media).collect()}
+    rates = (8000, 16000, 22050, 44100)
+    for i in range(8):
+        h = hashlib.md5(f"blob-{i}-payload".encode()).hexdigest()
+        rate = rates[int(h[14:16], 16) % 4]
+        n = int(h[16:21], 16) % (1 << 20) + 1
+        r = out[i]
+        assert r.sample_rate == rate
+        assert r.n_samples == n
+        assert r.duration_us == n * 1_000_000 // rate
+        assert 0.0 <= r.rms < 1.0
+
+
+def test_decode_audio_real_raises(media):
+    with pytest.raises(Exception, match="codec not available"):
+        multimodal.decode_audio(media, decode="real").collect()

@@ -338,3 +338,42 @@ def test_eq_null_safe(spark):
     # plain eq keeps SQL three-valued logic: null == null -> null
     out2 = lf.select((col("x") == col("y")).alias("e")).collect()
     assert [r.e for r in out2] == [True, None, False]
+
+
+# ----------------------------------------------------------------------
+# sketches
+# ----------------------------------------------------------------------
+
+def test_exact_quantiles_interpolation(spark):
+    from rivulus_spark.operators import sketch
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    row = sketch.exact_quantiles(df, "x", [0.5, 0.9]).first()
+    assert row.p05 == 5.5          # PERCENTILE_CONT midpoint
+    assert row.p09 == 9.1          # 1 + 0.9*9 = 9.1
+
+def test_heavy_hitters_exact(spark):
+    from rivulus_spark.operators import sketch
+
+    vals = [1] * 5 + [2] * 3 + [3] * 3 + [4]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    out = [(r.value, r.n, r.rank) for r in
+           sketch.heavy_hitters(df, "k", 3).orderBy("rank").collect()]
+    assert out == [(1, 5, 1), (2, 3, 2), (3, 3, 3)]  # tie broken by value
+
+def test_approx_distinct_close(spark):
+    from rivulus_spark.operators import sketch
+
+    df = spark.range(0, 10_000).selectExpr("id % 100 AS a", "id AS b")
+    row = sketch.approx_distinct(df, ["a", "b"], rsd=0.02).first()
+    assert abs(row.approx_distinct_a - 100) <= 5
+    assert abs(row.approx_distinct_b - 10_000) <= 600
+
+def test_column_profile_shape(spark):
+    from rivulus_spark.operators import sketch
+
+    df = spark.createDataFrame([(1, "x"), (2, None), (3, "z")],
+                               "a long, s string")
+    out = {r.column: r for r in sketch.column_profile(df, ["a", "s"]).collect()}
+    assert out["a"].n_non_null == 3 and out["s"].n_non_null == 2
+    assert out["a"].min_str == "1" and out["a"].max_str == "3"
