@@ -306,3 +306,27 @@ class GroupedFrame:
 
     def agg(self, *aggs: Column) -> LazyFrame:
         return LazyFrame(self._df.groupBy(*self._keys).agg(*aggs))
+
+    def pivot(self, pivot_col: str, values: list[Any]) -> "PivotedFrame":
+        """Pivot ``pivot_col`` into one output column per value.
+        ``values`` is required (not sampled): at scale an unlisted
+        value set costs an extra distinct pass over the input, and
+        explicit values keep the output schema static for Catalyst."""
+        if pivot_col not in self._df.columns:
+            raise ColumnNotFoundError(pivot_col, self._df.columns)
+        return PivotedFrame(self._df, self._keys, pivot_col, values)
+
+
+class PivotedFrame:
+    def __init__(self, df: DataFrame, keys: list[str],
+                 pivot_col: str, values: list[Any]):
+        self._df = df
+        self._keys = keys
+        self._pivot_col = pivot_col
+        self._values = values
+
+    def agg(self, *aggs: Column) -> LazyFrame:
+        return LazyFrame(
+            self._df.groupBy(*self._keys)
+            .pivot(self._pivot_col, self._values)
+            .agg(*aggs))

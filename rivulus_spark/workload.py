@@ -336,6 +336,47 @@ def q_agg_having(spark, sf_dir):
             .filter(F.col("n_orders") >= 15))
 
 
+@_q("pivot_status", """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+FROM orders GROUP BY o_orderpriority
+""")
+def q_pivot_status(spark, sf_dir):
+    """Pivot (wide aggregation): order status -> columns. Explicit value
+    list keeps the schema static and avoids the extra distinct pass."""
+    return (_lf(spark, sf_dir, "orders")
+            .group_by("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.round(F.sum("o_totalprice"), 2))
+            .to_spark())
+
+
+@_q("argmax_per_group", """
+SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+""")
+def q_argmax_per_group(spark, sf_dir):
+    """Each customer's single largest order via max_by — a partially
+    aggregatable argmax, so unlike the window formulation (full sort of
+    every partition) the shuffle carries one candidate row per customer
+    per map partition. Tie-break: lowest orderkey (negated in the
+    ordering struct)."""
+    best = F.max_by(
+        F.struct(F.col("o_orderkey"), F.col("o_totalprice")),
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")))
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(best.alias("b"))
+            .select("o_custkey",
+                    F.col("b.o_orderkey").alias("top_orderkey"),
+                    F.col("b.o_totalprice").alias("top_price")))
+
+
 @_q("distinct_op", """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """)

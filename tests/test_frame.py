@@ -5,6 +5,7 @@ queries), rewritten against the PySpark-native engine."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rivulus_spark import (
     ColumnNotFoundError,
@@ -186,3 +187,33 @@ def test_empty_series_rejected(spark):
 
     with pytest.raises(EmptySeriesError, match="zero values"):
         LazyFrame.from_dataframe(spark, {"x": []})
+
+
+class TestSetOpsAndPivot:
+    def test_intersect(self, spark):
+        a = LazyFrame.from_dataframe(spark, {"x": [1, 2, 3, 3]})
+        b = LazyFrame.from_dataframe(spark, {"x": [2, 3, 4]})
+        got = sorted(r.x for r in a.intersect(b).collect())
+        assert got == [2, 3]
+
+    def test_except(self, spark):
+        a = LazyFrame.from_dataframe(spark, {"x": [1, 2, 2, 3]})
+        b = LazyFrame.from_dataframe(spark, {"x": [2]})
+        got = sorted(r.x for r in a.except_(b).collect())
+        assert got == [1, 3]
+
+    def test_pivot(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {
+            "k": ["a", "a", "b", "b"],
+            "status": ["x", "y", "x", "x"],
+            "v": [1, 2, 3, 4],
+        })
+        out = {r.k: (r.x, r.y) for r in
+               lf.group_by("k").pivot("status", ["x", "y"])
+               .agg(F.sum("v")).collect()}
+        assert out == {"a": (1, 2), "b": (7, None)}
+
+    def test_pivot_unknown_column(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"k": [1]})
+        with pytest.raises(ColumnNotFoundError):
+            lf.group_by("k").pivot("nope", [1])

@@ -59,3 +59,33 @@ def test_jvm_only_operators_have_no_python_stage(spark, name):
 def test_codegen_covers_core_query(spark):
     # executedPlan().toString() marks whole-stage-codegen spans "*(n)"
     assert plan(spark, "expr_arith").startswith("*(")
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # the banded rewrite must hash-join on (key, bucket) — a naive
+    # inequality join would appear as BroadcastNestedLoopJoin
+    p = plan(spark, "range_join_events")
+    assert "NestedLoop" not in p
+    assert "Join" in p
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    p = plan(spark, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_simhash_pairs_banded_is_equi_join(spark):
+    p = plan(spark, "dedup_simhash_pairs")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_sql_entry_pushes_all_predicates(spark):
+    p = plan(spark, "sql_entry_q6")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+
+
+def test_heavy_hitters_uses_topk_merge(spark):
+    assert "TakeOrderedAndProject" in plan(spark, "heavy_hitters")
