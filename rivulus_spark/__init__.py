@@ -19,12 +19,12 @@ from .errors import (
     SchemaRequiredError,
 )
 from .expressions import Expr, col, lit
-from .frame import GroupedFrame, LazyFrame
+from .frame import GroupedFrame, LazyFrame, PivotedFrame
 from .schema import DataType
 from .session import get_spark
 
 __all__ = [
-    "LazyFrame", "GroupedFrame", "Expr", "col", "lit", "DataType",
+    "LazyFrame", "GroupedFrame", "PivotedFrame", "Expr", "col", "lit", "DataType",
     "get_spark", "RivulusError", "ColumnNotFoundError",
     "DuplicateColumnError", "MixedTypesError", "LengthMismatchError",
     "IncompatibleJoinKeysError", "InvalidPredicateError",

@@ -1,3 +1,4 @@
-from . import asof, dedup, multimodal, pipeline, similarity, skew, text
+from . import asof, dedup, multimodal, pipeline, similarity, sketch, skew, text
 
-__all__ = ["asof", "dedup", "multimodal", "pipeline", "similarity", "skew", "text"]
+__all__ = ["asof", "dedup", "multimodal", "pipeline", "similarity",
+           "sketch", "skew", "text"]

@@ -63,3 +63,31 @@ def salted_agg(df: DataFrame, keys: list[str],
             .agg(*partial_exprs)
             .groupBy(*keys)
             .agg(*final_exprs))
+
+
+def salted_join(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str, n_salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's rows into
+    ``n_salts`` sub-keys and replicate every small-side row once per
+    salt, then join on (key, salt). A hot key's rows land on n_salts
+    reducers instead of one; the price is an n_salts-times replication
+    of the SMALL side only (keep it the dimension/lookup side).
+
+    Prefer AQE's skew-join splitting when it applies (sort-merge joins
+    it can see); this operator is for the cases it can't — e.g. the
+    output of an exchange-free bucketed scan, or joins under a custom
+    partitioner. Output columns: all of big's, then small's minus its
+    key (the usual join contract without duplicated key columns)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.floor(F.rand(seed=0) * n_salts).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = (small.withColumn("__salt",
+                          F.explode(F.array(*[F.lit(i) for i in range(n_salts)])
+                                    .cast("array<int>"))))
+    cond = (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"])
+    out = b.join(s, cond, how)
+    keep = [b[c] for c in big.columns] + \
+           [s[c] for c in small.columns if c != small_key]
+    return out.select(*keep)

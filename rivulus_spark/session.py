@@ -33,6 +33,10 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # catalog (bucketed) tables need a warehouse path; keep it out
+        # of the repo working tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("RIVULUS_WAREHOUSE", "/tmp/rivulus-warehouse"))
     )
 
 

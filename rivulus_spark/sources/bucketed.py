@@ -1,0 +1,42 @@
+"""Bucketed catalog tables: co-located, shuffle-free joins.
+
+At 100 TB the single biggest join cost is the shuffle of the fact
+table(s). Bucketing pre-partitions data on disk by hash(key) %
+n_buckets at WRITE time, so a join of two tables bucketed on the same
+key with the same bucket count reads co-located partitions and skips
+the exchange entirely — the shuffle is paid once at ingest instead of
+once per query. Sorting within buckets additionally removes the
+sort-merge-join's per-query sort.
+
+Bucketed writes must go through the session catalog (``saveAsTable``) —
+path-based parquet has nowhere to record bucket metadata. The catalog
+is Spark's in-memory/derby one here; on a cluster it would be the
+metastore, same API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write ``df`` as a parquet catalog table bucketed by
+    ``bucket_cols`` into ``n_buckets`` buckets; ``sort_cols`` (default:
+    the bucket columns) sorts within each bucket file so sort-merge
+    joins skip their sort stage too. Pick n_buckets so one bucket of
+    the table fits an executor's memory (the bucket count is fixed for
+    the table's lifetime — size for the table's target scale, not
+    today's)."""
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*(sort_cols or bucket_cols))
+     .format("parquet")
+     .saveAsTable(table))
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back; Catalyst sees the bucket spec and
+    plans exchanges only when the join key doesn't match it."""
+    return spark.table(table)

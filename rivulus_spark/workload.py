@@ -497,6 +497,41 @@ def q_range_join_events(spark, sf_dir):
             .agg(F.count("*").alias("n_prior_views")))
 
 
+@_q("scalar_subquery", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""")
+def q_scalar_subquery(spark, sf_dir):
+    """Filter against a scalar aggregate of the same table. The scalar
+    side collapses to one row and broadcasts — the fact scan happens
+    twice but shuffles nothing."""
+    o = _t(spark, sf_dir, "orders")
+    avg = o.agg((1.5 * F.avg("o_totalprice")).alias("cut"))
+    return (o.join(F.broadcast(avg), o.o_totalprice > avg.cut)
+            .select("o_orderkey", "o_totalprice"))
+
+
+@_q("in_subquery_agg", """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300.0)
+""")
+def q_in_subquery_agg(spark, sf_dir):
+    """TPC-H Q18 core: orders whose lineitems sum to a big quantity —
+    IN-subquery over an aggregate, executed as agg + left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    big = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sq"))
+           .filter(F.col("sq") > 300.0))
+    return (o.join(big, o.o_orderkey == big.l_orderkey, "semi")
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
 @_q("window_rank", """
 SELECT c_nationkey, c_custkey, rnk FROM (
   SELECT c_nationkey, c_custkey,

@@ -95,3 +95,62 @@ def test_sql_over_registered_views(spark):
         GROUP BY r.r_name
     """).collect()
     assert sum(r.n for r in out) == 25
+
+
+class TestBucketedTables:
+    def test_same_bucket_join_has_no_exchange(self, spark):
+        """Two tables bucketed on the join key with equal bucket counts
+        must join without shuffling either side (the 100 TB win:
+        shuffle paid once at write time, never per query)."""
+        from rivulus_spark.sources import bucketed
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        bucketed.write_bucketed(orders.select("o_orderkey", "o_totalprice"),
+                                "b_orders", ["o_orderkey"], 8)
+        bucketed.write_bucketed(li.select("l_orderkey", "l_quantity"),
+                                "b_lineitem", ["l_orderkey"], 8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a non-broadcast join so bucketing is what's tested
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            bo = bucketed.read_bucketed(spark, "b_orders")
+            bl = bucketed.read_bucketed(spark, "b_lineitem")
+            joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # and it still computes the right thing
+            n = joined.count()
+            ref = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+            assert n == ref
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestSaltedJoin:
+    def test_salted_join_matches_plain(self, spark):
+        from rivulus_spark.operators import skew
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+            .select("o_orderkey", "o_custkey")
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
+            .select("c_custkey", "c_name")
+        got = sorted((r.o_orderkey, r.c_name) for r in
+                     skew.salted_join(orders, cust, "o_custkey",
+                                      "c_custkey", n_salts=4).collect())
+        ref = sorted((r.o_orderkey, r.c_name) for r in
+                     orders.join(cust, orders.o_custkey == cust.c_custkey)
+                     .select("o_orderkey", "c_name").collect())
+        assert got == ref
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from rivulus_spark.operators import skew
+
+        big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        small = spark.createDataFrame([(1, 10.0)], "k long, w double")
+        rows = {r.v: r.w for r in
+                skew.salted_join(big, small, "k", "k", n_salts=3,
+                                 how="left").collect()}
+        assert rows == {"a": 10.0, "b": None}
