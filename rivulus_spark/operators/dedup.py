@@ -124,9 +124,47 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
-    """Brute-force all-pairs k-gram Jaccard >= threshold. Exact baseline
-    for the LSH path; quadratic — restrict the input or prefer
-    minhash_lsh_dedup on full corpora."""
+    """EXACT all-pairs k-gram Jaccard >= threshold (threshold > 0),
+    computed relationally: a pair with Jaccard > 0 shares at least one
+    shingle, so candidate pairs come from an equi-join of the distinct
+    (id, shingle) rows on the shingle itself — a hash-partitioned
+    shuffle proportional to shared-shingle volume — and
+    |A∩B| = the join's per-pair row count, |A∪B| = |A| + |B| - |A∩B|.
+
+    Versus the array-column cross-join formulation
+    (``ngram_jaccard_pairs_brute``): no O(n^2) pair enumeration, no
+    interpreted higher-order array intersections — every stage is
+    codegen'd. Pairs sharing no shingle (Jaccard 0) never materialize,
+    which is exactly why ``threshold`` must be positive. Worst case
+    (every doc shares one hot shingle) degenerates to n^2 like any
+    exact method — cap with minhash_lsh_dedup at corpus scale."""
+    if threshold <= 0:
+        raise ValueError("relational Jaccard requires threshold > 0; "
+                         "use ngram_jaccard_pairs_brute for threshold <= 0")
+    rows = shingle_rows(df, text_col, id_col, k).persist()
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        rows.alias("ra")
+        .join(rows.alias("rb"), (F.col("ra.s") == F.col("rb.s"))
+              & (F.col("ra.id") < F.col("rb.id")))
+        .groupBy(F.col("ra.id").alias("doc_a"), F.col("rb.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    withn = (inter
+             .join(sizes.alias("na"), inter.doc_a == F.col("na.id"))
+             .join(sizes.alias("nb"), inter.doc_b == F.col("nb.id")))
+    union = F.col("na.n") + F.col("nb.n") - F.col("n_inter")
+    jacc = F.col("n_inter").cast("double") / union
+    return (withn.select("doc_a", "doc_b", F.round(jacc, 3).alias("jacc"))
+            .filter(F.col("jacc") >= threshold))
+
+
+def ngram_jaccard_pairs_brute(df: DataFrame, threshold: float, k: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Array-column cross-join formulation of ``ngram_jaccard_pairs``
+    (same output for threshold > 0; also emits Jaccard-0 pairs at
+    threshold <= 0). Kept for small-input verification."""
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(text_col, k).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")

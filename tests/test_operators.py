@@ -85,6 +85,16 @@ def test_ngram_jaccard_pairs(docs):
     assert 0.5 <= out[(0, 1)] < 1.0            # near dup
 
 
+def test_ngram_jaccard_relational_matches_brute(docs):
+    rel = {(r.doc_a, r.doc_b): r.jacc
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    brute = {(r.doc_a, r.doc_b): r.jacc
+             for r in dedup.ngram_jaccard_pairs_brute(docs, threshold=0.1).collect()}
+    assert rel == brute
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+
+
 def test_minhash_lsh_matches_bruteforce(docs):
     lsh = {(r.doc_a, r.doc_b): r.jacc
            for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()}
