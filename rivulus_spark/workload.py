@@ -1187,7 +1187,7 @@ def q_ann_lsh_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"), "sim")
 
 
-def _ivf_oracle(stride: int = 16, nprobe: int = 2, k: int = 5) -> str:
+def _ivf_oracle(stride: int = 64, nprobe: int = 2, k: int = 5) -> str:
     """Relational replica of ivf_ann_topk: deterministic sample
     centroids, 6-decimal-rounded cosine assignment with centroid-id
     tie-break, top-nprobe probes, exact rank within probed cells."""
@@ -1234,11 +1234,13 @@ SELECT q_id, n_id, rank, sim FROM r WHERE rank <= {k}
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) approximate top-k — the cell-probing scale
     path: broadcast centroids, map-side cell assignment, equi-join on
-    cell id; probe cost is nprobe/nlist of the corpus. Deterministic
-    sample centroids keep the approximation exactly oracle-checkable."""
+    cell id; probe cost is nprobe/nlist of the corpus. stride=64 puts
+    nlist near sqrt(N) (the standard IVF sizing: balances the O(N*nlist)
+    assignment pass against O(N/nlist) probe cost). Deterministic sample
+    centroids keep the approximation exactly oracle-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
-                                  k=5, stride=16, nprobe=2)
+                                  k=5, stride=64, nprobe=2)
     return out.select("q_id", "n_id",
                       F.col("rank").cast("long").alias("rank"), "sim")
 
