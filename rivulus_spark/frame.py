@@ -218,6 +218,53 @@ class LazyFrame:
             expr = expr._compile(schema)
         return LazyFrame(self._df.withColumn(name, expr))
 
+    def with_columns(self, **exprs: "Expr | Column") -> "LazyFrame":
+        """Add/replace several columns in one projection (one pass —
+        chained with_column calls also fuse under Catalyst, but this
+        keeps the API explicit)."""
+        out = self
+        for name, e in exprs.items():
+            out = out.with_column(name, e)
+        return out
+
+    def rename(self, mapping: dict[str, str]) -> "LazyFrame":
+        for old in mapping:
+            if old not in self.columns:
+                raise ColumnNotFoundError(old, self.columns)
+        return LazyFrame(self._df.withColumnsRenamed(mapping))
+
+    def drop(self, *cols: str) -> "LazyFrame":
+        for c in cols:
+            if c not in self.columns:
+                raise ColumnNotFoundError(c, self.columns)
+        return LazyFrame(self._df.drop(*cols))
+
+    def explode(self, col_name: str, out_name: str | None = None) -> "LazyFrame":
+        """Fan out an array column to one row per element (other
+        columns repeat). Null/empty arrays drop the row (SQL UNNEST
+        semantics)."""
+        if col_name not in self.columns:
+            raise ColumnNotFoundError(col_name, self.columns)
+        out = out_name or col_name
+        others = [c for c in self.columns if c != col_name]
+        return LazyFrame(self._df.select(
+            *others, F.explode(F.col(col_name)).alias(out)))
+
+    def drop_duplicates(self, subset: list[str] | None = None) -> "LazyFrame":
+        """Distinct rows; with ``subset``, keeps ONE arbitrary row per
+        subset-key group (deterministic pick needs argmax_per_group /
+        max_by — document order is not defined in a distributed table)."""
+        for c in subset or []:
+            if c not in self.columns:
+                raise ColumnNotFoundError(c, self.columns)
+        return LazyFrame(self._df.dropDuplicates(subset))
+
+    def fill_null(self, value: Any, subset: list[str] | None = None) -> "LazyFrame":
+        for c in subset or []:
+            if c not in self.columns:
+                raise ColumnNotFoundError(c, self.columns)
+        return LazyFrame(self._df.fillna(value, subset=subset))
+
     def sort(self, *cols: str, descending: bool | list[bool] = False) -> "LazyFrame":
         if isinstance(descending, bool):
             descending = [descending] * len(cols)

@@ -217,3 +217,44 @@ class TestSetOpsAndPivot:
         lf = LazyFrame.from_dataframe(spark, {"k": [1]})
         with pytest.raises(ColumnNotFoundError):
             lf.group_by("k").pivot("nope", [1])
+
+
+class TestFacadeMethods:
+    def test_with_columns_and_rename(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"a": [1, 2], "b": [3.0, 4.0]})
+        out = (lf.with_columns(c=col("a") + col("b"), d=col("a") * lit(2))
+               .rename({"a": "x"}))
+        assert out.columns == ["x", "b", "c", "d"]
+        rows = out.sort("x").collect()
+        assert (rows[0].c, rows[0].d) == (4.0, 2)
+
+    def test_rename_unknown(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"a": [1]})
+        with pytest.raises(ColumnNotFoundError):
+            lf.rename({"zz": "y"})
+
+    def test_drop(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"a": [1], "b": [2], "c": [3]})
+        assert lf.drop("b").columns == ["a", "c"]
+        with pytest.raises(ColumnNotFoundError):
+            lf.drop("nope")
+
+    def test_explode(self, spark):
+        df = spark.createDataFrame([(1, ["x", "y"]), (2, []), (3, None)],
+                                   "id long, tags array<string>")
+        out = LazyFrame.from_spark(df).explode("tags", "tag")
+        got = sorted((r.id, r.tag) for r in out.collect())
+        assert got == [(1, "x"), (1, "y")]     # empty/null rows drop
+
+    def test_drop_duplicates_subset(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"k": [1, 1, 2], "v": [9, 8, 7]})
+        out = lf.drop_duplicates(["k"]).collect()
+        assert sorted(r.k for r in out) == [1, 2]
+        assert len(out) == 2
+
+    def test_fill_null(self, spark):
+        df = spark.createDataFrame([(1, None), (None, 2.0)],
+                                   "a long, b double")
+        out = LazyFrame.from_spark(df).fill_null(0, subset=["a"]).collect()
+        got = sorted([(r.a, r.b) for r in out], key=repr)
+        assert got == sorted([(0, 2.0), (1, None)], key=repr)
