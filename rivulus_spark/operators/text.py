@@ -70,15 +70,40 @@ def avg_token_len(col: str | Column) -> Column:
     return F.floor(ratio * 100).cast("double") / 100
 
 
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / non-space chars, floor-truncated to 3
+    decimals (floor is bit-deterministic across engines; round isn't)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    n_chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    ratio = n_punct.cast("double") / n_chars
+    return F.floor(ratio * 1000).cast("double") / 1000
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    """Stopword tokens (total occurrences, not distinct) / tokens,
+    floor-truncated to 3 decimals. High-quality prose sits in a known
+    band; near-0 or near-1 flags keyword spam / boilerplate."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    ratio = n_stop.cast("double") / F.size(toks)
+    return F.floor(ratio * 1000).cast("double") / 1000
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring features: char/token counts, mean
-    token length, a short-doc flag. Single projection, no shuffle."""
+    token length, punctuation + stopword ratios, a short-doc flag.
+    Single projection, no shuffle."""
     c = F.col(text_col)
     return df.select(
         "doc_id",
         F.length(c).alias("n_chars_actual"),
         token_count(c).alias("n_tokens"),
         avg_token_len(c).alias("avg_token_len"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
         (F.size(tokens(c)) < 50).alias("is_short"),
     )
 

@@ -402,6 +402,48 @@ def q_union_op(spark, sf_dir):
     return c.union(s).distinct().to_spark()
 
 
+@_q("left_join_missing", """
+SELECT c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000.0
+WHERE c.c_acctbal > 9500.0
+""")
+def q_left_join_missing(spark, sf_dir):
+    """Left outer join with a join-side filter: customers keep a row
+    (null orderkey) when no qualifying order exists — exercises the
+    null-producing join path the reference never implemented
+    (JoinType::Left commented out, plan.rs:41-47)."""
+    c = _lf(spark, sf_dir, "customer").filter(col("c_acctbal") > 9500.0)
+    o = _lf(spark, sf_dir, "orders").filter(col("o_totalprice") > 400000.0)
+    return (c.join(o, "c_custkey", "o_custkey", how="left")
+            .select("c_custkey", "o_orderkey")
+            .to_spark())
+
+
+@_q("full_outer_join", """
+SELECT coalesce(n1.nationkey, n2.nationkey) AS nationkey,
+       n1.n_cust, n2.n_supp
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey) n1
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey) n2
+  ON n1.nationkey = n2.nationkey
+""")
+def q_full_outer_join(spark, sf_dir):
+    """Full outer join of two aggregates (nulls on both sides)."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000.0)
+         .groupBy(F.col("c_nationkey").alias("nationkey"))
+         .agg(F.count("*").alias("n_cust")))
+    s = (_t(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 9000.0)
+         .groupBy(F.col("s_nationkey").alias("nationkey"))
+         .agg(F.count("*").alias("n_supp")))
+    return (c.join(s, "nationkey", "full")
+            .select("nationkey", "n_cust", "n_supp"))
+
+
 @_q("semi_join", """
 SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
@@ -773,6 +815,13 @@ SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
        floor(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
              / len(regexp_split_to_array(trim(text), '\\s+')) * 100) / 100 AS avg_token_len,
+       floor(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+             / length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1000) / 1000
+           AS punct_ratio,
+       floor(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 w -> list_contains(['the','a','of','and','to','is','in','it'], w)))::DOUBLE
+             / len(regexp_split_to_array(trim(text), '\\s+')) * 1000) / 1000
+           AS stopword_ratio,
        len(regexp_split_to_array(trim(text), '\\s+')) < 50 AS is_short
 FROM documents
 """)
@@ -781,7 +830,8 @@ def q_text_quality(spark, sf_dir):
     return df.select("doc_id",
                      F.col("n_chars_actual").cast("long"),
                      F.col("n_tokens").cast("long"),
-                     "avg_token_len", "is_short")
+                     "avg_token_len", "punct_ratio", "stopword_ratio",
+                     "is_short")
 
 
 @_q("text_bpe_tokens", r"""

@@ -387,3 +387,14 @@ def test_column_profile_shape(spark):
     out = {r.column: r for r in sketch.column_profile(df, ["a", "s"]).collect()}
     assert out["a"].n_non_null == 3 and out["s"].n_non_null == 2
     assert out["a"].min_str == "1" and out["a"].max_str == "3"
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat, the hat!"),       # 2 punct/14 nonspace; 2 stop/4 toks
+         (1, "no stops here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in text.quality_features(df).collect()}
+    assert out[0].punct_ratio == pytest.approx(0.142, abs=1e-9)  # floor(2/14*1000)/1000
+    assert out[0].stopword_ratio == 0.5
+    assert out[1].stopword_ratio == 0.0
