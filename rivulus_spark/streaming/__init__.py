@@ -10,6 +10,7 @@ Structured Streaming.
 
 from .stateful import running_totals, streaming_dedup
 from .windows import (
+    enrich_stream,
     load_events,
     read_event_stream,
     run_available_now,
@@ -19,6 +20,7 @@ from .windows import (
 )
 
 __all__ = [
+    "enrich_stream",
     "load_events",
     "read_event_stream",
     "run_available_now",

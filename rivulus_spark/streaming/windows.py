@@ -120,6 +120,23 @@ def session_agg(df: DataFrame, time_col: str, gap: str,
         *[c for c in out.columns if c != "session_window"])
 
 
+def enrich_stream(stream_df: DataFrame, dim_df: DataFrame,
+                  stream_key: str, dim_key: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: attach dimension columns to each
+    streaming event. The static side is re-read per micro-batch (so
+    slowly-changing dims pick up updates) and joins map-side when it
+    broadcasts — no streaming state is involved at all, which is why
+    this composes freely before/after windowed aggs. Key collisions
+    keep the stream's column; the dim's key column is dropped."""
+    dim_cols = [c for c in dim_df.columns
+                if c != dim_key and c not in stream_df.columns]
+    d = dim_df.select(F.col(dim_key).alias("__dk"), *dim_cols)
+    out = stream_df.join(F.broadcast(d),
+                         stream_df[stream_key] == F.col("__dk"), how)
+    return out.drop("__dk")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       checkpoint_dir: str, output_mode: str = "complete",
                       timeout_s: int = 120) -> DataFrame:

@@ -169,3 +169,28 @@ def test_running_totals_final_state_matches_batch(spark, event_dir, tmp_path):
     for k in b:
         assert f[k][0] == b[k][0]
         assert abs(f[k][1] - b[k][1]) < 1e-6
+
+
+def test_enrich_stream_static_join_parity(spark, event_dir, tmp_path):
+    """Stream-static enrichment must equal the same join run in batch,
+    across micro-batches (dim re-read per batch, no streaming state)."""
+    from rivulus_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(i, f"cohort-{i % 3}") for i in range(200)],
+        "user_id long, cohort string")
+
+    batch = enrich_stream(load_events(spark, EVENTS), dim,
+                          "user_id", "user_id")
+    got_batch = (batch.groupBy("cohort")
+                 .agg(F.count("*").alias("n"),
+                      F.round(F.sum("value"), 2).alias("sv")))
+
+    stream = enrich_stream(read_event_stream(spark, event_dir), dim,
+                           "user_id", "user_id")
+    agg = (stream.groupBy("cohort")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sv")))
+    got_stream = run_available_now(agg, "enrich_parity",
+                                   str(tmp_path / "ckpt"))
+    assert _rows(got_batch, "cohort") == _rows(got_stream, "cohort")
