@@ -123,6 +123,38 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(df: DataFrame, max_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window packing primitive of a training pipeline. Output:
+    (doc_id, chunk_idx, chunk_text, n_chunk_tokens), one row per chunk.
+
+    Chunk starts advance by ``max_tokens - overlap``; the last start is
+    the largest multiple of the stride that is < n_tokens - overlap
+    (and start 0 always exists), so no chunk is fully contained in its
+    predecessor. Pure projection + explode: no shuffle, fan-out is
+    ~n_tokens/stride rows per document, linear at corpus scale."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens "
+                         f"({max_tokens})")
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    last = F.greatest(n - F.lit(overlap) - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), last, F.lit(stride))
+    return (df.select(F.col(id_col), toks.alias("__toks"),
+                      F.posexplode(starts).alias("chunk_idx", "start"))
+            .select(id_col,
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.concat_ws(" ", F.slice(F.col("__toks"),
+                                             F.col("start") + 1,
+                                             max_tokens)).alias("chunk_text"),
+                    F.size(F.slice(F.col("__toks"), F.col("start") + 1,
+                                   max_tokens)).cast("long")
+                    .alias("n_chunk_tokens")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: MD5 of the raw text (engine-portable).
     Used as the exact-dedup key at scale — grouping on a 128-bit

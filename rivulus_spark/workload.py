@@ -848,6 +848,25 @@ def q_text_bpe_tokens(spark, sf_dir):
                     .cast("long").alias("n_bpe_tokens")))
 
 
+@_q("text_chunking", """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+s AS (SELECT doc_id, w,
+             unnest(range(0, greatest(len(w) - 8 - 1, 0) + 1, 24)) AS start
+      FROM t)
+SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+       array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk_text,
+       len(list_slice(w, start + 1, start + 32))::BIGINT AS n_chunk_tokens
+FROM s
+""")
+def q_text_chunking(spark, sf_dir):
+    """Context-window chunking: 32-token windows overlapping by 8 —
+    the packing primitive ahead of tokenization. Pure projection +
+    explode, fan-out linear in corpus tokens."""
+    return text_ops.chunk_documents(_t(spark, sf_dir, "documents"),
+                                    max_tokens=32, overlap=8)
+
+
 @_q("agg_salted", """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
 FROM orders GROUP BY o_custkey

@@ -398,3 +398,21 @@ def test_punct_and_stopword_ratio(spark):
     assert out[0].punct_ratio == pytest.approx(0.142, abs=1e-9)  # floor(2/14*1000)/1000
     assert out[0].stopword_ratio == 0.5
     assert out[1].stopword_ratio == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (1, "a b")],                                 # shorter than window
+        "doc_id long, text string")
+    out = text.chunk_documents(df, max_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+            for r in out.collect()}
+    # doc 0: stride 3, starts 0,3,6 (last start <= n-overlap-1 = 8)
+    assert rows[(0, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(0, 1)] == ("t3 t4 t5 t6", 4)
+    assert rows[(0, 2)] == ("t6 t7 t8 t9", 4)
+    assert (0, 3) not in rows
+    assert rows[(1, 0)] == ("a b", 2)
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(df, max_tokens=4, overlap=4)
