@@ -336,6 +336,23 @@ def q_agg_having(spark, sf_dir):
             .filter(F.col("n_orders") >= 15))
 
 
+@_q("array_agg_sorted", """
+SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+       count(*) AS n_orders
+FROM orders WHERE o_totalprice > 350000.0
+GROUP BY o_custkey
+""")
+def q_array_agg_sorted(spark, sf_dir):
+    """Array aggregation: per-customer sorted key list. collect_list
+    order is nondeterministic in a distributed agg, so sort_array makes
+    the result well-defined (and hash-comparable)."""
+    return (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 350000.0)
+            .groupBy("o_custkey")
+            .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+                 F.count("*").alias("n_orders")))
+
+
 @_q("pivot_status", """
 SELECT o_orderpriority,
        round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
