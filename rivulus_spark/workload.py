@@ -476,27 +476,29 @@ def q_semi_join(spark, sf_dir):
 
 @_q("anti_join", """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
 """)
 def q_anti_join(spark, sf_dir):
     c = _lf(spark, sf_dir, "customer")
-    o = _lf(spark, sf_dir, "orders")
+    o = (_lf(spark, sf_dir, "orders")
+         .filter(col("o_orderpriority") == "1-URGENT"))
     return (c.join(o, "c_custkey", "o_custkey", how="anti")
             .select("c_custkey", "c_name")
             .to_spark())
 
 
 @_q("intersect_op", """
-SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 7000.0
 INTERSECT
-SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000.0
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 3000.0
 """)
 def q_intersect_op(spark, sf_dir):
     c = (_lf(spark, sf_dir, "customer")
-         .filter(col("c_acctbal") > 9000.0)
+         .filter(col("c_acctbal") > 7000.0)
          .select(col("c_nationkey").alias("nationkey")))
     s = (_lf(spark, sf_dir, "supplier")
-         .filter(col("s_acctbal") > 9000.0)
+         .filter(col("s_acctbal") > 3000.0)
          .select(col("s_nationkey").alias("nationkey")))
     return c.intersect(s).to_spark()
 
