@@ -735,6 +735,35 @@ def q_events_json(spark, sf_dir):
                  .alias("sum_k")))
 
 
+@_q("csv_source_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_regionkey >= 2
+""")
+def q_csv_source_roundtrip(spark, sf_dir):
+    """The CSV source (reference parsing contract: schema required,
+    header skip, "null" token) exercised against the oracle: nation is
+    written lossless to CSV (ints + strings only) then read back with
+    LazyFrame.from_csv and filtered through the engine. The write is a
+    per-run fixture; the scan under test is the distributed CSV read."""
+    import os
+    import tempfile
+
+    from .schema import DataType
+
+    nat = _t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rivulus_csv_nation_{abs(hash(sf_dir)) % 10**8}")
+    (nat.coalesce(1).write.mode("overwrite")
+     .option("header", True).option("nullValue", "null").csv(path))
+    lf = LazyFrame.from_csv(spark, path,
+                            schema=[("n_nationkey", DataType.INT64),
+                                    ("n_name", DataType.STRING),
+                                    ("n_regionkey", DataType.INT64)])
+    return (lf.filter(col("n_regionkey") >= 2)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .to_spark())
+
+
 @_q("sql_entry_q6", """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
