@@ -627,6 +627,27 @@ def q_window_running(spark, sf_dir):
                     F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")))
 
 
+@_q("window_range_frame", """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d_spend
+FROM orders
+""")
+def q_window_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame: each order's trailing-7-day
+    per-customer spend. Unlike ROWS frames, ties on the order column
+    share one frame, so the result is deterministic without a unique
+    tie-break column."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-604800, 0))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("trailing_7d_spend")))
+
+
 @_q("window_lag", """
 SELECT event_id, user_id,
        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
