@@ -101,48 +101,78 @@ def cosine_neardup_pairs_blocked(df: DataFrame, threshold: float,
     ~50x faster on corpus-scale inputs.
 
     Plan shape: normalize (projection) -> pack vectors into n_blocks
-    row-groups (one shuffle) -> join every unordered block pair
-    (nb*(nb+1)/2 rows) -> one Arrow-batched numpy A @ B.T per pair.
-    Fully distributed: no driver collect, no broadcast of the corpus;
-    each task holds exactly two blocks. Size blocks to executor memory
-    (block_bytes ~ N*dim*8/nb); pair count grows as nb^2/2. Exact
-    all-pairs is inherently O(N^2) sims — past ~1e7 vectors use
-    ann_cosine_lsh instead.
+    row-groups, persisted once (one shuffle, one computation for both
+    join sides) -> map-side explode of each pack into the unordered
+    block-pair ids it participates in -> ONE shuffle-hash EQUI-join on
+    pair_id that brings exactly two packs together per output row ->
+    one numpy A @ B.T per pair inside Arrow-batched mapInPandas.
+
+    Scale properties (the round-1 plan failed all three):
+    - no broadcast: both join sides are shuffled by pair_id; the plan
+      contains no BroadcastExchange of packed data (asserted in
+      tests/test_plans.py). Shuffle volume is sum over pairs of
+      |A|+|B| ~ corpus * (n_blocks+1) — bounded and independent of
+      executor count, unlike a corpus broadcast.
+    - parallelism == pair count: the matmul stage is already
+      partitioned by pair_id (nb*(nb+1)/2 keys), no round-robin
+      repartition of heavy payloads.
+    - bounded rows: a packed row holds corpus/n_blocks vectors; pick
+      n_blocks so block_bytes ~ N*dim*8/nb fits an aggregation buffer
+      and stays far under the 2 GB single-field ceiling. Pair count
+      grows as nb^2/2 while per-pair work shrinks as 1/nb^2 — total
+      sims are O(N^2) regardless; past ~1e7 vectors use
+      ann_cosine_lsh instead.
 
     Float contract: sims are numpy float64 dot products of the
     Spark-normalized vectors, rounded/filtered JVM-side with F.round —
     agrees with the sequential-fold path to the last ulp, far inside
-    the 6-decimal rounding the output carries.
+    the 6-decimal rounding the output carries. The numpy prefilter
+    uses slack 1e-6 (> half the 6-decimal rounding granularity) so it
+    is strictly looser than the exact rounded JVM filter.
     """
+    from ..cache import persist
+
     base = normalize(df, id_col, vec_col, "id", "vec")
-    blocked = base.withColumn(
-        "blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
-    packed = blocked.groupBy("blk").agg(
-        F.collect_list("id").alias("ids"),
-        F.collect_list("vec").alias("vecs"))
-    a = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-                      F.col("vecs").alias("vecs_a"))
-    b = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-                      F.col("vecs").alias("vecs_b"))
-    pairs = (a.join(b, F.col("blk_a") <= F.col("blk_b"))
-             .repartition(n_blocks * (n_blocks + 1) // 2))
-    slack = 1e-9  # UDF prefilter only; the exact rounded filter is JVM-side
+    packed = persist(
+        base.withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list("id").alias("ids"),
+             F.collect_list("vec").alias("vecs")))
+    # Pack p is side A of pairs (p, j) for j >= p and side B of pairs
+    # (i, p) for i <= p; pair_id = i * n_blocks + j. The explode is
+    # map-side (no shuffle of its own); the payload is shuffled once,
+    # keyed by pair_id.
+    a = packed.select(
+        F.explode(F.transform(F.sequence(F.col("blk"), F.lit(n_blocks - 1)),
+                              lambda j: F.col("blk") * n_blocks + j))
+        .alias("pair_id"),
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"))
+    b = packed.select(
+        F.explode(F.transform(F.sequence(F.lit(0), F.col("blk")),
+                              lambda i: i * n_blocks + F.col("blk")))
+        .alias("pair_id"),
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"))
+    pairs = a.hint("shuffle_hash").join(b, "pair_id")
+    # numpy prefilter slack: strictly looser than round(sim, 6) >= thr
+    slack = 1e-6
 
     def _mm(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
-                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
                 A = np.vstack([np.asarray(v, dtype=np.float64)
-                               for v in row["vecs_a"]])
+                               for v in row.vecs_a])
                 B = np.vstack([np.asarray(v, dtype=np.float64)
-                               for v in row["vecs_b"]])
+                               for v in row.vecs_b])
                 S = A @ B.T
                 mask = S >= threshold - slack
-                if row["blk_a"] == row["blk_b"]:
+                if row.blk_a == row.blk_b:
                     # same block appears once: emit each unordered pair
                     # once via the id ordering
                     mask &= ids_a[:, None] < ids_b[None, :]
