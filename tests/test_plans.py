@@ -75,6 +75,24 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_assignment_is_vectorized_map(spark):
+    # the corpus->cell scoring pass must be the numpy mapInPandas sweep,
+    # not a broadcast join with interpreted per-pair folds (VERDICT r1 #4)
+    p = plan(spark, "ann_ivf_topk")
+    assert "MapInPandas" in p
+
+
+def test_blocked_cosine_never_broadcasts_packed_corpus(spark):
+    # pair-id equi-join: no BroadcastExchange (the r1 BNLJ broadcast
+    # every packed corpus vector to every executor), no nested loop,
+    # matmul stage pre-partitioned by the shuffle-hash join
+    p = plan(spark, "embedding_neardup")
+    assert "BroadcastExchange" not in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "ShuffledHashJoin" in p
+    assert "MapInPandas" in p
+
+
 def test_simhash_pairs_banded_is_equi_join(spark):
     p = plan(spark, "dedup_simhash_pairs")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
