@@ -25,7 +25,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from rivulus_spark import get_spark
+    from rivulus_spark import cache, get_spark
     from rivulus_spark.workload import QUERIES
 
     spark = get_spark("rivulus-bench")
@@ -46,6 +46,9 @@ def main() -> None:
             continue
         timings[name] = round(dt, 3)
         total += dt
+        # each query is timed self-contained: drop intermediates the
+        # operators persisted (rivulus_spark.cache contract)
+        cache.unpersist_all()
 
     print(json.dumps({
         "metric": "workload_total_runtime",

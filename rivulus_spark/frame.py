@@ -268,6 +268,10 @@ class LazyFrame:
     def sort(self, *cols: str, descending: bool | list[bool] = False) -> "LazyFrame":
         if isinstance(descending, bool):
             descending = [descending] * len(cols)
+        if len(descending) != len(cols):
+            raise LengthMismatchError(
+                f"sort got {len(cols)} columns but {len(descending)} "
+                "descending flags")
         order = [F.col(c).desc() if d else F.col(c).asc()
                  for c, d in zip(cols, descending)]
         return LazyFrame(self._df.orderBy(*order))
@@ -307,6 +311,19 @@ class LazyFrame:
         return list(self.stream_batches())
 
     def stream_batches(self) -> Iterator[Row]:
+        """Row iterator over the result, one partition resident at a
+        time. Limit early-termination parity (reference
+        streaming.rs:268-287 — a limited streaming collect stops the
+        pipeline as soon as n rows exist): when the physical root is a
+        driver-side limit (CollectLimit / TakeOrderedAndProject) this
+        routes through ``collect()``, whose executeTake scans
+        partitions incrementally and stops early — ``toLocalIterator``
+        would schedule EVERY partition (measured: 33 tasks vs 1 for
+        limit 5 over 32 partitions), and the result is ≤ n rows by
+        construction so driver memory is already bounded."""
+        root = self._df._jdf.queryExecution().executedPlan().nodeName()
+        if root in ("CollectLimit", "TakeOrderedAndProject"):
+            return iter(self._df.collect())
         return self._df.toLocalIterator(prefetchPartitions=True)
 
     def write_parquet(self, path: str, mode: str = "error",

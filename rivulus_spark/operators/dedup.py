@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
 from .text import tokens, word_hash
 
 #: Mersenne prime modulus for MinHash permutations (fits in int32)
@@ -141,7 +142,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, k: int = 3,
     if threshold <= 0:
         raise ValueError("relational Jaccard requires threshold > 0; "
                          "use ngram_jaccard_pairs_brute for threshold <= 0")
-    rows = shingle_rows(df, text_col, id_col, k).persist()
+    rows = cache.persist(shingle_rows(df, text_col, id_col, k))
     sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         rows.alias("ra")
@@ -213,17 +214,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
                         sig_col: str = "sig",
-                        rows_per_band: int = LSH_ROWS) -> DataFrame:
+                        rows_per_band: int = LSH_ROWS,
+                        num_perm: int = NUM_PERM) -> DataFrame:
     """LSH banding: docs sharing any full band are candidates.
     One shuffle keyed on the band hash; output is deduplicated
     candidate pairs (doc_a < doc_b).
+
+    ``num_perm`` must match the signature width the caller built
+    (element_at slots past the array end would silently yield nulls —
+    garbage shared band hashes — in non-ANSI mode).
 
     Band hashes are xxhash64 over the band's signature slots (band
     index salted in), built from plain element_at projections — fully
     codegen'd, no strings. Unlike the MD5 word/shingle hashes these
     never need to be engine-portable: a band-hash collision only adds
     a false CANDIDATE, which exact verification removes."""
-    num_perm = NUM_PERM
+    if num_perm % rows_per_band:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by rows_per_band "
+            f"({rows_per_band})")
     n_bands = num_perm // rows_per_band
     bands = F.array(*[
         F.xxhash64(F.lit(b), *[
@@ -245,7 +254,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
 
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      num_perm: int = NUM_PERM) -> DataFrame:
     """Near-duplicate pairs at Jaccard >= threshold via MinHash+LSH
     candidates, then exact-Jaccard verification (no false positives;
     false-negative probability ~4e-8 at threshold 0.8).
@@ -266,10 +276,13 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     multi-stage recomputes (each with its own large codegen'd
     aggregate) produce. Both tables are small relative to the corpus —
     rows is (id, ~20-byte shingle) and sigs is one 1 KB row per doc —
-    and spill to disk under MEMORY_AND_DISK if they don't fit."""
-    rows = shingle_rows(df, text_col, id_col, k).persist()
-    sigs = signatures_from_rows(rows).persist()
-    cands = lsh_candidate_pairs(sigs)
+    and spill to disk under MEMORY_AND_DISK if they don't fit. Both
+    register with :mod:`rivulus_spark.cache`; long-lived sessions call
+    ``cache.unpersist_all()`` between units of work (the result is
+    lazy, so the operator itself cannot know when its caches die)."""
+    rows = cache.persist(shingle_rows(df, text_col, id_col, k))
+    sigs = cache.persist(signatures_from_rows(rows, num_perm))
+    cands = lsh_candidate_pairs(sigs, num_perm=num_perm)
     sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         cands
@@ -367,7 +380,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     vote aggregation runs once instead of once per self-join side."""
     n_bands = max_hamming + 1
     width = 32 // n_bands + (1 if 32 % n_bands else 0)
-    s = simhash_table(df, text_col, id_col, out_col="sh").persist()
+    s = cache.persist(simhash_table(df, text_col, id_col, out_col="sh"))
     bands = F.array(*[
         F.struct(F.lit(j).alias("bi"),
                  F.shiftright(F.col("sh"), j * width)

@@ -159,7 +159,10 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .trigger(availableNow=True)
          .start())
     try:
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"streaming query {query_name!r} did not drain within "
+                f"{timeout_s}s — partial results discarded")
     finally:
         q.stop()
     return stream_df.sparkSession.table(query_name)

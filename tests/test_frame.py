@@ -121,6 +121,11 @@ class TestMemorySource:
         with pytest.raises(LengthMismatchError):
             LazyFrame.from_dataframe(spark, {"x": [1], "y": [1, 2]})
 
+    def test_sort_descending_length_mismatch_raises(self, spark):
+        lf = LazyFrame.from_dataframe(spark, {"a": [1, 2], "b": [3, 4]})
+        with pytest.raises(LengthMismatchError):
+            lf.sort("a", "b", descending=[True])
+
     def test_nulls_survive(self, spark):
         lf = LazyFrame.from_dataframe(spark, {"x": [1, None, 3]})
         assert lf.logical_schema == [("x", DataType.INT64)]
@@ -180,6 +185,38 @@ class TestCollectStreaming:
 
     def test_streaming_limit_early_out(self, people):
         assert len(people.limit(2).collect_streaming()) == 2
+
+    def test_streaming_limit_terminates_pipeline_early(self, spark):
+        """Reference parity (streaming.rs:268-287): a limited streaming
+        collect stops the pipeline once n rows exist — it must not
+        schedule every input partition. Measured via completed task
+        counts: executeTake scans partition 0 first (1 task), while the
+        un-special-cased toLocalIterator path schedules all 32."""
+        import time
+
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+        before = set(st.getJobIdsForGroup(None) or [])
+        lf = LazyFrame.from_spark(spark.range(0, 3200, 1, 32)).limit(5)
+        rows = lf.collect_streaming()
+        assert len(rows) == 5
+        time.sleep(1.0)  # let task-end events land in the status store
+        st = sc.statusTracker()
+        tasks = 0
+        for jid in st.getJobIdsForGroup(None) or []:
+            if jid in before:
+                continue
+            for sid in st.getJobInfo(jid).stageIds:
+                si = st.getStageInfo(sid)
+                if si:
+                    tasks += si.numCompletedTasks
+        assert tasks <= 8, f"limited streaming collect ran {tasks} tasks"
+
+    def test_streaming_partial_iteration(self, spark):
+        """stream_batches can be consumed partially and abandoned."""
+        it = LazyFrame.from_spark(spark.range(0, 320, 1, 8)).stream_batches()
+        got = [next(it) for _ in range(3)]
+        assert [r.id for r in got] == [0, 1, 2]
 
 
 def test_empty_series_rejected(spark):

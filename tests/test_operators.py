@@ -103,6 +103,21 @@ def test_minhash_lsh_matches_bruteforce(docs):
     assert lsh == brute
 
 
+def test_minhash_lsh_custom_num_perm(docs):
+    """num_perm flows from signature building through banding (r1
+    ADVICE: banding hardcoded 128 and read past shorter signatures)."""
+    out = {(r.doc_a, r.doc_b): r.jacc
+           for r in dedup.minhash_lsh_dedup(docs, threshold=0.5,
+                                            num_perm=64).collect()}
+    brute = {(r.doc_a, r.doc_b): r.jacc
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert out == brute  # tiny corpus: banding at 64 perms finds all pairs
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs, num_perm=64),
+            num_perm=64, rows_per_band=5)
+
+
 def test_simhash_near_for_near_dups(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming
              for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
