@@ -204,6 +204,62 @@ def cosine_neardup_pairs_blocked(df: DataFrame, threshold: float,
             .filter(F.col("sim") >= threshold))
 
 
+def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
+                             n_planes: int = 16, n_bands: int = 4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine near-duplicates via hyperplane-LSH banding —
+    the 100 TB path for the blocked-matmul contract. Output
+    (id_a, id_b, sim), id_a < id_b, sim rounded to 6, exact-verified
+    (no false positives); pairs whose signatures share no band are
+    missed (recall < 1, tunable via n_planes/n_bands — more bands of
+    fewer bits raise recall and candidate volume).
+
+    Scale shape (same banding pattern as MinHash dedup): one codegen'd
+    projection computes the n_planes-bit signature, a map-side explode
+    emits (band_idx, band_value) keys, and candidates come from an
+    equi-join on the band key — a hash shuffle whose output is ~the
+    number of true near-dups, never corpus². Verification re-joins the
+    candidate ids to the (vec, norm) table and computes the exact
+    rounded sim JVM-side, so every emitted pair carries the same sim
+    the exact operators produce. Total cost is linear in corpus +
+    candidates; no O(n^2) stage anywhere, unlike cosine_neardup_pairs
+    (pair enumeration) and cosine_neardup_pairs_blocked (O(n^2) sims
+    inside linear tasks).
+
+    Deterministic planes (plane_component) are shared with the SQL
+    oracle generator, so the approximation itself is oracle-checkable.
+    """
+    width = n_planes // n_bands + (1 if n_planes % n_bands else 0)
+    base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
+    sigs = base.withColumn(
+        "sig", hyperplane_signature(F.col("vec"), dim, n_planes))
+    from .. import cache
+    sigs = cache.persist(sigs)
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("bi"),
+                 F.shiftright(F.col("sig"), j * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+        for j in range(n_bands)
+    ])
+    e = (sigs.select("id", F.explode(bands).alias("b"))
+         .select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")))
+    l, r = e.alias("l"), e.alias("r")
+    cands = (l.join(r, (F.col("l.bi") == F.col("r.bi"))
+                    & (F.col("l.bv") == F.col("r.bv"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+             .distinct())
+    a = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
 # ----------------------------------------------------------------------
 # LSH-bucketed approximate variant (the 100 TB path)
 # ----------------------------------------------------------------------

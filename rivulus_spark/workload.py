@@ -1322,6 +1322,55 @@ def q_embedding_neardup(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _neardup_lsh_oracle(dim: int = 64, n_planes: int = 16, n_bands: int = 4,
+                        threshold: float = 0.4) -> str:
+    """Relational replica of cosine_neardup_pairs_lsh: identical plane
+    literals (plane_component), band split via shift/mask, candidate
+    equi-join on (band_idx, band_value), exact rounded-sim verify."""
+    width = n_planes // n_bands + (1 if n_planes % n_bands else 0)
+    mask = (1 << width) - 1
+    sig_terms = []
+    for p in range(n_planes):
+        arr = ", ".join(repr(similarity.plane_component(p, i))
+                        for i in range(dim))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(emb, [{arr}]) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)")
+    sig = "\n         + ".join(sig_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT vec_id, emb,
+         {sig} AS sig
+      FROM e),
+b AS (SELECT vec_id, j, (sig >> (j * {width})::INT) & {mask} AS bv
+      FROM s, (SELECT unnest(range({n_bands})) AS j)),
+cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         FROM b l JOIN b r ON l.j = r.j AND l.bv = r.bv
+                          AND l.vec_id < r.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(a.emb, z.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(z.emb, z.emb))), 6) AS sim
+FROM cand c
+JOIN s a ON a.vec_id = c.id_a
+JOIN s z ON z.vec_id = c.id_b
+WHERE round(list_dot_product(a.emb, z.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(z.emb, z.emb))), 6) >= {threshold}
+"""
+
+
+@_q("embedding_neardup_lsh", _neardup_lsh_oracle())
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """All-pairs cosine near-dup via hyperplane-LSH banding — the
+    100 TB path (no O(n^2) stage; candidates from an equi-join on band
+    values, exact-verified). Deterministic planes shared with the
+    oracle make even the approximation exactly checkable."""
+    return similarity.cosine_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64,
+        n_planes=16, n_bands=4)
+
+
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
     """Regenerate the LSH bucketing relationally: the plane literals
     come from the same plane_component() the Spark operator uses, so

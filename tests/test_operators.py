@@ -187,6 +187,19 @@ def test_blocked_neardup_matches_fold(vecs):
     assert got == ref
 
 
+def test_neardup_lsh_subset_of_exact(vecs):
+    """LSH-banded near-dup pairs are a subset of the exact all-pairs
+    result carrying identical sims (no false positives; misses only
+    pairs whose signatures share no band)."""
+    exact = {(r.id_a, r.id_b): r.sim for r in
+             similarity.cosine_neardup_pairs(vecs, threshold=0.5).collect()}
+    lsh = similarity.cosine_neardup_pairs_lsh(
+        vecs, threshold=0.5, dim=3, n_planes=8, n_bands=4).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert exact[(r.id_a, r.id_b)] == r.sim
+
+
 def test_ann_lsh_subset_of_exact(vecs):
     """ANN results are exact cosines, ranked within buckets — every
     returned neighbor must carry the same sim the exact path computes."""
