@@ -1488,6 +1488,21 @@ def q_embedding_label_stats(spark, sf_dir):
                  F.round(F.avg(similarity.l2_norm(v)), 4).alias("avg_norm")))
 
 
+@_q("kmeans_cluster_sizes")  # iterative (Lloyd): no SQL oracle; rows-only
+def q_kmeans_cluster_sizes(spark, sf_dir):
+    """Spherical k-means over the embeddings table: deterministic-
+    sample init (the IVF default), 3 Lloyd iterations, output
+    (cell, n_members). Iterative — inexpressible in one SQL statement
+    (and centroid components are float-addition-order dependent), so
+    the driver records the weaker rows-only check; semantic coverage
+    lives in tests/test_operators.py::test_kmeans_*."""
+    from .operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter((F.col("vec_id") % 256) == 0)
+    return cluster.kmeans_cluster_sizes(emb, init, dim=64, n_iters=3)
+
+
 # ======================================================================
 # Registration order: the driver's correctness harness oracle-checks the
 # FIRST 50 entries of QUERIES. Priority goes to (a) the north-star

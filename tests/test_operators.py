@@ -444,3 +444,47 @@ def test_chunk_documents_windows(spark):
     assert rows[(1, 0)] == ("a b", 2)
     with pytest.raises(ValueError, match="overlap"):
         text.chunk_documents(df, max_tokens=4, overlap=4)
+
+
+# ----------------------------------------------------------------------
+# k-means clustering
+# ----------------------------------------------------------------------
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from rivulus_spark.operators import cluster
+
+    # two tight clusters on orthogonal axes + deliberately bad init
+    # (both init centroids inside cluster one); Lloyd must move one
+    # centroid across to the y-cluster within a few iterations
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.1 * (i % 2), 0.0])
+            for i in range(10)]
+    rows += [(100 + i, [0.1 * (i % 2), 8.0 + (i % 3) * 0.1, 0.0])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = df.filter(F.col("vec_id").isin(0, 100))
+    cents = cluster.kmeans_train(df, init, dim=3, n_iters=3)
+    got = {r.cid: r.cvec for r in cents.collect()}
+    assert len(got) == 2
+    # one centroid per cluster: x-dominant and y-dominant
+    dominant = sorted(("x" if v[0] > v[1] else "y") for v in got.values())
+    assert dominant == ["x", "y"]
+    sizes = {r.cell: r.n_members
+             for r in cluster.kmeans_cluster_sizes(df, init, dim=3,
+                                                   n_iters=3).collect()}
+    assert sorted(sizes.values()) == [10, 10]
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    from rivulus_spark.operators import cluster
+
+    # every point is nearest init centroid 0; centroid 1 must survive
+    # untouched instead of vanishing or going NaN
+    rows = [(i, [5.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = spark.createDataFrame([(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    cents = {r.cid: r.cvec for r in
+             cluster.kmeans_train(df, init, dim=2, n_iters=2).collect()}
+    assert len(cents) == 2
+    assert cents[1] == [-1.0, 0.0]
+    assert cents[0] == [5.0, 0.0]
