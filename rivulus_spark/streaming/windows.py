@@ -59,9 +59,28 @@ def read_event_stream(spark: SparkSession, path: str,
     sources never infer, so the schema is discovered with a one-time
     batch footer read when not supplied. A nanos-long ``ts`` (the raw
     testdata layout) is converted to a real timestamp."""
+    import hashlib
+    import os
+    import tempfile
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the file-stream source lists a DIRECTORY for new files; a
+        # single-file input (the testdata layout) is staged as a
+        # symlink inside a stable per-path scratch dir. On a real
+        # cluster the source is already a directory/prefix new files
+        # land in — this branch is local-layout convenience only.
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "rivulus_stream_" + hashlib.md5(
+                os.path.abspath(path).encode()).hexdigest()[:12])
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = d
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger))
     df = reader.parquet(path)

@@ -695,6 +695,51 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+@_q("stream_events_hourly", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY hour, event_type
+""")
+def q_stream_events_hourly(spark, sf_dir):
+    """The SAME hourly aggregation as events_hourly, executed through
+    Structured Streaming: readStream over the events parquet ->
+    watermarked tumbling window -> Trigger.AvailableNow drain into a
+    memory sink -> returned as a batch DataFrame. Batch parity is the
+    contract (complete output mode re-emits the closed aggregate), so
+    the streaming engine itself gets an oracle-checked row — at scale
+    this identical plan serves the live topic with state-store
+    windows + watermark eviction instead of a backfill scan."""
+    import tempfile
+    import uuid
+
+    from .streaming import windows as sw
+
+    _prep(spark)
+    stream = sw.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sw.tumbling_agg(
+        stream, "ts", "1 hour",
+        aggs=[F.count("*").alias("n_events"),
+              F.round(F.sum("value"), 2).alias("sum_value")],
+        keys=["event_type"], watermark="2 hours")
+    name = f"stream_hourly_{uuid.uuid4().hex[:12]}"
+    # state-store instance count is fixed at stream start from
+    # shuffle.partitions; 8 is plenty for the windowed keyspace and
+    # quarters the per-micro-batch checkpoint fan-out (on a real
+    # cluster this would be sized to executor count instead)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = sw.run_available_now(
+            agg, query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type", "n_events", "sum_value")
+
+
 @_q("sessionize", """
 WITH gaps AS (
   SELECT user_id,
@@ -1523,10 +1568,11 @@ _PRIORITY: list[str] = [
     # core aggregation / flagship
     "agg_q1", "agg_q3", "agg_q5", "agg_salted",
     "array_agg_sorted", "events_json",
-    # windows / temporal / semi-structured
-    "window_rank", "window_running", "window_range_frame",
-    "events_hourly", "sessionize", "asof_join_events",
-    "range_join_events", "sketch_quantiles", "heavy_hitters",
+    # windows / temporal / semi-structured / streaming
+    "window_rank", "window_running",
+    "events_hourly", "stream_events_hourly", "sessionize",
+    "asof_join_events", "range_join_events",
+    "sketch_quantiles", "heavy_hitters",
     # north star: text analysis
     "text_token_count", "text_quality", "text_bpe_tokens",
     "text_chunking", "text_fingerprint", "lang_id", "doc_stats_by_source",
