@@ -7,6 +7,7 @@ training-data-pipeline operators (dedup, similarity search, text
 analysis, multimodal columns) designed for 100 TB workloads.
 """
 
+from . import cache
 from .errors import (
     ColumnNotFoundError,
     DuplicateColumnError,
@@ -24,6 +25,7 @@ from .schema import DataType
 from .session import get_spark
 
 __all__ = [
+    "cache",
     "LazyFrame", "GroupedFrame", "PivotedFrame", "Expr", "col", "lit", "DataType",
     "get_spark", "RivulusError", "ColumnNotFoundError",
     "DuplicateColumnError", "MixedTypesError", "LengthMismatchError",

@@ -1533,6 +1533,28 @@ def q_embedding_label_stats(spark, sf_dir):
                  F.round(F.avg(similarity.l2_norm(v)), 4).alias("avg_norm")))
 
 
+@_q("join_salted", """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def q_join_salted(spark, sf_dir):
+    """skew.salted_join under an aggregation: the big side's rows are
+    salted across 8 sub-keys and the small side replicated per salt, so
+    a hot customer key spreads over 8 reducers — result-identical to
+    the plain join (which is exactly what the oracle asserts)."""
+    from .operators import skew
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = skew.salted_join(orders, cust, "o_custkey", "c_custkey",
+                              n_salts=8)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
+
+
 @_q("kmeans_cluster_sizes")  # iterative (Lloyd): no SQL oracle; rows-only
 def q_kmeans_cluster_sizes(spark, sf_dir):
     """Spherical k-means over the embeddings table: deterministic-
