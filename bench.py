@@ -40,8 +40,10 @@ def main() -> None:
     # timed run reuses them; warming per-query (not in one upfront
     # sweep) keeps each query's classes inside the 100-entry codegen
     # cache when the timed run starts.
-    warm_dir = sf_dir.replace(f"sf{m.group(1)}", "sf0.001") if m else sf_dir
-    if not os.path.isdir(warm_dir) or warm_dir == sf_dir:
+    # swap only the FINAL path segment (a bare replace would rewrite
+    # every occurrence of the sf token anywhere in the path)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir) or os.path.realpath(warm_dir) == os.path.realpath(sf_dir):
         warm_dir = None
 
     timings: dict[str, float] = {}

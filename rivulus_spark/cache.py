@@ -16,34 +16,34 @@ the footprint, and session teardown frees everything.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-# weak refs: a cached table whose last reference died can be GC'd by
-# Spark's ContextCleaner; the registry must not keep it alive forever.
-_PERSISTED: list[weakref.ref[DataFrame]] = []
+# STRONG references, deliberately: the persisted wrapper is usually an
+# operator-internal local that dies when the operator returns, while
+# the JVM CacheManager keeps the cached blocks alive until an explicit
+# unpersist — a weakref registry would be dead before any caller could
+# clean up. The registry is therefore the lifecycle owner; entries are
+# released only by unpersist_all().
+_PERSISTED: list[DataFrame] = []
 
 
 def persist(df: DataFrame, *args, **kwargs) -> DataFrame:
     """``df.persist(...)`` + registration for later :func:`unpersist_all`."""
     out = df.persist(*args, **kwargs)
-    _PERSISTED.append(weakref.ref(out))
+    _PERSISTED.append(out)
     return out
 
 
 def unpersist_all(blocking: bool = False) -> int:
     """Unpersist every registered intermediate; returns how many were
-    still alive. Safe to call at any time — unpersisting a DataFrame
-    that a later action still needs only costs recomputation."""
+    dropped. Safe to call at any time — unpersisting a DataFrame that
+    a later action still needs only costs recomputation."""
     n = 0
     while _PERSISTED:
-        ref = _PERSISTED.pop()
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist(blocking=blocking)
-                n += 1
-            except Exception:
-                pass  # session already stopped
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped
     return n

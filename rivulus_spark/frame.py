@@ -314,15 +314,19 @@ class LazyFrame:
         """Row iterator over the result, one partition resident at a
         time. Limit early-termination parity (reference
         streaming.rs:268-287 — a limited streaming collect stops the
-        pipeline as soon as n rows exist): when the physical root is a
-        driver-side limit (CollectLimit / TakeOrderedAndProject) this
-        routes through ``collect()``, whose executeTake scans
-        partitions incrementally and stops early — ``toLocalIterator``
-        would schedule EVERY partition (measured: 33 tasks vs 1 for
-        limit 5 over 32 partitions), and the result is ≤ n rows by
-        construction so driver memory is already bounded."""
-        root = self._df._jdf.queryExecution().executedPlan().nodeName()
-        if root in ("CollectLimit", "TakeOrderedAndProject"):
+        pipeline as soon as n rows exist): when the plan is
+        limit-rooted this routes through ``collect()``, whose
+        executeTake scans partitions incrementally and stops early —
+        ``toLocalIterator`` would schedule EVERY partition (measured:
+        33 tasks vs 1 for limit 5 over 32 partitions), and the result
+        is ≤ n rows by construction so driver memory is already
+        bounded. Detection uses the OPTIMIZED LOGICAL root
+        (GlobalLimit): the physical root is CollectLimit /
+        TakeOrderedAndProject only for shuffle-free plans — under AQE
+        any limited query containing an exchange is rooted at
+        AdaptiveSparkPlan instead."""
+        root = self._df._jdf.queryExecution().optimizedPlan().nodeName()
+        if root == "GlobalLimit":
             return iter(self._df.collect())
         return self._df.toLocalIterator(prefetchPartitions=True)
 

@@ -41,8 +41,9 @@ from pyspark.sql import functions as F
 from .similarity import _as_double, ivf_assign_cells
 
 
-def _partial_sums(assigned: DataFrame, dim: int) -> DataFrame:
-    """(cell, n, sums) partials: one row per (Arrow batch, cell)."""
+def _partial_sums(assigned: DataFrame) -> DataFrame:
+    """(cell, n, sums) partials: one row per (Arrow batch, cell); the
+    vector width is taken from the data itself."""
 
     def _sums(batches):
         import numpy as np
@@ -83,7 +84,7 @@ def kmeans_train(df: DataFrame, init_centroids: DataFrame, dim: int,
                          F.col("cvec").alias(vec_col)),
             id_col=id_col, vec_col=vec_col)
         merged = (
-            _partial_sums(assigned, dim)
+            _partial_sums(assigned)
             .groupBy("cell")
             .agg(F.sum("n").alias("n"),
                  F.aggregate(F.collect_list("sums"), zero,

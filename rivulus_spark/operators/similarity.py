@@ -204,6 +204,14 @@ def cosine_neardup_pairs_blocked(df: DataFrame, threshold: float,
             .filter(F.col("sim") >= threshold))
 
 
+def band_width(n_planes: int, n_bands: int) -> int:
+    """Bits per LSH band (ceil division). Shared by the Spark operator
+    and the SQL oracle generator (workload._neardup_lsh_oracle) — the
+    two MUST band identically for oracle parity, so neither hardcodes
+    the formula."""
+    return n_planes // n_bands + (1 if n_planes % n_bands else 0)
+
+
 def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
                              n_planes: int = 16, n_bands: int = 4,
                              id_col: str = "vec_id",
@@ -230,7 +238,7 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     Deterministic planes (plane_component) are shared with the SQL
     oracle generator, so the approximation itself is oracle-checkable.
     """
-    width = n_planes // n_bands + (1 if n_planes % n_bands else 0)
+    width = band_width(n_planes, n_bands)
     base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
     sigs = base.withColumn(
         "sig", hyperplane_signature(F.col("vec"), dim, n_planes))
@@ -316,7 +324,11 @@ def ivf_assign_cells(df: DataFrame, centroids: DataFrame,
     cent = (centroids
             .select(F.col(id_col).cast("long").alias("cid"),
                     _as_double(F.col(vec_col)).alias("cvec"))
-            .collect())
+            .collect())  # NOTE: eager — building this plan runs a job
+    if not cent:
+        raise ValueError(
+            "ivf_assign_cells: centroid set is empty (check the stride/"
+            "init selection against the corpus id space)")
     cent.sort(key=lambda r: r.cid)
     cids_l = [r.cid for r in cent]
     C_l = [r.cvec for r in cent]

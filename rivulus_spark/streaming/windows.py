@@ -72,14 +72,20 @@ def read_event_stream(spark: SparkSession, path: str,
         # symlink inside a stable per-path scratch dir. On a real
         # cluster the source is already a directory/prefix new files
         # land in — this branch is local-layout convenience only.
+        target = os.path.abspath(path)
+        uid = os.getuid() if hasattr(os, "getuid") else 0
         d = os.path.join(
             tempfile.gettempdir(),
-            "rivulus_stream_" + hashlib.md5(
-                os.path.abspath(path).encode()).hexdigest()[:12])
-        os.makedirs(d, exist_ok=True)
+            f"rivulus_stream_{uid}_"
+            + hashlib.md5(target.encode()).hexdigest()[:12])
+        os.makedirs(d, mode=0o700, exist_ok=True)
         link = os.path.join(d, os.path.basename(path))
+        # never trust a pre-existing link blindly (shared /tmp): it
+        # must point at exactly our target or be replaced
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.unlink(link)
         if not os.path.exists(link):
-            os.symlink(os.path.abspath(path), link)
+            os.symlink(target, link)
         path = d
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger))

@@ -1372,7 +1372,7 @@ def _neardup_lsh_oracle(dim: int = 64, n_planes: int = 16, n_bands: int = 4,
     """Relational replica of cosine_neardup_pairs_lsh: identical plane
     literals (plane_component), band split via shift/mask, candidate
     equi-join on (band_idx, band_value), exact rounded-sim verify."""
-    width = n_planes // n_bands + (1 if n_planes % n_bands else 0)
+    width = similarity.band_width(n_planes, n_bands)
     mask = (1 << width) - 1
     sig_terms = []
     for p in range(n_planes):

@@ -212,6 +212,15 @@ class TestCollectStreaming:
                     tasks += si.numCompletedTasks
         assert tasks <= 8, f"limited streaming collect ran {tasks} tasks"
 
+    def test_streaming_limit_under_aqe_shuffle(self, spark):
+        """A limited plan CONTAINING a shuffle is rooted at
+        AdaptiveSparkPlan physically; the limit detection must use the
+        optimized logical root (GlobalLimit) so this shape also takes
+        the early-terminating collect path."""
+        lf = LazyFrame.from_spark(
+            spark.range(0, 320, 1, 8).groupBy("id").count()).limit(5)
+        assert len(lf.collect_streaming()) == 5
+
     def test_streaming_partial_iteration(self, spark):
         """stream_batches can be consumed partially and abandoned."""
         it = LazyFrame.from_spark(spark.range(0, 320, 1, 8)).stream_batches()
