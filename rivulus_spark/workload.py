@@ -1533,6 +1533,37 @@ def q_embedding_label_stats(spark, sf_dir):
                  F.round(F.avg(similarity.l2_norm(v)), 4).alias("avg_norm")))
 
 
+@_q("stratified_sample", """
+WITH s AS (
+  SELECT source, n_chars,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents)
+SELECT source, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
+FROM s
+WHERE b < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 800000
+               WHEN source IN ('src3', 'src4') THEN 500000
+               ELSE 100000 END
+GROUP BY source
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified mixture sampling over documents:
+    per-source keep rates on a content-derived MD5 bucket (identical
+    row set on any partitioning/engine — the point vs Dataset.sample's
+    per-partition RNG), summarized per source."""
+    from .operators import sample
+
+    rates = {"src0": 0.8, "src1": 0.8, "src2": 0.8,
+             "src3": 0.5, "src4": 0.5}
+    docs = _t(spark, sf_dir, "documents")
+    out = sample.stratified_hash_sample(docs, "source", rates,
+                                        key_col="doc_id",
+                                        default_rate=0.1)
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
 @_q("join_salted", """
 SELECT c_mktsegment, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_spend

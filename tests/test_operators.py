@@ -488,3 +488,34 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     assert len(cents) == 2
     assert cents[1] == [-1.0, 0.0]
     assert cents[0] == [5.0, 0.0]
+
+
+# ----------------------------------------------------------------------
+# deterministic sampling
+# ----------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from rivulus_spark.operators import sample
+
+    df = spark.range(0, 2000, 1, 8).withColumnRenamed("id", "k")
+    a = {r.k for r in sample.hash_sample(df, 0.3, "k").collect()}
+    b = {r.k for r in
+         sample.hash_sample(df.repartition(3), 0.3, "k").collect()}
+    assert a == b                      # partitioning-invariant
+    assert 0.2 < len(a) / 2000 < 0.4   # near the nominal rate
+    c = {r.k for r in sample.hash_sample(df, 0.3, "k", seed="s2").collect()}
+    assert c != a                      # independent redraw per seed
+
+
+def test_stratified_rates_respected(spark):
+    from rivulus_spark.operators import sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = sample.stratified_hash_sample(df, "g", {"a": 1.0}, "k",
+                                        default_rate=0.0)
+    got = {r.g for r in out.collect()}
+    assert got == {"a"}
+    assert out.count() == 1000
+    with pytest.raises(ValueError, match="rate"):
+        sample.hash_sample(df, 1.5, "k")
