@@ -60,3 +60,49 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_threshold(rate))).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def token_budget_plan(df: DataFrame, strata_col: str, weight_col: str,
+                      budget: int) -> DataFrame:
+    """Mixture plan for a token budget: WATERFILL ``budget`` across
+    strata — every stratum gets an equal share of the budget except
+    those with less than the waterline, which contribute everything
+    they have (their leftover raises the line for the rest). This is
+    the balanced-mix allocation (a giant web crawl must not drown the
+    small curated sources, which proportional sampling would do).
+
+    Closed relational form (no driver loop): sort strata by available
+    mass ascending; with prefix sums S_{i-1} and position i of k, the
+    waterline is  L = max_i (budget - S_{i-1}) / (k - i + 1)  and
+    alloc_i = min(avail_i, floor(L)). The candidate sequence rises
+    past every exhausted stratum and falls afterwards, so its max is
+    the exact level; when budget >= total it exceeds every avail and
+    the plan returns the whole corpus.
+
+    Cost: one partial-aggregated corpus scan to (stratum, mass), then
+    windows over the k-row stratum table — the global sort orders k
+    rows, not the corpus. Output per stratum:
+    (stratum, avail_tokens, alloc_tokens, rate) where ``rate`` is
+    floor(alloc/avail, 6 dp) — feed it to
+    :func:`stratified_hash_sample` to materialize the mix."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(weight_col).cast("long").alias("avail_tokens"))
+    w_ord = Window.orderBy("avail_tokens", "stratum")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum_prev = F.coalesce(F.sum("avail_tokens").over(w_prev), F.lit(0))
+    i = F.row_number().over(w_ord)
+    k = F.count("*").over(w_all)
+    cand = (F.lit(float(budget)) - cum_prev) / (k - i + 1)
+    staged = per.select("stratum", "avail_tokens",
+                        cand.alias("__cand"))
+    level = F.max("__cand").over(w_all)
+    alloc = F.least(F.col("avail_tokens"), F.floor(level).cast("long"))
+    rate = F.floor(alloc.cast("double") / F.col("avail_tokens")
+                   * 1_000_000) / 1_000_000
+    return staged.select(
+        "stratum", "avail_tokens", alloc.alias("alloc_tokens"),
+        F.when(F.col("avail_tokens") > 0, rate).otherwise(F.lit(0.0))
+        .alias("rate"))

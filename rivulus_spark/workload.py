@@ -1564,6 +1564,40 @@ def q_stratified_sample(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+@_q("token_budget_mix", """
+WITH per AS (
+  SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens
+  FROM documents GROUP BY source),
+staged AS (
+  SELECT stratum, avail_tokens,
+         (100000.0 - coalesce(sum(avail_tokens) OVER (
+              ORDER BY avail_tokens, stratum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         / (count(*) OVER ()
+            - row_number() OVER (ORDER BY avail_tokens, stratum) + 1)
+           AS cand
+  FROM per)
+SELECT stratum, avail_tokens,
+       least(avail_tokens, floor(max(cand) OVER ())::BIGINT) AS alloc_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN floor(least(avail_tokens,
+                             floor(max(cand) OVER ())::BIGINT)::DOUBLE
+                       / avail_tokens * 1000000) / 1000000
+            ELSE 0.0 END AS rate
+FROM staged
+""")
+def q_token_budget_mix(spark, sf_dir):
+    """Waterfill a 100k-token budget across document sources: equal
+    shares except strata smaller than the waterline, which contribute
+    everything (balanced-mix allocation — the closed relational form,
+    no driver loop). rate feeds stratified_hash_sample to materialize
+    the mix."""
+    from .operators import sample
+
+    return sample.token_budget_plan(_t(spark, sf_dir, "documents"),
+                                    "source", "n_chars", budget=100_000)
+
+
 @_q("join_salted", """
 SELECT c_mktsegment, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_spend

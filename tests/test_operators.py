@@ -519,3 +519,26 @@ def test_stratified_rates_respected(spark):
     assert out.count() == 1000
     with pytest.raises(ValueError, match="rate"):
         sample.hash_sample(df, 1.5, "k")
+
+
+def test_token_budget_waterfill_properties(spark):
+    from rivulus_spark.operators import sample
+
+    rows = [(0, "tiny", 10), (1, "small", 100), (2, "big", 10_000),
+            (3, "huge", 50_000)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    plan = {r.stratum: r for r in
+            sample.token_budget_plan(df, "src", "toks",
+                                     budget=1_000).collect()}
+    # small strata contribute everything; the rest split the remainder
+    assert plan["tiny"].alloc_tokens == 10
+    assert plan["small"].alloc_tokens == 100
+    assert plan["big"].alloc_tokens == plan["huge"].alloc_tokens == 445
+    total = sum(r.alloc_tokens for r in plan.values())
+    assert 1_000 - 2 <= total <= 1_000          # floor slack only
+    # budget >= total mass: keep the whole corpus
+    full = {r.stratum: r for r in
+            sample.token_budget_plan(df, "src", "toks",
+                                     budget=10**9).collect()}
+    assert all(r.alloc_tokens == r.avail_tokens and r.rate == 1.0
+               for r in full.values())
