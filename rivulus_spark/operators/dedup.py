@@ -28,7 +28,7 @@ are north-star operators.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cache
@@ -110,6 +110,27 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
+
+
+def exact_dup_edges(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-pair edges (doc_a, doc_b) from exact content matches,
+    as a CHAIN per fingerprint group (consecutive ids after an
+    in-group sort), not a clique: a group of k copies emits k-1 edges
+    instead of k·(k-1)/2, so edge volume stays linear in the duplicate
+    count — at 100 TB a hot boilerplate string duplicated a million
+    times would otherwise emit half a trillion pairs. Connected
+    components over chain edges recovers exactly the clique's
+    clusters (same components), which is why the downstream
+    :func:`connected_components` output is unchanged.
+
+    Plan shape: one MD5 projection, one hash shuffle on the 16-byte
+    fingerprint, one window ``lag`` per group — no joins."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+            .select(F.lag(id_col).over(w).alias("doc_a"),
+                    F.col(id_col).alias("doc_b"))
+            .filter(F.col("doc_a").isNotNull()))
 
 
 # ----------------------------------------------------------------------
@@ -401,6 +422,68 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def connected_components(edges: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph: (node, cluster)
+    where cluster is the MINIMUM doc id reachable from the node —
+    deterministic, so the transitive dedup clustering is
+    oracle-checkable (a pair list only relates documents two at a
+    time; survivorship policies need the full cluster).
+
+    Min-label propagation with pointer jumping: every node starts
+    labeled with itself; each round every node takes the min of its
+    own and its neighbors' labels, then follows its label's label
+    (labels are always node ids, so the indirection is a self-join) —
+    the shortcut halves chain depth per round, giving O(log diameter)
+    rounds instead of O(diameter); stop when a round changes nothing.
+
+    Scale shape: every round is one equi-join of the label table to
+    the symmetrized edge list plus a min-aggregation — all hash
+    shuffles keyed on node id, sized by the PAIR graph (~true
+    near-dups), never the corpus. The label table is persisted per
+    round (registered with rivulus_spark.cache) and the previous
+    round's cache is dropped eagerly; convergence is one count() on
+    the changed-label set per round."""
+    # the edge lineage (often a whole near-dup pipeline) is consumed
+    # once per round — persist it or every round recomputes it
+    sym = cache.persist(
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"),
+                            F.col(a_col).alias("dst"))))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = cache.persist(nodes.withColumn("label", F.col("node")))
+    labels.count()
+    for _ in range(max_iters):
+        neigh_min = (sym.join(labels, sym.dst == labels.node)
+                     .groupBy("src").agg(F.min("label").alias("nlabel")))
+        stepped = (labels.join(neigh_min, labels.node == neigh_min.src,
+                               "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nlabel"),
+                                              F.col("label")))
+                           .alias("label")))
+        # pointer jumping: label <- min(label, label(label))
+        x, y = stepped.alias("x"), stepped.alias("y")
+        nxt = (x.join(y, F.col("x.label") == F.col("y.node"), "left")
+               .select(F.col("x.node").alias("node"),
+                       F.least(F.col("x.label"),
+                               F.coalesce(F.col("y.label"),
+                                          F.col("x.label")))
+                       .alias("label")))
+        nxt = cache.persist(nxt)
+        changed = (nxt.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
 
 
 def simhash_pairs_brute(df: DataFrame, max_hamming: int = 3,

@@ -1112,6 +1112,54 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@_q("dedup_clusters", """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 250)
+),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.5
+),
+ep AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM documents
+  QUALIFY doc_a IS NOT NULL
+),
+pairs AS (SELECT * FROM jp UNION SELECT * FROM ep),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.node
+)
+SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+""")
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clustering: connected components (min-label
+    propagation) over the union of two edge sources — exact-duplicate
+    chain edges from the FULL corpus (fingerprint group-by, linear
+    edge count) plus exact Jaccard near-dup pairs on a bounded subset
+    (the brute-force baseline). A pair list only relates two documents
+    at a time; survivorship policy needs the full cluster. The oracle
+    replicates the fixpoint with a recursive CTE (reachability closure
+    + min), which is exactly what the distributed label propagation
+    converges to."""
+    docs = _t(spark, sf_dir, "documents")
+    jacc = (dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 250),
+                                      threshold=0.5)
+            .select("doc_a", "doc_b"))
+    exact = dedup.exact_dup_edges(docs)
+    return dedup.connected_components(jacc.unionByName(exact))
+
+
 _MINHASH_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -1665,7 +1713,7 @@ _PRIORITY: list[str] = [
     "text_chunking", "text_fingerprint", "lang_id", "doc_stats_by_source",
     # north star: dedup
     "dedup_exact", "ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "dedup_clusters",
     # north star: pipeline
     "pipeline_curate", "pipeline_stats",
     # north star: multimodal

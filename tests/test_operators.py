@@ -542,3 +542,38 @@ def test_token_budget_waterfill_properties(spark):
                                      budget=10**9).collect()}
     assert all(r.alloc_tokens == r.avail_tokens and r.rate == 1.0
                for r in full.values())
+
+
+def test_exact_dup_edges_chain_not_clique(spark):
+    """A group of 3 identical texts emits 2 chain edges (not 3 clique
+    edges); unique texts emit none; components are still recovered."""
+    docs = spark.createDataFrame(
+        [(1, "aa"), (4, "aa"), (2, "aa"), (7, "bb"), (9, "cc"), (11, "cc")],
+        "doc_id long, text string")
+    edges = sorted((r.doc_a, r.doc_b)
+                   for r in dedup.exact_dup_edges(docs).collect())
+    assert edges == [(1, 2), (2, 4), (9, 11)]
+    got = {r.node: r.cluster
+           for r in dedup.connected_components(
+               dedup.exact_dup_edges(docs)).collect()}
+    assert got == {1: 1, 2: 1, 4: 1, 9: 9, 11: 9}
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain a-b, b-c, plus a separate pair, clusters transitively to
+    the minimum reachable id (what the pair list alone cannot say)."""
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 30)], "doc_a long, doc_b long")
+    got = {r.node: r.cluster
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path needs multiple propagation rounds; the fixpoint
+    must still label every node with the global minimum."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long")
+    got = {r.node: r.cluster
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(12)}
