@@ -107,6 +107,20 @@ class LazyFrame:
         return cls(read_csv(spark, path, schema, delimiter))
 
     @classmethod
+    def from_jsonl(cls, spark: SparkSession, path: str,
+                   schema: list[tuple[str, DataType]] | dict[str, DataType] | None = None,
+                   corrupt_col: str | None = None) -> "LazyFrame":
+        """Schema-required line-delimited JSON scan (the CSV contract's
+        north-star sibling: no inference pre-scan, missing keys / JSON
+        null -> null, malformed lines into corrupt_col not a job kill).
+        Delegates to sources.jsonl."""
+        from .sources.jsonl import read_jsonl
+
+        if schema is None:
+            raise SchemaRequiredError("jsonl")
+        return cls(read_jsonl(spark, path, schema, corrupt_col))
+
+    @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "LazyFrame":
         return cls(spark.read.parquet(path))
 

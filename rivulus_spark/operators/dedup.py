@@ -455,17 +455,17 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
                             F.col(a_col).alias("dst"))))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = cache.persist(nodes.withColumn("label", F.col("node")))
-    labels.count()
     for _ in range(max_iters):
         neigh_min = (sym.join(labels, sym.dst == labels.node)
                      .groupBy("src").agg(F.min("label").alias("nlabel")))
-        stepped = (labels.join(neigh_min, labels.node == neigh_min.src,
-                               "left")
-                   .select("node",
-                           F.least(F.col("label"),
-                                   F.coalesce(F.col("nlabel"),
-                                              F.col("label")))
-                           .alias("label")))
+        # persisted: the pointer-jumping self-join below consumes it
+        # twice — uncached, the whole neigh_min agg would run twice
+        stepped = cache.persist(
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nlabel"), F.col("label")))
+                    .alias("label")))
         # pointer jumping: label <- min(label, label(label))
         x, y = stepped.alias("x"), stepped.alias("y")
         nxt = (x.join(y, F.col("x.label") == F.col("y.node"), "left")
@@ -480,10 +480,43 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
                    .filter(F.col("n.label") != F.col("o.label"))
                    .count())
         labels.unpersist()
+        stepped.unpersist()
         labels = nxt
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster"))
+
+
+def cluster_survivors(df: DataFrame, clusters: DataFrame,
+                      id_col: str = "doc_id",
+                      score_col: str = "n_chars") -> DataFrame:
+    """Survivorship: one canonical row per duplicate cluster —
+    ``(cluster, survivor_id, n_members)`` — winner = highest
+    ``score_col``, ties broken by smallest id (deterministic, so the
+    policy is oracle-checkable). Documents absent from the cluster
+    table are singleton clusters of themselves (left join + coalesce),
+    so the output IS the deduplicated corpus roster.
+
+    Scale shape: one left equi-join of the corpus to the (tiny)
+    cluster label table, then a single hash shuffle on cluster id for
+    the window rank — the same cost as any per-key top-1; no
+    correlated subquery, no second scan. Integer scores keep the
+    ordering bit-identical across engines (float scores should be
+    pre-rounded by the caller — see the workload float notes)."""
+    lab = clusters.select(F.col("node").alias("__n"),
+                          F.col("cluster").alias("__c"))
+    j = (df.select(F.col(id_col), F.col(score_col))
+         .join(lab, F.col(id_col) == F.col("__n"), "left")
+         .select(id_col, score_col,
+                 F.coalesce(F.col("__c"), F.col(id_col)).alias("cluster")))
+    w = Window.partitionBy("cluster").orderBy(F.col(score_col).desc(),
+                                              F.col(id_col).asc())
+    return (j.select("cluster", F.col(id_col).alias("survivor_id"),
+                     F.count("*").over(Window.partitionBy("cluster"))
+                     .alias("n_members"),
+                     F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))
 
 
 def simhash_pairs_brute(df: DataFrame, max_hamming: int = 3,

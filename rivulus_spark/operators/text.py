@@ -13,7 +13,7 @@ function library — /root/reference/src/expressions/expr.rs defines only
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: token marker sets for the n-gram/stopword language-ID heuristic
@@ -106,6 +106,69 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         stopword_ratio(c).alias("stopword_ratio"),
         (F.size(tokens(c)) < 50).alias("is_short"),
     )
+
+
+def ngrams(col: str | Column, n: int) -> Column:
+    """Word n-grams of a text column as ``array<string>`` (space-joined,
+    order-preserving, duplicates kept — counting wants the stream, not
+    the set). Pure codegen: sequence + slice over the token array."""
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return (F.when(F.size(toks) >= n,
+                   F.transform(starts,
+                               lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+            .otherwise(F.array().cast("array<string>")))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition metrics per document: token count,
+    distinct-token count, and the fraction of all tokens taken by the
+    single most frequent token (``top_tok_frac``, floor-truncated to 3
+    decimals so the ratio is engine-exact — see the workload float
+    notes). High top-token fraction / low distinct ratio flags
+    degenerate boilerplate the quality filter should drop.
+
+    Scale shape: explode -> two-level hash aggregation, both with
+    map-side partial aggregation; shuffle rows are (doc, token, count)
+    partials, bounded by the distinct-token count per doc, never the
+    raw token stream. No Python, no window over the corpus."""
+    per_tok = (df.select(F.col(id_col),
+                         F.explode(tokens(text_col)).alias("tok"))
+               .groupBy(id_col, "tok").agg(F.count("*").alias("c")))
+    return (per_tok.groupBy(id_col)
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count("*").alias("n_distinct_tokens"),
+                 F.max("c").alias("top_tok_count"))
+            .select(id_col, "n_tokens", "n_distinct_tokens",
+                    (F.floor(F.col("top_tok_count") * 1000
+                             / F.col("n_tokens")) / 1000)
+                    .alias("top_tok_frac")))
+
+
+def corpus_ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams by frequency: (ngram, n_docs,
+    total_count, rank), count-desc with an ngram tie-break so the cut
+    is deterministic. The corpus-frequency table that drives
+    boilerplate detection and contamination checks.
+
+    Scale shape: one explode + hash aggregation (partial map-side
+    combine collapses each partition's stream to its distinct n-grams)
+    followed by a rank window over ONE global partition of only the
+    aggregated n-gram table — Spark plans the k-cut as a group-limit
+    (TakeOrdered-style), so the driver never sees more than the
+    aggregate table and the full sort never materializes."""
+    grams = ngrams(text_col, n)
+    counts = (df.select(F.col("doc_id"), F.explode(grams).alias("g"))
+              .groupBy("g")
+              .agg(F.countDistinct("doc_id").alias("n_docs"),
+                   F.count("*").alias("total_count")))
+    w = Window.orderBy(F.col("total_count").desc(), F.col("g").asc())
+    return (counts.select(F.col("g").alias("ngram"), "n_docs",
+                          "total_count",
+                          F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k))
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

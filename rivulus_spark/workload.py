@@ -1160,6 +1160,140 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(jacc.unionByName(exact))
 
 
+@_q("dedup_survivors", """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 250)
+),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.5
+),
+ep AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM documents
+  QUALIFY doc_a IS NOT NULL
+),
+pairs AS (SELECT * FROM jp UNION SELECT * FROM ep),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.node
+),
+lab AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+j AS (
+  SELECT d.doc_id, d.n_chars, coalesce(l.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+)
+SELECT cluster, doc_id AS survivor_id, n_members
+FROM (SELECT cluster, doc_id,
+             count(*) OVER (PARTITION BY cluster) AS n_members,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM j)
+WHERE rn = 1
+""")
+def q_dedup_survivors(spark, sf_dir):
+    """Survivorship on top of the transitive clusters: the deduplicated
+    corpus roster — one canonical doc per cluster (longest text wins,
+    min-id tie-break), singletons surviving as themselves. This is the
+    step a curation pipeline actually ships: pairs -> clusters ->
+    survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    jacc = (dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 250),
+                                      threshold=0.5)
+            .select("doc_a", "doc_b"))
+    edges = jacc.unionByName(dedup.exact_dup_edges(docs))
+    return dedup.cluster_survivors(docs, dedup.connected_components(edges))
+
+
+@_q("jsonl_source_roundtrip", """
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE n_chars > 300
+""")
+def q_jsonl_source_roundtrip(spark, sf_dir):
+    """The JSONL source (schema-required line-delimited scan — the
+    training-corpus sibling of the CSV contract) against the oracle:
+    documents written lossless to JSONL then read back through
+    LazyFrame.from_jsonl with a SUBSET schema (text key deliberately
+    absent — the scanner must prune unrequested keys, not choke) and
+    filtered through the engine. The write is a per-run fixture; the
+    scan under test is the distributed JSON read."""
+    import os
+    import tempfile
+
+    from .schema import DataType
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rivulus_jsonl_docs_{abs(hash(sf_dir)) % 10**8}")
+    (docs.select("doc_id", "text", "lang", "source", "n_chars")
+     .coalesce(1).write.mode("overwrite").json(path))
+    lf = LazyFrame.from_jsonl(spark, path,
+                              schema=[("doc_id", DataType.INT64),
+                                      ("lang", DataType.STRING),
+                                      ("source", DataType.STRING),
+                                      ("n_chars", DataType.INT64)])
+    return (lf.filter(col("n_chars") > 300)
+            .select("doc_id", "lang", "source", "n_chars")
+            .to_spark())
+
+
+@_q("text_repetition", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_distinct_tokens,
+       floor(max(c) * 1000 / sum(c)) / 1000 AS top_tok_frac
+FROM pt GROUP BY doc_id
+""")
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (top-token fraction,
+    distinct-token count) per document — the boilerplate/degeneracy
+    signal a quality filter thresholds on."""
+    return text_ops.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@_q("ngram_topk", """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([words[i] || ' ' || words[i+1]
+                 for i in range(1, len(words))]) AS g
+  FROM w
+),
+c AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS total_count
+      FROM g GROUP BY g)
+SELECT g AS ngram, n_docs, total_count,
+       row_number() OVER (ORDER BY total_count DESC, g) AS rank
+FROM c QUALIFY rank <= 20
+""")
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-20 word bigrams (count-desc, ngram tie-break) —
+    the frequency table behind boilerplate and contamination checks;
+    planned as explode -> partial-agg -> group-limit."""
+    out = text_ops.corpus_ngram_topk(_t(spark, sf_dir, "documents"),
+                                     n=2, k=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _MINHASH_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -1704,16 +1838,16 @@ _PRIORITY: list[str] = [
     "agg_q1", "agg_q3", "agg_q5", "agg_salted",
     "array_agg_sorted", "events_json",
     # windows / temporal / semi-structured / streaming
-    "window_rank", "window_running",
+    "window_rank", "jsonl_source_roundtrip",
     "events_hourly", "stream_events_hourly", "sessionize",
     "asof_join_events", "range_join_events",
     "sketch_quantiles", "heavy_hitters",
     # north star: text analysis
-    "text_token_count", "text_quality", "text_bpe_tokens",
+    "text_token_count", "text_quality",
     "text_chunking", "text_fingerprint", "lang_id", "doc_stats_by_source",
     # north star: dedup
     "dedup_exact", "ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "dedup_clusters",
+    "dedup_simhash_pairs", "dedup_clusters", "dedup_survivors",
     # north star: pipeline
     "pipeline_curate", "pipeline_stats",
     # north star: multimodal

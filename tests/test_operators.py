@@ -569,6 +569,20 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 30: 20}
 
 
+def test_cluster_survivors_policy(spark):
+    """Highest score wins inside a cluster (min-id tie-break); docs in
+    no cluster survive as their own singleton."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)],
+        "doc_id long, n_chars long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster long")
+    got = {r.cluster: (r.survivor_id, r.n_members)
+           for r in dedup.cluster_survivors(docs, clusters).collect()}
+    # 2 beats 1 (score) and 3 (tie -> min id); 7 is a singleton
+    assert got == {1: (2, 3), 7: (7, 1)}
+
+
 def test_connected_components_long_path_converges(spark):
     """A 12-node path needs multiple propagation rounds; the fixpoint
     must still label every node with the global minimum."""

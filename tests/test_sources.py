@@ -59,6 +59,60 @@ class TestCsvSource:
         assert {r.name for r in out} == {"Alice", "Diana", "Eve"}
 
 
+JSONL_SCHEMA = [("id", DataType.INT64), ("name", DataType.STRING),
+                ("score", DataType.FLOAT64)]
+
+
+@pytest.fixture()
+def jsonl_file(tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "Alice", "score": 85.5, "extra": "ignored"}\n'
+        '{"id": 2, "name": null, "score": 70.0}\n'
+        '{"id": 3, "name": "Cara"}\n'             # missing key -> null
+        '{"id": 4, "name": "Dan", "score": 60.25}\n'
+    )
+    return str(p)
+
+
+class TestJsonlSource:
+    def test_schema_required(self, spark, jsonl_file):
+        with pytest.raises(SchemaRequiredError):
+            LazyFrame.from_jsonl(spark, jsonl_file)
+
+    def test_parse_contract(self, spark, jsonl_file):
+        rows = {r.id: r for r in
+                LazyFrame.from_jsonl(spark, jsonl_file,
+                                     JSONL_SCHEMA).collect()}
+        assert len(rows) == 4
+        assert rows[2].name is None                # JSON null -> null
+        assert rows[3].score is None               # missing key -> null
+        assert rows[1].score == 85.5
+        # keys outside the schema are pruned, not errors
+        assert set(rows[1].asDict()) == {"id", "name", "score"}
+
+    def test_corrupt_lines_quarantined(self, spark, tmp_path):
+        p = tmp_path / "bad.jsonl"
+        p.write_text('{"id": 1, "name": "ok"}\n'
+                     'this is not json\n'
+                     '{"id": 2, "name": "also ok"}\n')
+        out = LazyFrame.from_jsonl(
+            spark, str(p), [("id", DataType.INT64),
+                            ("name", DataType.STRING)],
+            corrupt_col="_bad").collect()
+        good = [r for r in out if r._bad is None]
+        bad = [r for r in out if r._bad is not None]
+        assert {r.id for r in good} == {1, 2}
+        assert len(bad) == 1 and "not json" in bad[0]._bad
+
+    def test_query_over_jsonl(self, spark, jsonl_file):
+        out = (LazyFrame.from_jsonl(spark, jsonl_file, JSONL_SCHEMA)
+               .filter(col("score") > 65.0)
+               .select("name", col("score").alias("s"))
+               .collect())
+        assert {r.s for r in out} == {85.5, 70.0}
+
+
 class TestSinks:
     def test_parquet_roundtrip_partitioned(self, spark, people, tmp_path):
         out = str(tmp_path / "p")
