@@ -443,10 +443,16 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     Scale shape: every round is one equi-join of the label table to
     the symmetrized edge list plus a min-aggregation — all hash
     shuffles keyed on node id, sized by the PAIR graph (~true
-    near-dups), never the corpus. The label table is persisted per
-    round (registered with rivulus_spark.cache) and the previous
-    round's cache is dropped eagerly; convergence is one count() on
-    the changed-label set per round."""
+    near-dups), never the corpus. Each round's label table is
+    ``localCheckpoint``-ed: the pointer-jumping self-join references
+    the previous round TWICE, so without lineage truncation the
+    logical plan doubles per round and Catalyst analysis alone goes
+    exponential (measured: 14s/round on an 8-node graph by round 2).
+    Truncation keeps every round's plan O(1) — the same reason
+    GraphFrames checkpoints its iterative algorithms. On a real
+    cluster swap ``localCheckpoint`` for reliable ``checkpoint()`` to
+    the cluster checkpoint dir if executor loss must be survivable;
+    convergence is one count() on the changed-label set per round."""
     # the edge lineage (often a whole near-dup pipeline) is consumed
     # once per round — persist it or every round recomputes it
     sym = cache.persist(
@@ -454,33 +460,37 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
         .union(edges.select(F.col(b_col).alias("src"),
                             F.col(a_col).alias("dst"))))
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = cache.persist(nodes.withColumn("label", F.col("node")))
+    # eager localCheckpoint: materializes AND truncates lineage, so
+    # round k's plan never contains round k-1's (old checkpoint blocks
+    # are freed by the ContextCleaner once the python ref drops)
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iters):
         neigh_min = (sym.join(labels, sym.dst == labels.node)
                      .groupBy("src").agg(F.min("label").alias("nlabel")))
-        # persisted: the pointer-jumping self-join below consumes it
-        # twice — uncached, the whole neigh_min agg would run twice
-        stepped = cache.persist(
-            labels.join(neigh_min, labels.node == neigh_min.src, "left")
-            .select("node",
-                    F.least(F.col("label"),
-                            F.coalesce(F.col("nlabel"), F.col("label")))
-                    .alias("label")))
-        # pointer jumping: label <- min(label, label(label))
+        # checkpointed: the pointer-jumping self-join consumes it
+        # twice — materialized, the edge-join + min-agg runs once
+        stepped = (labels.join(neigh_min, labels.node == neigh_min.src,
+                               "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nlabel"),
+                                              F.col("label")))
+                           .alias("label"))
+                   .localCheckpoint())
+        # pointer jumping: label <- min(label, label(label)); the
+        # self-join is why truncation matters — stepped appears twice
         x, y = stepped.alias("x"), stepped.alias("y")
         nxt = (x.join(y, F.col("x.label") == F.col("y.node"), "left")
                .select(F.col("x.node").alias("node"),
                        F.least(F.col("x.label"),
                                F.coalesce(F.col("y.label"),
                                           F.col("x.label")))
-                       .alias("label")))
-        nxt = cache.persist(nxt)
+                       .alias("label"))
+               .localCheckpoint())
         changed = (nxt.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label"))
                    .count())
-        labels.unpersist()
-        stepped.unpersist()
         labels = nxt
         if changed == 0:
             break
