@@ -1,4 +1,6 @@
-from . import asof, dedup, multimodal, pipeline, similarity, sketch, skew, text
+from . import (asof, cluster, contamination, dedup, multimodal, pack,
+               pipeline, quantize, sample, similarity, sketch, skew, text)
 
-__all__ = ["asof", "dedup", "multimodal", "pipeline", "similarity",
+__all__ = ["asof", "cluster", "contamination", "dedup", "multimodal",
+           "pack", "pipeline", "quantize", "sample", "similarity",
            "sketch", "skew", "text"]

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
+
 #: token marker sets for the n-gram/stopword language-ID heuristic
 EN_MARKERS = ["the", "a", "of", "and", "to", "is", "in", "it"]
 
@@ -169,6 +171,36 @@ def corpus_ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
                           "total_count",
                           F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= k))
+
+
+def top_distinctive_terms(df: DataFrame, k: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k distinctive terms ``(doc_id, term, tf, df,
+    rank)``: terms ranked by in-document frequency descending, then
+    corpus document-frequency ASCENDING (rarer wins the tie), then
+    term — the integer-exact core of tf-idf term selection (for a
+    fixed tf, idf ordering IS ascending-df ordering), with no float
+    in the ranking so the cut is bit-deterministic across engines.
+
+    Scale shape: explode -> (doc, term, tf) hash aggregation (map-side
+    partial), a second aggregation of the same table to the corpus df
+    table (|vocab| rows, far smaller than the corpus), one equi-join
+    back on term, and a per-doc row_number that Spark executes as a
+    group-limit — shuffles carry (doc, term, counts) rows, never
+    text."""
+    per_doc = (df.select(F.col(id_col),
+                         F.explode(tokens(text_col)).alias("term"))
+               .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    per_doc = cache.persist(per_doc)
+    corpus_df = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (per_doc.join(corpus_df, "term")
+            .select(id_col, "term", "tf", "df",
+                    F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .withColumn("rank", F.col("rank").cast("long")))
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1817,6 +1817,121 @@ def q_kmeans_cluster_sizes(spark, sf_dir):
     return cluster.kmeans_cluster_sizes(emb, init, dim=64, n_iters=3)
 
 
+@_q("decontaminate", r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                               for i in range(1, len(words)-1)])) AS s
+  FROM w
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+tr AS (SELECT * FROM h WHERE doc_id % 50 <> 0),
+ev AS (SELECT * FROM h WHERE doc_id % 50 = 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.h)::BIGINT AS n_shared_ngrams,
+       count(DISTINCT ev.doc_id)::BIGINT AS n_eval_docs
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""")
+def q_decontaminate(spark, sf_dir):
+    """Train/eval contamination report: every 50th document plays the
+    held-out eval set; training documents sharing any 3-gram shingle
+    with it are flagged with overlap counts (shingle-hash equi-join —
+    the GPT-3-style decontamination pass)."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination.contamination_report(train, ev, k=3)
+
+
+@_q("sequence_packing", r"""
+WITH t AS (
+  SELECT source AS part, doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tok
+  FROM documents),
+a AS (
+  SELECT part, n_tok,
+         floor((sum(n_tok) OVER (PARTITION BY part ORDER BY doc_id)
+                - n_tok) / 512)::BIGINT AS window_id
+  FROM t)
+SELECT part, window_id, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       floor(sum(n_tok) * 1000 / 512) / 1000 AS fill_frac
+FROM a GROUP BY part, window_id
+""")
+def q_sequence_packing(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing into 512-token context
+    windows per source stream: per-window doc counts, token totals,
+    occupancy — the document->window layout a pre-training data loader
+    materializes."""
+    from .operators import pack
+
+    return pack.pack_context_windows(_t(spark, sf_dir, "documents"),
+                                     ctx_len=512)
+
+
+@_q("tfidf_terms", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tf DESC, df ASC, term) AS rank
+FROM tf JOIN dfq USING (term)
+QUALIFY rank <= 3
+""")
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 distinctive terms (tf desc, corpus-df asc,
+    term tie-break) — integer-exact tf-idf term selection with no float
+    in the ranking."""
+    return text_ops.top_distinctive_terms(
+        _t(spark, sf_dir, "documents"), k=3)
+
+
+@_q("embedding_quantize", """
+WITH x AS (
+  SELECT vec_id, len(embedding)::BIGINT AS dim,
+         list_transform(embedding, v -> v::DOUBLE) AS xd
+  FROM embeddings),
+s AS (SELECT vec_id, dim, xd,
+             list_max(list_transform(xd, v -> abs(v))) AS scale
+      FROM x),
+q AS (SELECT vec_id, dim, xd, scale,
+             list_transform(xd, v -> CASE WHEN scale = 0 THEN 0
+                 ELSE greatest(-127, least(127,
+                      floor(v / scale * 127)::BIGINT)) END) AS qi
+      FROM s)
+SELECT vec_id, dim,
+       floor(scale * 1000000) / 1000000 AS scale_q,
+       len(list_filter(qi, v -> abs(v) = 127))::BIGINT AS n_sat,
+       floor((list_dot_product(xd, xd)
+              - 2.0 * (scale / 127.0)
+                * list_dot_product(xd, list_transform(qi, v -> v::DOUBLE))
+              + (scale / 127.0) * (scale / 127.0)
+                * list_dot_product(list_transform(qi, v -> v::DOUBLE),
+                                   list_transform(qi, v -> v::DOUBLE)))
+             * 1000000000) / 1000000000 AS sq_err_q
+FROM q
+""")
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization report over the embeddings table:
+    per-vector scale, saturation count, and closed-form squared
+    reconstruction error (dot-product identity — no reconstructed
+    vector materialized, no Python)."""
+    from .operators import quantize
+
+    return quantize.quantize_int8_report(_t(spark, sf_dir, "embeddings"))
+
+
 # ======================================================================
 # Registration order: the driver's correctness harness oracle-checks the
 # FIRST 50 entries of QUERIES. Priority goes to (a) the north-star

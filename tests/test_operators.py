@@ -591,3 +591,80 @@ def test_connected_components_long_path_converges(spark):
     got = {r.node: r.cluster
            for r in dedup.connected_components(edges).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+# ----------------------------------------------------------------------
+# contamination / packing / tf-idf / quantization
+# ----------------------------------------------------------------------
+
+def test_contamination_report_overlap(spark):
+    """Train docs sharing a 3-gram with any eval doc are flagged with
+    distinct-shingle and distinct-eval-doc counts; clean docs absent."""
+    from rivulus_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),      # shares 2 shingles w/ 100
+         (2, "totally unrelated training text here"),
+         (3, "quick brown fox runs away")],      # shares 1 shingle w/ 100
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps"),
+         (101, "quick brown fox sleeps too")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shared_ngrams, r.n_eval_docs)
+           for r in contamination.contamination_report(train, ev).collect()}
+    # doc 1: "the quick brown" (ev 100) + "quick brown fox" (ev 100+101)
+    # doc 3: "quick brown fox" (ev 100+101)
+    assert got == {1: (2, 2), 3: (1, 2)}
+
+
+def test_pack_context_windows_assignment(spark):
+    """Docs land in the window where their first token falls; totals
+    and fill fractions are integer-exact."""
+    from rivulus_spark.operators import pack
+
+    docs = spark.createDataFrame(
+        [("a", 1, "w " * 6), ("a", 2, "w " * 3), ("a", 3, "w " * 4),
+         ("b", 4, "w " * 2)],
+        "source string, doc_id long, text string")
+    out = {(r.part, r.window_id): (r.n_docs, r.total_tokens, r.fill_frac)
+           for r in pack.pack_context_windows(docs, ctx_len=8).collect()}
+    # stream a: cum-before = 0, 6, 9 -> windows 0, 0, 1
+    assert out == {("a", 0): (2, 9, 1.125), ("a", 1): (1, 4, 0.5),
+                   ("b", 0): (1, 2, 0.25)}
+
+
+def test_top_distinctive_terms_ranking(spark):
+    """tf desc first, then RARER term (lower corpus df) wins the tie,
+    then lexicographic."""
+    docs = spark.createDataFrame(
+        [(1, "apple apple common zebra"),
+         (2, "common plain words here"),
+         (3, "common zebra plain fruit")],
+        "doc_id long, text string")
+    out = text.top_distinctive_terms(docs, k=2)
+    got = {(r.doc_id, r.rank): r.term for r in out.collect()}
+    # doc 1: apple tf=2 first; zebra (df=2) beats common (df=3)
+    assert got[(1, 1)] == "apple" and got[(1, 2)] == "zebra"
+    # doc 2: all tf=1 -> here/plain/words (df=1,2,1): here, words df=1 tie
+    assert got[(2, 1)] == "here" and got[(2, 2)] == "words"
+
+
+def test_quantize_int8_report(spark):
+    """Scale is max|x|/127 pre-division form, extremes saturate, error
+    is small and non-negative for a round-trippable vector; all-zero
+    vectors are guarded (scale 0, error 0)."""
+    from rivulus_spark.operators import quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           quantize.quantize_int8_report(df).collect()}
+    r1 = got[1]
+    assert r1.dim == 3 and r1.scale_q == 2.0
+    # -2.0/2*127 = -127 saturates (floor(-127) = -127); 1.0 -> 63
+    assert r1.n_sat == 1
+    assert 0.0 <= r1.sq_err_q < 0.001
+    r2 = got[2]
+    assert r2.scale_q == 0.0 and r2.n_sat == 0 and r2.sq_err_q == 0.0
