@@ -107,3 +107,32 @@ def test_sql_entry_pushes_all_predicates(spark):
 
 def test_heavy_hitters_uses_topk_merge(spark):
     assert "TakeOrderedAndProject" in plan(spark, "heavy_hitters")
+
+
+def test_decontaminate_is_hashed_equi_join(spark):
+    # shingle-hash equi-join: no nested loop / cartesian fan-out, and
+    # the join key is the 60-bit hash, so no text crosses the shuffle
+    p = plan(spark, "decontaminate")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "EvalPython" not in p
+
+
+def test_sequence_packing_single_stream_shuffle(spark):
+    # one hash exchange keys the per-stream running sum; no Python,
+    # no nested loop, no global single-partition window
+    p = plan(spark, "sequence_packing")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_embedding_quantize_is_scan_only_projection(spark):
+    # closed-form error: a single parquet scan + projection — zero
+    # exchanges, zero joins, zero Python
+    p = plan(spark, "embedding_quantize")
+    assert "Exchange" not in p
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_tfidf_terms_group_limit_no_text_shuffle(spark):
+    p = plan(spark, "tfidf_terms")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
