@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+    StructField("ts", LongType()),  # legacy TIMESTAMP(NANOS) layout read as long
     StructField("user_id", LongType()),
     StructField("event_type", StringType()),
     StructField("value", DoubleType()),
@@ -46,9 +46,23 @@ def _nanos_to_ts(df: DataFrame) -> DataFrame:
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Batch read of an events parquet path (nanos-ts aware)."""
+    """Batch read of an events parquet path (nanos-ts aware; a native
+    TIMESTAMP(MICROS) ts is passed through untouched)."""
+    _events_read_confs(spark)
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = _nanos_to_ts(df)
+    return df
+
+
+def _events_read_confs(spark: SparkSession) -> None:
+    """Read confs for the two ts layouts events.parquet has shipped
+    with: TIMESTAMP(NANOS) (unsupported by the vectorized reader —
+    read the raw nanos as long) and TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (read as tz-aware TIMESTAMP, not
+    TIMESTAMP_NTZ — watermarks reject NTZ event time)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _nanos_to_ts(spark.read.parquet(path))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def read_event_stream(spark: SparkSession, path: str,
@@ -63,7 +77,7 @@ def read_event_stream(spark: SparkSession, path: str,
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _events_read_confs(spark)
     if schema is None:
         schema = spark.read.parquet(path).schema
     if os.path.isfile(path):

@@ -61,14 +61,23 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects. Read nanos as long (legacy conf,
+    """events.parquet has shipped ts as either TIMESTAMP(MICROS) (read
+    natively) or TIMESTAMP(NANOS), which Spark's vectorized parquet
+    reader rejects — for the latter, read nanos as long (legacy conf,
     runtime-settable) and rebuild a microsecond timestamp with integer
     division (double division would lose precision above 2^53 ns)."""
+    from pyspark.sql.types import LongType
+
     _prep(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a MICROS ts carries isAdjustedToUTC=false; read it as TIMESTAMP
+    # (session-tz UTC), not TIMESTAMP_NTZ — watermarks and unix_micros
+    # want the tz-aware type
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # ======================================================================
