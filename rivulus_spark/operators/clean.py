@@ -1,0 +1,160 @@
+"""Text cleaning for training-data curation: HTML stripping, PII
+redaction, and Gopher/C4-style quality heuristics.
+
+Everything here is a pure JVM-side column expression (regexp_replace /
+regexp_count / length arithmetic) that runs inside whole-stage codegen:
+the whole module is a projection over the scan — no shuffle, no Python,
+linear in bytes scanned, and therefore safe at 100 TB by construction.
+
+All regexes are RE2-compatible (no lookarounds, no backreferences) so
+the same pattern runs identically under Java regex (Spark), RE2
+(DuckDB's oracle), and Go/Rust regex engines — a deliberate portability
+contract, mirroring the BPE pattern in text.py.
+
+Reference: the reference engine (/root/reference/src/expressions/
+expr.rs) has no scalar string functions at all; these are north-star
+superset operators for the LLM-pipeline use case (quality filtering and
+PII removal are the first two passes any web-scale corpus gets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+# ---------------------------------------------------------------------
+# HTML stripping
+# ---------------------------------------------------------------------
+
+#: tags (open/close/self-closing) — deliberately simple: markup-as-text
+#: cleanup for web-scraped corpora, not an HTML parser
+TAG_PATTERN = r"<[^>]+>"
+
+#: the entities worth decoding without an entity table
+_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+             ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def strip_html(col: str | Column) -> Column:
+    """Drop tags, decode the common entities, collapse whitespace.
+    Order matters: tags first (entities inside attributes disappear
+    with the tag), then entities, then whitespace."""
+    c = F.regexp_replace(_c(col), TAG_PATTERN, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return normalize_ws(c)
+
+
+def normalize_ws(col: str | Column) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------
+
+#: detection patterns, applied in this order (email before phone so the
+#: digits in a local-part are not re-matched; IP before phone so dotted
+#: quads don't half-match a phone pattern)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Replace every PII match with its placeholder token."""
+    c = _c(col)
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document match counts (``n_email``, ``n_ipv4``, ...) plus
+    ``n_pii`` total — the audit signal curation pipelines threshold on
+    (drop documents with pathological PII density, scrub the rest)."""
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(_c(text_col), F.lit(pat))
+                             .cast("long"))
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+# ---------------------------------------------------------------------
+# Gopher / C4-style quality heuristics
+# ---------------------------------------------------------------------
+
+#: symbols whose density marks boilerplate/junk (Gopher's symbol ratio)
+_SYMBOLS = ["#", "...", "…"]
+
+#: stopwords whose *presence* marks real prose (Gopher requires >=2)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_ratio: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Per-document quality flags after Gopher's rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1) restricted to what is
+    computable as pure column arithmetic:
+
+    - ``wc`` in [min_words, max_words]
+    - mean word length in [min_mean_wl, max_mean_wl]
+    - symbol-to-word ratio (# / ellipsis) <= max_symbol_ratio
+    - fraction of words containing an alphabetic char >= min_alpha_ratio
+    - at least ``min_stop_hits`` distinct common stopwords present
+
+    Emits one boolean per rule plus the conjunction ``gopher_pass``.
+    Flags (not a filter) so the caller can audit rule-by-rule rejection
+    rates before committing to a corpus-wide drop.
+    """
+    t = _c(text_col)
+    wc = token_count(t)
+    # mean word length == non-space chars / words
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = nonspace / wc
+    n_sym = None
+    for s in _SYMBOLS:
+        c = F.regexp_count(t, F.lit(s if s != "..." else r"\.\.\."))
+        n_sym = c if n_sym is None else n_sym + c
+    n_alpha_words = F.regexp_count(t, F.lit(r"[A-Za-z][A-Za-z0-9]*"))
+    n_stops = None
+    for s in _GOPHER_STOPS:
+        hit = (F.regexp_count(t, F.lit(rf"\b{s}\b")) > 0).cast("int")
+        n_stops = hit if n_stops is None else n_stops + hit
+
+    out = (df
+           .withColumn("wc", wc.cast("long"))
+           .withColumn("mean_wl", mean_wl)
+           .withColumn("flag_wc",
+                       (wc >= min_words) & (wc <= max_words))
+           .withColumn("flag_mean_wl",
+                       (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl))
+           .withColumn("flag_symbols",
+                       (n_sym / wc) <= max_symbol_ratio)
+           .withColumn("flag_alpha",
+                       (n_alpha_words / wc) >= min_alpha_ratio)
+           .withColumn("flag_stops", n_stops >= min_stop_hits))
+    return out.withColumn(
+        "gopher_pass",
+        F.col("flag_wc") & F.col("flag_mean_wl") & F.col("flag_symbols")
+        & F.col("flag_alpha") & F.col("flag_stops"))

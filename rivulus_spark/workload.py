@@ -1032,6 +1032,144 @@ def q_text_chunking(spark, sf_dir):
                                     max_tokens=32, overlap=8)
 
 
+#: deterministic PII suffix appended to the synthetic documents so the
+#: scrub/count operators have real matches to find (same expression on
+#: both engines)
+_PII_SUFFIX_SQL = ("' contact user' || doc_id || '@example.com from 10.0.' "
+                   "|| (doc_id % 200) || '.7 ssn 123-45-6789 tel 555-867-5309'")
+
+
+def _pii_augmented(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .withColumn("t", F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 ssn 123-45-6789 tel 555-867-5309"))))
+
+
+@_q("pii_scrub", r"""
+WITH aug AS (
+  SELECT doc_id, text || """ + _PII_SUFFIX_SQL + r""" AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+  (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+   + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+   + len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')))::BIGINT AS n_pii,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+FROM aug
+""")
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (operators/clean.py): per-document
+    match counts per pattern class and the MD5 of the scrubbed text
+    (the scrubbed body itself stays distributed — only the 32-char
+    digest is emitted, so the query output is audit-sized at any
+    corpus scale). Pure codegen regex projection, no shuffle."""
+    from .operators import clean
+
+    df = clean.pii_counts(_pii_augmented(spark, sf_dir), "t")
+    return df.select("doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
+                     "n_pii",
+                     F.md5(clean.pii_scrub("t")).alias("scrub_md5"))
+
+
+@_q("html_strip", """
+WITH h AS (
+  SELECT doc_id,
+         '<div class="post"><p>' || text || '</p>&nbsp;<a href="http://x.test/'
+         || doc_id || '">link &amp; more</a></div>' AS html
+  FROM documents),
+s0 AS (SELECT doc_id, regexp_replace(html, '<[^>]+>', ' ', 'g') AS t FROM h),
+s1 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(t,
+                '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', '''') AS t
+       FROM s0),
+s2 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s1)
+SELECT doc_id, md5(t) AS stripped_md5, length(t)::BIGINT AS n_chars_stripped
+FROM s2
+""")
+def q_html_strip(spark, sf_dir):
+    """Markup removal (operators/clean.py): documents wrapped in a
+    deterministic HTML shell, then tag-stripped, entity-decoded, and
+    whitespace-collapsed. Emits the digest + length of the cleaned
+    body (engine-portable check without shipping the text)."""
+    from .operators import clean
+
+    html = F.concat(
+        F.lit('<div class="post"><p>'), F.col("text"),
+        F.lit('</p>&nbsp;<a href="http://x.test/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">link &amp; more</a></div>'))
+    df = _t(spark, sf_dir, "documents").withColumn("html", html)
+    stripped = clean.strip_html("html")
+    return df.select("doc_id",
+                     F.md5(stripped).alias("stripped_md5"),
+                     F.length(stripped).cast("long")
+                     .alias("n_chars_stripped"))
+
+
+@_q("gopher_quality", r"""
+WITH g AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS wc,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonspace,
+         len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS n_sym,
+         len(regexp_extract_all(text, '[A-Za-z][A-Za-z0-9]*')) AS n_alpha,
+         (CASE WHEN len(regexp_extract_all(text, '\bthe\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\bbe\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\bto\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\bof\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\band\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\bthat\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\bhave\b')) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN len(regexp_extract_all(text, '\bwith\b')) > 0 THEN 1 ELSE 0 END)
+           AS n_stops
+  FROM documents)
+SELECT doc_id, wc::BIGINT AS wc,
+       floor(nonspace::DOUBLE / wc * 10000) / 10000 AS mean_wl,
+       (wc >= 30 AND wc <= 100000) AS flag_wc,
+       (nonspace::DOUBLE / wc >= 3.0 AND nonspace::DOUBLE / wc <= 10.0)
+         AS flag_mean_wl,
+       (n_sym::DOUBLE / wc <= 0.1) AS flag_symbols,
+       (n_alpha::DOUBLE / wc >= 0.8) AS flag_alpha,
+       (n_stops >= 2) AS flag_stops,
+       ((wc >= 30 AND wc <= 100000)
+        AND (nonspace::DOUBLE / wc >= 3.0 AND nonspace::DOUBLE / wc <= 10.0)
+        AND (n_sym::DOUBLE / wc <= 0.1)
+        AND (n_alpha::DOUBLE / wc >= 0.8)
+        AND (n_stops >= 2)) AS gopher_pass
+FROM g
+""")
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality flags (operators/clean.py): word-count
+    bounds, mean word length, symbol density, alpha-word ratio, and
+    stopword presence, each emitted as an auditable boolean plus the
+    conjunction. Both engines derive every ratio from the same integer
+    counts, so the float comparisons agree bit-for-bit."""
+    from .operators import clean
+
+    df = clean.gopher_quality(_t(spark, sf_dir, "documents"),
+                              min_words=30)
+    return df.select("doc_id", "wc",
+                     (F.floor(F.col("mean_wl") * 10000) / 10000)
+                     .alias("mean_wl"),
+                     "flag_wc", "flag_mean_wl", "flag_symbols",
+                     "flag_alpha", "flag_stops", "gopher_pass")
+
+
 @_q("agg_salted", """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
 FROM orders GROUP BY o_custkey
@@ -1959,16 +2097,17 @@ _PRIORITY: list[str] = [
     "join_inner", "join_three", "join_part_promo",
     "csv_source_roundtrip", "mem_source_join", "sql_entry_q6",
     # core aggregation / flagship
-    "agg_q1", "agg_q3", "agg_q5", "agg_salted",
+    "agg_q1", "agg_q3", "agg_salted",
     "array_agg_sorted", "events_json",
     # windows / temporal / semi-structured / streaming
     "window_rank", "jsonl_source_roundtrip",
     "events_hourly", "stream_events_hourly", "sessionize",
     "asof_join_events", "range_join_events",
     "sketch_quantiles", "heavy_hitters",
-    # north star: text analysis
+    # north star: text analysis / cleaning
     "text_token_count", "text_quality",
-    "text_chunking", "text_fingerprint", "lang_id", "doc_stats_by_source",
+    "text_chunking", "lang_id", "doc_stats_by_source",
+    "pii_scrub", "gopher_quality",
     # north star: dedup
     "dedup_exact", "ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_survivors",
