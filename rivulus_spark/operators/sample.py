@@ -106,3 +106,30 @@ def token_budget_plan(df: DataFrame, strata_col: str, weight_col: str,
         "stratum", "avail_tokens", alloc.alias("alloc_tokens"),
         F.when(F.col("avail_tokens") > 0, rate).otherwise(F.lit(0.0))
         .alias("rate"))
+
+
+def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
+                  seed: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative bucket range its key hash falls into. Fractions
+    must sum to 1; the last split absorbs the final bucket range
+    exactly, so every row is assigned. Content-addressed like
+    ``hash_sample``: re-runs, repartitions, and other engines agree on
+    every row's split — the property that keeps eval rows out of train
+    across pipeline versions. Pure projection, no shuffle."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    b = hash_bucket(F.col(key_col), seed)
+    names = list(splits)
+    expr = F.lit(names[-1])  # catch-all: last split owns the tail range
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += splits[name]
+        bounds.append((name, int(cum * N_BUCKETS)))
+    for name, bound in reversed(bounds):
+        expr = F.when(b < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -749,6 +749,49 @@ def q_stream_events_hourly(spark, sf_dir):
         "event_type", "n_events", "sum_value")
 
 
+@_q("stream_dedup", """
+SELECT DISTINCT md5(text) AS fp FROM documents
+""")
+def q_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/stateful.py
+    streaming_dedup, applyInPandasWithState): exact first-seen-wins
+    dedup over a multi-file document stream, drained with
+    Trigger.AvailableNow. The emitted key set must equal batch
+    DISTINCT over the same corpus — that's the oracle; keep_id is
+    dropped because which duplicate survives depends on micro-batch
+    arrival order (documented operator contract, not an engine
+    property)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import stateful
+    from .streaming import windows as sw
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5("text").alias("fp")))
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        "rivulus_stream_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    docs.repartition(4).write.mode("overwrite").parquet(staging)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(staging))
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = sw.run_available_now(
+            stateful.streaming_dedup(stream), query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("fp")
+
+
 @_q("sessionize", """
 WITH gaps AS (
   SELECT user_id,
@@ -1394,6 +1437,37 @@ def q_jsonl_source_roundtrip(spark, sf_dir):
             .to_spark())
 
 
+@_q("partitioned_sink_roundtrip", """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang, source
+""")
+def q_partitioned_sink_roundtrip(spark, sf_dir):
+    """The hive-partitioned parquet sink (sources/sink.py) end to end:
+    documents written ``partitionBy(lang)``, read back with a filter on
+    the partition column — the read plan prunes non-matching ``lang=*/``
+    directories (PartitionFilters, asserted in tests/test_plans.py)
+    before any row group is opened. The write is a per-run fixture; the
+    scan under test is the pruned partitioned read."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import sink
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "rivulus_part_docs_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    sink.write_parquet(docs, path, partition_by=["lang"])
+    back = (sink.read_parquet(spark, path)
+            .filter(F.col("lang").isin("en", "de")))
+    return (back.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 @_q("text_repetition", """
 WITH toks AS (
   SELECT doc_id,
@@ -1848,6 +1922,34 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"), "sim")
 
 
+@_q("ann_recall", f"""
+WITH exact AS ({_KNN_ORACLE}),
+approx AS ({_ann_lsh_oracle()})
+SELECT e.q_id, count(a.n_id) AS n_hits,
+       count(a.n_id) / 5.0 AS recall_at_5
+FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+""")
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit: recall@5 of the LSH index against the exact
+    brute-force top-5 per query — the metric that decides whether an
+    approximate index is usable before pointing it at the full corpus
+    (run on a hash-sampled slice at 100 TB; both sides stay
+    distributed, the join is on (q_id, n_id) pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_cosine(emb, q, k=5).select("q_id", "n_id")
+    approx = (similarity.ann_cosine_lsh(emb, q, k=5, dim=64, n_planes=8)
+              .select(F.col("q_id").alias("a_q"),
+                      F.col("n_id").alias("a_n")))
+    joined = exact.join(
+        approx, (exact.q_id == approx.a_q) & (exact.n_id == approx.a_n),
+        "left")
+    return (joined.groupBy("q_id")
+            .agg(F.count("a_n").alias("n_hits"),
+                 (F.count("a_n") / F.lit(5.0)).alias("recall_at_5")))
+
+
 @_q("embedding_label_stats", """
 SELECT label, count(*) AS n_vecs,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
@@ -1891,6 +1993,36 @@ def q_stratified_sample(spark, sf_dir):
     return (out.groupBy("source")
             .agg(F.count("*").alias("n_sampled"),
                  F.sum("n_chars").alias("sum_chars")))
+
+
+@_q("train_eval_split", """
+WITH s AS (
+  SELECT source, n_chars,
+         ('0x' || substring(md5('split1' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents)
+SELECT CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM s GROUP BY split
+""")
+def q_train_eval_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment
+    (operators/sample.py assign_splits): content-addressed MD5 bucket
+    ranges, so the same document lands in the same split on any
+    engine, partitioning, or pipeline version — the guarantee that
+    keeps eval data out of training across re-runs. Summarized as
+    per-split counts + token mass."""
+    from .operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample.assign_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="doc_id", seed="split1")
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
 
 
 @_q("token_budget_mix", """

@@ -668,3 +668,70 @@ def test_quantize_int8_report(spark):
     assert 0.0 <= r1.sq_err_q < 0.001
     r2 = got[2]
     assert r2.scale_q == 0.0 and r2.n_sat == 0 and r2.sq_err_q == 0.0
+
+
+# ----------------------------------------------------------------------
+# clean (PII / HTML / quality rules)
+# ----------------------------------------------------------------------
+
+def test_pii_scrub_and_counts(spark):
+    from rivulus_spark.operators import clean
+
+    df = spark.createDataFrame([
+        (0, "mail me at jo.doe+x@corp.example.org or 192.168.1.10"),
+        (1, "ssn 123-45-6789 phone 555 867 5309 done"),
+        (2, "nothing sensitive here"),
+    ], "doc_id long, text string")
+    counts = {r.doc_id: r for r in clean.pii_counts(df).collect()}
+    assert counts[0].n_email == 1 and counts[0].n_ipv4 == 1
+    assert counts[1].n_ssn == 1 and counts[1].n_phone == 1
+    assert counts[2].n_pii == 0
+    scrubbed = {r.doc_id: r.t for r in
+                df.select("doc_id",
+                          clean.pii_scrub("text").alias("t")).collect()}
+    assert scrubbed[0] == "mail me at <EMAIL> or <IP>"
+    assert scrubbed[1] == "ssn <SSN> phone <PHONE> done"
+    assert scrubbed[2] == "nothing sensitive here"
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from rivulus_spark.operators import clean
+
+    df = spark.createDataFrame(
+        [(0, '<p>a &amp; b</p>\n\n  <a href="x">c&nbsp;d</a>')],
+        "doc_id long, text string")
+    out = df.select(clean.strip_html("text").alias("t")).head().t
+    assert out == "a & b c d"
+
+
+def test_gopher_flags(spark):
+    from rivulus_spark.operators import clean
+
+    good = "the cat and the dog have been seen with that mouse " * 6
+    df = spark.createDataFrame([
+        (0, good.strip()),          # passes everything
+        (1, "x " * 60),             # mean word length 1 -> flag_mean_wl False
+        (2, "### ## # " * 20),      # symbols + no alpha -> several flags False
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in clean.gopher_quality(df, min_words=30).collect()}
+    assert out[0].gopher_pass is True
+    assert out[1].flag_mean_wl is False and out[1].gopher_pass is False
+    assert out[2].flag_symbols is False and out[2].flag_alpha is False
+
+
+def test_assign_splits_deterministic_partition_invariant(spark):
+    from rivulus_spark.operators import sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in
+         sample.assign_splits(df, splits, "k").collect()}
+    b = {r.k: r.split for r in
+         sample.assign_splits(df.repartition(13), splits, "k").collect()}
+    assert a == b                       # partition invariant
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.75 < frac_train < 0.85     # close to requested rate
+    with pytest.raises(ValueError):
+        sample.assign_splits(df, {"train": 0.5}, "k")

@@ -136,3 +136,20 @@ def test_embedding_quantize_is_scan_only_projection(spark):
 def test_tfidf_terms_group_limit_no_text_shuffle(spark):
     p = plan(spark, "tfidf_terms")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_partitioned_read_prunes_directories(spark):
+    # the read side of the partitioned sink must prune lang=*/ dirs at
+    # planning time (PartitionFilters), not filter rows post-scan
+    p = plan(spark, "partitioned_sink_roundtrip")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0]
+
+
+def test_clean_operators_are_codegen_projections(spark):
+    # PII scrub / gopher rules are regex projections: no shuffle, no
+    # Python stage, whole plan is scan + project
+    for name in ("pii_scrub", "gopher_quality"):
+        p = plan(spark, name)
+        assert "EvalPython" not in p, name
+        assert "Exchange" not in p, name
