@@ -8,6 +8,7 @@ sliding / session windows, and late-data handling, built on Spark
 Structured Streaming.
 """
 
+from .joins import interval_join
 from .stateful import running_totals, streaming_dedup
 from .windows import (
     enrich_stream,
@@ -21,6 +22,7 @@ from .windows import (
 
 __all__ = [
     "enrich_stream",
+    "interval_join",
     "load_events",
     "read_event_stream",
     "run_available_now",

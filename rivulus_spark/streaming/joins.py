@@ -1,0 +1,68 @@
+"""Stream-stream joins: correlating two live streams in event time.
+
+A stream-stream join is stateful on BOTH sides — each side buffers rows
+until the other side can no longer produce a match. Two things bound
+that state (and both are required on unbounded streams):
+
+- a **watermark** on each input (how late a row may arrive), and
+- a **time-range condition** tying the two event times together
+  (how far apart matching rows may be).
+
+From those Spark derives a per-side state-retention horizon and evicts
+buffered rows the moment they can no longer join — the state store
+holds only the active correlation window, not the stream's history,
+which is what keeps the operator viable on an unbounded 100 TB/day
+feed. The join itself shuffles both sides on the equi-key, so key skew
+matters exactly as it does for a batch join (salt upstream if a single
+user/session dominates).
+
+Inner joins emit as matches happen; outer joins additionally emit the
+unmatched row once its side's horizon passes (so outer results are
+delayed by the watermark, by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: str,
+                  left_time: str, right_time: str,
+                  lower: str, upper: str,
+                  left_watermark: str | None = None,
+                  right_watermark: str | None = None,
+                  how: str = "inner",
+                  extra: Column | None = None) -> DataFrame:
+    """Join rows with equal ``on`` keys whose event times satisfy
+    ``left_time + lower <= right_time <= left_time + upper`` (bounds as
+    SQL interval strings, e.g. ``lower="-30 minutes"``, ``upper="0
+    seconds"``). Works identically for two batch frames (plain range
+    join, no state) and two streaming frames (state-bounded
+    stream-stream join) — the batch form IS the correctness oracle for
+    the streaming one.
+
+    Column naming: every right-side column is suffixed ``_r`` (the
+    engine's join contract for overlapping names, frame.py `_right`),
+    including the key and time columns, so downstream projections are
+    unambiguous.
+    """
+    if left.isStreaming:
+        if left_watermark is None or right_watermark is None:
+            raise ValueError(
+                "stream-stream joins require watermarks on both sides "
+                "(state would grow without bound)")
+        left = left.withWatermark(left_time, left_watermark)
+        right = right.withWatermark(right_time, right_watermark)
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    lt, rt = F.col(left_time), F.col(f"{right_time}_r")
+    cond = (
+        (F.col(on) == F.col(f"{on}_r"))
+        & (rt >= lt + F.expr(f"INTERVAL {lower}"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper}"))
+    )
+    if extra is not None:
+        cond = cond & extra
+    return left.join(r, cond, how)

@@ -749,6 +749,56 @@ def q_stream_events_hourly(spark, sf_dir):
         "event_type", "n_events", "sum_value")
 
 
+@_q("stream_interval_join", """
+SELECT p.event_id, p.user_id, count(*) AS n_views,
+       round(sum(v.value), 2) AS sum_view_value
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts - INTERVAL 1 MICROSECOND
+GROUP BY p.event_id, p.user_id
+""")
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.py): purchases
+    correlated with the same user's views in the strictly-preceding 30
+    minutes, BOTH sides live streams with watermarks bounding the join
+    state, drained via Trigger.AvailableNow and aggregated. The oracle
+    is the identical batch range join — batch parity is the operator's
+    contract."""
+    import tempfile
+    import uuid
+
+    from .streaming import joins as sj
+    from .streaming import windows as sw
+
+    _prep(spark)
+    s = sw.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    p = (s.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    v = (s.filter(F.col("event_type") == "view")
+         .select("user_id", "ts", "value"))
+    j = sj.interval_join(p, v, on="user_id", left_time="ts",
+                         right_time="ts", lower="-30 minutes",
+                         upper="-1 microseconds",
+                         left_watermark="2 hours",
+                         right_watermark="2 hours")
+    name = f"stream_ij_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = sw.run_available_now(
+            j, query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.groupBy("event_id", "user_id")
+            .agg(F.count("*").alias("n_views"),
+                 F.round(F.sum("value_r"), 2).alias("sum_view_value")))
+
+
 @_q("stream_dedup", """
 SELECT DISTINCT md5(text) AS fp FROM documents
 """)

@@ -194,3 +194,40 @@ def test_enrich_stream_static_join_parity(spark, event_dir, tmp_path):
     got_stream = run_available_now(agg, "enrich_parity",
                                    str(tmp_path / "ckpt"))
     assert _rows(got_batch, "cohort") == _rows(got_stream, "cohort")
+
+
+def test_interval_join_requires_watermarks(spark, tmp_path):
+    from rivulus_spark.streaming import interval_join, read_event_stream
+
+    s = read_event_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    p = s.select("event_id", "user_id", "ts")
+    with pytest.raises(ValueError, match="watermark"):
+        interval_join(p, p, on="user_id", left_time="ts",
+                      right_time="ts", lower="-1 hours", upper="0 seconds")
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from rivulus_spark.streaming import (
+        interval_join, load_events, read_event_stream, run_available_now,
+    )
+
+    def sides(src):
+        p = (src.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+        v = (src.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "value"))
+        return p, v
+
+    kw = dict(on="user_id", left_time="ts", right_time="ts",
+              lower="-30 minutes", upper="-1 microseconds")
+    bp, bv = sides(load_events(spark, "/root/testdata/sf0.001/events.parquet"))
+    batch = {(r.event_id, r.user_id, r.value_r)
+             for r in interval_join(bp, bv, **kw).collect()}
+    sp, sv = sides(read_event_stream(
+        spark, "/root/testdata/sf0.001/events.parquet"))
+    j = interval_join(sp, sv, left_watermark="2 hours",
+                      right_watermark="2 hours", **kw)
+    got = run_available_now(j, "t_interval_join", str(tmp_path / "ckpt"),
+                            output_mode="append")
+    stream = {(r.event_id, r.user_id, r.value_r) for r in got.collect()}
+    assert stream == batch and len(batch) > 0
