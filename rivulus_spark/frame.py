@@ -183,11 +183,19 @@ class LazyFrame:
 
     def join(self, other: "LazyFrame", left_key: str | list[str],
              right_key: str | list[str], how: str = "inner",
-             broadcast_right: bool = False) -> "LazyFrame":
+             broadcast_right: bool = False,
+             null_safe: bool = False) -> "LazyFrame":
         """Join with the reference's logical output contract: left columns,
         then right columns minus the right key(s); right-side name
         collisions get a ``_right`` suffix. Superset: multi-key + all Spark
-        join types; the reference supports only single-key inner."""
+        join types; the reference supports only single-key inner.
+
+        ``null_safe=True`` matches keys with the reference's null
+        semantics — ``Null == Null`` is true (ref series.rs:90), i.e.
+        SQL ``IS NOT DISTINCT FROM`` — instead of Spark/SQL three-valued
+        logic where null keys never match. Still a hash-partitionable
+        equi-join (``<=>`` is a valid shuffle key), so the physical plan
+        is identical to the plain equi-join."""
         if how not in _JOIN_TYPES:
             raise InvalidPredicateError(f"unsupported join type {how!r}")
         lks = [left_key] if isinstance(left_key, str) else list(left_key)
@@ -209,7 +217,8 @@ class LazyFrame:
             r = F.broadcast(r)
         cond = None
         for lk, rk in zip(lks, rks):
-            c = F.col(f"__rvl.{lk}") == F.col(f"__rvr.{rk}")
+            lc, rc = F.col(f"__rvl.{lk}"), F.col(f"__rvr.{rk}")
+            c = lc.eqNullSafe(rc) if null_safe else (lc == rc)
             cond = c if cond is None else (cond & c)
         joined = l.join(r, cond, how)
         if how in ("semi", "anti"):

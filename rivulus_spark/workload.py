@@ -383,6 +383,31 @@ def q_pivot_status(spark, sf_dir):
             .to_spark())
 
 
+@_q("unpivot_status", """
+WITH p AS (
+  SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, status, total FROM (
+  SELECT o_orderpriority, 'F' AS status, F AS total FROM p
+  UNION ALL SELECT o_orderpriority, 'O', O FROM p
+  UNION ALL SELECT o_orderpriority, 'P', P FROM p)
+WHERE total IS NOT NULL
+""")
+def q_unpivot_status(spark, sf_dir):
+    """Pivot then unpivot (wide -> long melt): the round-trip shows
+    both reshapes compose; unpivot is a zero-shuffle Expand projection
+    (each input row fans out to one row per value column)."""
+    wide = (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority").pivot("o_orderstatus")
+            .agg(F.round(F.sum("o_totalprice"), 2)))
+    return (wide.unpivot(["o_orderpriority"], ["F", "O", "P"],
+                         "status", "total")
+            .filter(F.col("total").isNotNull()))
+
+
 @_q("argmax_per_group", """
 SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -972,6 +997,35 @@ def q_mem_source_join(spark, sf_dir):
             .agg(F.count("*").alias("n_nations"),
                  F.sum("boost").alias("total_boost"),
                  F.max(F.col("note").cast("string")).alias("note")))
+
+
+@_q("join_null_safe", """
+SELECT t.grp, count(*) AS n, sum(v.val)::BIGINT AS total
+FROM (VALUES (1, 'a'), (NULL, 'b'), (2, 'c'), (NULL, 'd')) t(k, grp)
+JOIN (VALUES (1, 10), (NULL, 40), (2, 20)) v(k, val)
+  ON t.k IS NOT DISTINCT FROM v.k
+GROUP BY t.grp
+""")
+def q_join_null_safe(spark, sf_dir):
+    """The reference's null-join semantics (series.rs:90: Null == Null
+    is TRUE, unlike SQL three-valued logic) as a first-class join
+    option: ``join(..., null_safe=True)`` compiles to ``<=>`` — still
+    a hash-partitionable equi-join — so rows with null keys pair up
+    instead of silently dropping. Exercised through the in-memory
+    source path end to end."""
+    left = LazyFrame.from_dataframe(spark, {
+        "k": [1, None, 2, None],
+        "grp": ["a", "b", "c", "d"],
+    })
+    right = LazyFrame.from_dataframe(spark, {
+        "k": [1, None, 2],
+        "val": [10, 40, 20],
+    })
+    j = left.join(right, "k", "k", null_safe=True)
+    return (j.to_spark()
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"),
+                 F.sum("val").cast("long").alias("total")))
 
 
 @_q("sql_entry_q6", """

@@ -142,6 +142,19 @@ class TestJoin:
         alice = sorted(r.amount for r in rows if r.name == "Alice")
         assert alice == [25.99, 99.99]
 
+
+    def test_null_safe_join_matches_null_keys(self, spark):
+        left = LazyFrame.from_dataframe(spark, {
+            "k": [1, None, 2], "tag": ["x", "y", "z"]})
+        right = LazyFrame.from_dataframe(spark, {
+            "k": [None, 2], "val": [40, 20]})
+        # SQL semantics: the null key never matches
+        plain = left.join(right, "k", "k").collect()
+        assert sorted(r.tag for r in plain) == ["z"]
+        # reference semantics (series.rs:90: Null == Null is true)
+        safe = left.join(right, "k", "k", null_safe=True).collect()
+        assert sorted((r.tag, r.val) for r in safe) == [("y", 40), ("z", 20)]
+
     def test_join_collision_suffix(self, spark, users):
         right = LazyFrame.from_dataframe(spark, {
             "uid": [1, 2], "name": ["A2", "B2"],
