@@ -1,0 +1,81 @@
+"""Statistical language-model quality scoring (char-bigram perplexity).
+
+Heuristic quality flags (clean.py) catch structural junk; a statistical
+score catches *unnatural text* — the CCNet/KenLM pattern where each
+document is scored by a language model and the corpus is filtered or
+bucketed by perplexity. A real KenLM needs external model files; the
+same signal at engine level is an add-one-smoothed character-bigram
+model **trained on the corpus itself in one aggregation** and applied
+in one broadcast-join pass:
+
+    score(doc) = mean_i  ln( (c(b_i) + 1) / (c(first(b_i)) + V) )
+
+where c(..) are corpus bigram / context counts and V the alphabet
+size. Gibberish scores far below prose because its bigrams are rare in
+the corpus distribution.
+
+Scale shape: the model table is bounded by |alphabet|² (a few thousand
+rows regardless of corpus size), so it always broadcasts; training is
+one partial-aggregated explode of the corpus, scoring is a map-side
+lookup join + per-doc aggregate. Nothing superlinear, no Python.
+
+Reference: north-star superset (the reference engine has no string or
+statistical surface at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clean import normalize_ws
+
+
+def _char_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram) rows over the lowercased, whitespace-collapsed
+    text — one row per adjacent char pair, corpus-linear."""
+    t = F.lower(normalize_ws(text_col))
+    return (df.select(F.col(id_col), t.alias("__t"))
+            .select(id_col,
+                    F.explode(F.expr(
+                        "transform(sequence(1, length(__t) - 1), "
+                        "i -> substring(__t, i, 2))")).alias("bigram"))
+            .filter(F.length("bigram") == 2))
+
+
+def train_char_bigram(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The model: corpus bigram counts ``(bigram, c_bigram, c_ctx)``
+    with the context count (first-char marginal) attached. Bounded by
+    alphabet², so the result broadcasts at any corpus scale."""
+    bg = (_char_bigrams(df, text_col, id_col)
+          .groupBy("bigram").agg(F.count("*").alias("c_bigram")))
+    ctx = (bg.groupBy(F.substring("bigram", 1, 1).alias("ctx"))
+           .agg(F.sum("c_bigram").alias("c_ctx")))
+    return (bg.withColumn("ctx", F.substring("bigram", 1, 1))
+            .join(F.broadcast(ctx), "ctx")
+            .select("bigram", "c_bigram", "c_ctx"))
+
+
+def charlm_score(df: DataFrame, model: DataFrame | None = None,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Score each document under the (corpus-trained or supplied)
+    bigram model: ``(id, n_bigrams, charlm_logprob)`` where the score
+    is the mean add-one-smoothed log probability per bigram. Unseen
+    bigrams fall back to ``1 / (c_ctx + V)`` (unseen context: ``1/V``).
+    """
+    if model is None:
+        model = train_char_bigram(df, text_col, id_col)
+    from .. import cache
+    model = cache.persist(model)  # alphabet²-bounded: one training pass
+    v = model.select(F.substring("bigram", 1, 1)).distinct().count()
+    per = _char_bigrams(df, text_col, id_col)
+    m = F.broadcast(model)
+    joined = per.join(m, "bigram", "left")
+    logp = F.log(
+        (F.coalesce(F.col("c_bigram"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(v)).cast("double"))
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.avg(logp).alias("charlm_logprob")))

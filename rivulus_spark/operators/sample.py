@@ -133,3 +133,30 @@ def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
     for name, bound in reversed(bounds):
         expr = F.when(b < bound, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def quota_cap(df: DataFrame, strata_col: str, n: int, key_col: str,
+              seed: str = "") -> DataFrame:
+    """Cap each stratum at ``n`` rows, chosen deterministically: rows
+    are ranked inside their stratum by content hash (then key, for
+    total order) and the first ``n`` survive. The domain-quota pass of
+    web-corpus curation — no single source may dominate the mix — with
+    the same engine-portable determinism as ``hash_sample``.
+
+    Scale shape: one hash exchange on the stratum column, then a
+    per-stratum rank that Spark executes as a group-limit (each
+    partition keeps a bounded heap per stratum, no global sort). Skewed
+    strata are exactly the point: the group-limit discards a hot
+    stratum's overflow map-side."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(strata_col)
+         .orderBy(hash_bucket_raw(F.col(key_col), seed), F.col(key_col)))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def hash_bucket_raw(key: Column, seed: str = "") -> Column:
+    """The full 60-bit MD5 hash (no modulus) — a finer-grained
+    deterministic ordering key than :func:`hash_bucket`."""
+    return word_hash(F.concat(F.lit(seed), key.cast("string")))

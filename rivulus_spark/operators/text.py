@@ -255,3 +255,57 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     Used as the exact-dedup key at scale — grouping on a 128-bit
     fingerprint instead of the full text keeps shuffle rows small."""
     return df.select("doc_id", F.md5(F.col(text_col)).alias("fp_md5"))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                min_count: int = 1, max_size: int | None = None) -> DataFrame:
+    """Frequency-ordered vocabulary: ``(token, count, token_id)`` with
+    ids assigned by (count desc, token asc) so the mapping is
+    deterministic across engines and runs. ``min_count`` prunes the
+    long tail BEFORE the id window; ``max_size`` caps the vocabulary.
+
+    Scale shape: explode -> partial-aggregated count (each partition
+    collapses to its distinct tokens map-side), then one rank window
+    over the |vocab|-row aggregate — the window sorts the vocabulary
+    table, never the corpus. The output is small enough to broadcast
+    into :func:`encode_docs` at any corpus scale (vocab size is
+    bounded by max_size, not corpus size)."""
+    counts = (df.select(F.explode(tokens(text_col)).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("count"))
+              .filter(F.col("count") >= min_count))
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    out = counts.select("token", "count",
+                        F.row_number().over(w).cast("long")
+                        .alias("token_id"))
+    if max_size is not None:
+        out = out.filter(F.col("token_id") <= max_size)
+    return out
+
+
+def encode_docs(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", oov_id: int = 0) -> DataFrame:
+    """Tokenize each document and map tokens to vocabulary ids:
+    ``(doc_id, n_tokens, n_oov, ids)`` where ``ids`` is the
+    space-joined id sequence in document order (out-of-vocabulary
+    tokens become ``oov_id``).
+
+    Scale shape: posexplode keeps (doc, pos, token) rows; the vocab
+    side is broadcast (bounded by construction), so encoding is a
+    map-side hash lookup — no shuffle of the corpus. The per-doc
+    reassembly groups on doc_id and sorts each doc's (pos, id) pairs
+    inside the aggregate, touching only that doc's tokens."""
+    toks = df.select(F.col(id_col),
+                     F.posexplode(tokens(text_col)).alias("pos", "token"))
+    v = F.broadcast(vocab.select("token", "token_id"))
+    joined = (toks.join(v, "token", "left")
+              .select(id_col, "pos",
+                      F.coalesce(F.col("token_id"), F.lit(oov_id))
+                      .alias("tid")))
+    assembled = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s.tid.cast("string")), " ")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum((F.col("tid") == oov_id).cast("long"))
+                 .alias("n_oov"),
+                 assembled.alias("ids")))

@@ -2099,6 +2099,117 @@ def q_stratified_sample(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+@_q("charlm_quality", r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM t),
+per AS (SELECT doc_id, substring(t, i, 2) AS bigram FROM pos),
+bg AS (SELECT bigram, count(*) AS c_bigram FROM per GROUP BY bigram),
+ctx AS (SELECT substring(bigram, 1, 1) AS c, sum(c_bigram) AS c_ctx
+        FROM bg GROUP BY c),
+m AS (SELECT bigram, c_bigram, c_ctx
+      FROM bg JOIN ctx ON substring(bg.bigram, 1, 1) = ctx.c),
+v AS (SELECT count(DISTINCT substring(bigram, 1, 1)) AS v FROM bg)
+SELECT per.doc_id, count(*) AS n_bigrams,
+       floor(avg(ln((m.c_bigram + 1)::DOUBLE / (m.c_ctx + v.v)))
+             * 10000) / 10000 AS charlm_logprob
+FROM per JOIN m USING (bigram), v
+GROUP BY per.doc_id
+""")
+def q_charlm_quality(spark, sf_dir):
+    """Char-bigram LM perplexity scoring (operators/lm.py): the model
+    trains on the corpus in one partial-aggregated pass (alphabet²
+    rows — broadcastable at any scale), then every document is scored
+    by mean smoothed log-probability in one map-side lookup join —
+    the CCNet-style statistical quality signal next to the heuristic
+    Gopher flags."""
+    from .operators import lm
+
+    out = lm.charlm_score(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_bigrams",
+                      (F.floor(F.col("charlm_logprob") * 10000) / 10000)
+                      .alias("charlm_logprob"))
+
+
+@_q("vocab_topk", r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS count FROM t
+      GROUP BY token HAVING count(*) >= 5),
+v AS (SELECT token, count,
+             row_number() OVER (ORDER BY count DESC, token) AS token_id
+      FROM c)
+SELECT token, count, token_id FROM v WHERE token_id <= 100
+""")
+def q_vocab_topk(spark, sf_dir):
+    """Frequency-ordered vocabulary construction (text.build_vocab):
+    min-count pruning then deterministic (count desc, token) id
+    assignment. The id window sorts only the |vocab|-row aggregate —
+    the corpus never leaves its partial-aggregated count form."""
+    return text_ops.build_vocab(_t(spark, sf_dir, "documents"),
+                                min_count=5, max_size=100)
+
+
+@_q("encode_docs", r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM d),
+tok AS (SELECT doc_id, i, w[i] AS token FROM tok0),
+cnt AS (SELECT token, count(*) AS count FROM tok
+        GROUP BY token HAVING count(*) >= 5),
+v0 AS (SELECT token, row_number() OVER (ORDER BY count DESC, token)
+              AS token_id
+       FROM cnt),
+v AS (SELECT * FROM v0 WHERE token_id <= 100)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       string_agg(coalesce(v.token_id, 0)::VARCHAR, ' ' ORDER BY tok.i)
+         AS ids
+FROM tok LEFT JOIN v ON v.token = tok.token
+GROUP BY tok.doc_id
+""")
+def q_encode_docs(spark, sf_dir):
+    """Token-id encoding against the built vocabulary
+    (text.encode_docs): the vocab table is broadcast (bounded by
+    max_size), so encoding is a map-side lookup over posexploded
+    tokens — the corpus is never shuffled; per-doc sequences
+    reassemble in-order inside the aggregate. OOV tokens map to id 0
+    and are counted."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text_ops.build_vocab(docs, min_count=5, max_size=100)
+    return text_ops.encode_docs(docs, vocab)
+
+
+@_q("source_quota", """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5('quota' || doc_id::VARCHAR),
+                                       1, 15))::BIGINT, doc_id) AS rn
+  FROM documents)
+SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS sum_chars
+FROM r WHERE rn <= 30 GROUP BY source
+""")
+def q_source_quota(spark, sf_dir):
+    """Per-source quota capping (sample.quota_cap): each source keeps
+    its deterministically-first 30 documents by content hash — the
+    domain-balance pass that stops one crawl domain from dominating a
+    mixture. Executes as a per-stratum group-limit, not a global
+    sort."""
+    from .operators import sample
+
+    out = sample.quota_cap(_t(spark, sf_dir, "documents"),
+                           "source", 30, key_col="doc_id", seed="quota")
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 @_q("train_eval_split", """
 WITH s AS (
   SELECT source, n_chars,

@@ -735,3 +735,45 @@ def test_assign_splits_deterministic_partition_invariant(spark):
     assert 0.75 < frac_train < 0.85     # close to requested rate
     with pytest.raises(ValueError):
         sample.assign_splits(df, {"train": 0.5}, "k")
+
+
+def test_build_vocab_and_encode(spark):
+    df = spark.createDataFrame([
+        (0, "a b a c"),
+        (1, "a b zz"),
+    ], "doc_id long, text string")
+    vocab = {r.token: (r.token_id, r["count"])
+             for r in text.build_vocab(df).collect()}
+    # a:3 -> id 1, b:2 -> id 2, c:1/zz:1 alphabetical -> c=3, zz=4
+    assert vocab["a"] == (1, 3) and vocab["b"] == (2, 2)
+    assert vocab["c"][0] == 3 and vocab["zz"][0] == 4
+    enc = {r.doc_id: r for r in
+           text.encode_docs(df, text.build_vocab(df, max_size=3)).collect()}
+    assert enc[0].ids == "1 2 1 3" and enc[0].n_oov == 0
+    assert enc[1].ids == "1 2 0" and enc[1].n_oov == 1  # zz cut by max_size
+
+
+def test_quota_cap_deterministic(spark):
+    from rivulus_spark.operators import sample
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("src"), F.col("id").alias("k"))
+    a = {(r.src, r.k) for r in
+         sample.quota_cap(df, "src", 10, "k").collect()}
+    b = {(r.src, r.k) for r in
+         sample.quota_cap(df.repartition(7), "src", 10, "k").collect()}
+    assert a == b
+    from collections import Counter
+    assert all(v == 10 for v in Counter(s for s, _ in a).values())
+
+
+def test_charlm_scores_gibberish_below_prose(spark):
+    from rivulus_spark.operators import lm
+
+    prose = "the cat sat on the mat and the dog sat on the log "
+    rows = [(i, prose) for i in range(8)] + [(8, "xq zv qx vz jq qj xz zx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.charlm_logprob for r in lm.charlm_score(df).collect()}
+    prose_score = out[0]
+    assert all(abs(out[i] - prose_score) < 1e-9 for i in range(8))
+    assert out[8] < prose_score - 0.5  # gibberish is far less probable
