@@ -153,3 +153,18 @@ def test_clean_operators_are_codegen_projections(spark):
         p = plan(spark, name)
         assert "EvalPython" not in p, name
         assert "Exchange" not in p, name
+
+
+def test_encode_docs_broadcasts_vocab(spark):
+    # the vocab side must broadcast (bounded by max_size); the corpus
+    # must never reach a sort-merge or nested-loop join
+    p = plan(spark, "encode_docs")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "NestedLoop" not in p
+
+
+def test_charlm_model_joins_broadcast(spark):
+    # the alphabet²-bounded model must broadcast into the scoring join
+    p = plan(spark, "charlm_quality")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
