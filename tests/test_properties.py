@@ -81,3 +81,43 @@ def test_int_arithmetic_matches_python(spark, xs, ys):
                     (col("x") * lit(2)).alias("d")).collect()
     assert [r.s for r in out] == [a + b for a, b in zip(xs, ys)]
     assert [r.d for r in out] == [a * 2 for a in xs]
+
+
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(codec="ascii",
+                                   categories=("L", "N", "P", "Z")),
+            max_size=60),
+    min_size=1, max_size=6))
+@SET
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """Scrubbing is idempotent, and a scrubbed text contains no
+    remaining PII matches (counts over scrubbed output are all 0)."""
+    from rivulus_spark.operators import clean
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = df.select("doc_id", clean.pii_scrub("text").alias("text"))
+    twice = once.select("doc_id", clean.pii_scrub("text").alias("text"))
+    assert ({(r.doc_id, r.text) for r in once.collect()}
+            == {(r.doc_id, r.text) for r in twice.collect()})
+    residue = clean.pii_counts(once).agg({"n_pii": "sum"}).head()[0]
+    assert residue in (0, None)
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=40, unique=True))
+@SET
+def test_assign_splits_total_and_disjoint(spark, keys):
+    """Every key gets exactly one split, and membership depends only
+    on the key (stable under union with other keys)."""
+    from rivulus_spark.operators import sample
+
+    splits = {"a": 0.5, "b": 0.3, "c": 0.2}
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    full = {r.k: r.split for r in
+            sample.assign_splits(df, splits, "k").collect()}
+    assert set(full) == set(keys)
+    half = spark.createDataFrame([(k,) for k in keys[::2]], "k long")
+    sub = {r.k: r.split for r in
+           sample.assign_splits(half, splits, "k").collect()}
+    assert all(full[k] == v for k, v in sub.items())
