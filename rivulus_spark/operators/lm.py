@@ -34,8 +34,10 @@ from .clean import normalize_ws
 def _char_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, bigram) rows over the lowercased, whitespace-collapsed
     text — one row per adjacent char pair, corpus-linear."""
+    from ..partitioning import spread
+
     t = F.lower(normalize_ws(text_col))
-    return (df.select(F.col(id_col), t.alias("__t"))
+    return (spread(df).select(F.col(id_col), t.alias("__t"))
             .select(id_col,
                     F.explode(F.expr(
                         "transform(sequence(1, length(__t) - 1), "

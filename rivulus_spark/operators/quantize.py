@@ -40,7 +40,14 @@ def quantize_int8_report(df: DataFrame, vec_col: str = "embedding",
     elements saturate at |q| = 127, and the squared reconstruction
     error. ``scale_q`` is 6-decimal and ``sq_err_q`` 9-decimal
     floor-truncated. All-zero vectors quantize to all-zero with
-    scale 0 and error 0 (guarded — no 0/0)."""
+    scale 0 and error 0 (guarded — no 0/0).
+
+    The per-element fold arithmetic dominates the scan, so the input
+    is ``spread`` across cores first (no-op on well-split inputs; see
+    partitioning.py)."""
+    from ..partitioning import spread
+
+    df = spread(df)
     xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = F.array_max(F.transform(xd, F.abs))
     q = F.transform(
