@@ -85,9 +85,11 @@ def shingle_rows(df: DataFrame, text_col: str = "text",
     the partial-distinct — both carry ~20-byte rows."""
     from pyspark.sql import Window
 
+    from ..partitioning import spread
+
     w = Window.partitionBy("id").orderBy("pos")
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    toks = spread(df).select(F.col(id_col).alias("id"),
+                             F.posexplode(tokens(text_col)).alias("pos", "tok"))
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
     return (toks.select("id", F.concat_ws(" ", *parts).alias("s"),
                         parts[-1].isNotNull().alias("__full"))
@@ -363,8 +365,10 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     32 interpreted passes per document; this form stays inside
     whole-stage codegen with map-side partial aggregation and is ~10x
     faster on corpus-scale inputs (same trade as minhash_signatures)."""
-    w = (df.select(F.col(id_col).alias("id"),
-                   F.explode(tokens(text_col)).alias("tok"))
+    from ..partitioning import spread
+
+    w = (spread(df).select(F.col(id_col).alias("id"),
+                           F.explode(tokens(text_col)).alias("tok"))
          .select("id", word_hash(F.col("tok")).alias("h")))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
