@@ -2444,17 +2444,18 @@ _PRIORITY: list[str] = [
     "join_inner", "join_three", "join_part_promo",
     "csv_source_roundtrip", "mem_source_join", "sql_entry_q6",
     # core aggregation / flagship
-    "agg_q1", "agg_q3", "agg_salted",
+    "agg_q1", "agg_salted",
     "array_agg_sorted", "events_json",
     # windows / temporal / semi-structured / streaming
-    "window_rank", "jsonl_source_roundtrip",
-    "events_hourly", "stream_events_hourly", "sessionize",
+    "window_rank",
+    "stream_events_hourly", "stream_interval_join", "sessionize",
     "asof_join_events", "range_join_events",
     "sketch_quantiles", "heavy_hitters",
-    # north star: text analysis / cleaning
-    "text_token_count", "text_quality",
+    # north star: text analysis / cleaning / splits
+    "text_quality", "charlm_quality",
     "text_chunking", "lang_id", "doc_stats_by_source",
     "pii_scrub", "gopher_quality",
+    "train_eval_split", "encode_docs",
     # north star: dedup
     "dedup_exact", "ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_survivors",
