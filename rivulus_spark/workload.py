@@ -713,6 +713,83 @@ def q_rollup_count(spark, sf_dir):
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
+@_q("events_resample", """
+WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+         FROM b),
+u AS (SELECT DISTINCT user_id FROM events),
+a AS (SELECT user_id, ts::DATE AS d, count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY user_id, d)
+SELECT u.user_id, strftime(days.d, '%Y-%m-%d') AS day,
+       coalesce(a.n, 0) AS n_events,
+       round(coalesce(a.sv, 0), 2) AS sum_value
+FROM u CROSS JOIN days
+LEFT JOIN a ON a.user_id = u.user_id AND a.d = days.d
+""")
+def q_events_resample(spark, sf_dir):
+    """Dense daily resampling with zero-filled gaps
+    (operators/timeseries.py): every (user, day) cell over the global
+    span, events aggregated in, silent days explicit zeros. The corpus
+    is scanned twice (key set + sparse aggregate); the date spine is
+    broadcast, so the dense grid never shuffles raw events."""
+    from .operators import timeseries
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = timeseries.resample_daily(
+        ev, "ts", "user_id",
+        aggs=[F.count("*").alias("n_events"),
+              F.sum("value").alias("sum_value")],
+        fills={"n_events": 0, "sum_value": 0.0})
+    return out.select("user_id",
+                      F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.round("sum_value", 2).alias("sum_value"))
+
+
+@_q("stream_running_totals", """
+SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY user_id
+""")
+def q_stream_running_totals(spark, sf_dir):
+    """Custom stateful streaming (streaming/stateful.py
+    running_totals): per-user cumulative (n, total) state updated
+    every micro-batch; after draining the backlog the LAST emission
+    per user (the one with max n — n is strictly increasing) must
+    equal the batch aggregate. applyInPandasWithState with
+    update-mode output."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import stateful
+    from .streaming import windows as sw
+
+    ev = _events(spark, sf_dir).select("user_id", "value")
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        "rivulus_stream_ev_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(staging))
+    name = f"stream_rt_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = sw.run_available_now(
+            stateful.running_totals(stream, "user_id", "value"),
+            query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.groupBy("user_id")
+            .agg(F.max("n").alias("n"),
+                 F.round(F.max_by("total", "n"), 2).alias("total")))
+
+
 @_q("events_hourly", """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

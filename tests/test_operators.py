@@ -777,3 +777,23 @@ def test_charlm_scores_gibberish_below_prose(spark):
     prose_score = out[0]
     assert all(abs(out[i] - prose_score) < 1e-9 for i in range(8))
     assert out[8] < prose_score - 0.5  # gibberish is far less probable
+
+
+def test_resample_daily_fills_gaps(spark):
+    from rivulus_spark.operators import timeseries
+
+    df = spark.createDataFrame([
+        (1, "2024-01-01 10:00:00", 5.0),
+        (1, "2024-01-03 10:00:00", 7.0),   # user 1 silent on the 2nd
+        (2, "2024-01-02 10:00:00", 1.0),
+    ], "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts"))
+    out = timeseries.resample_daily(
+        df, "ts", "user_id",
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("sv")],
+        fills={"n": 0, "sv": 0.0})
+    rows = {(r.user_id, str(r.day)): (r.n, r.sv) for r in out.collect()}
+    assert len(rows) == 6  # 2 users x 3 days, dense
+    assert rows[(1, "2024-01-02")] == (0, 0.0)
+    assert rows[(2, "2024-01-02")] == (1, 1.0)
+    assert rows[(2, "2024-01-03")] == (0, 0.0)
