@@ -64,3 +64,54 @@ def corpus_stats(curated: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
         F.round(F.avg("n_tokens"), 2).alias("avg_tokens"))
+
+
+def curate_v2(df: DataFrame, min_words: int = 30,
+              min_stop_hits: int = 2,
+              splits: dict[str, float] | None = None,
+              split_seed: str = "split1",
+              quota_n: int = 5, quota_seed: str = "quota2",
+              text_col: str = "text", id_col: str = "doc_id",
+              source_col: str = "source") -> DataFrame:
+    """Round-2 curation pipeline, still ONE lazy plan:
+
+    1. Gopher-rule quality gate (clean.gopher_quality, all five rules);
+    2. PII scrubbing of the surviving text (clean.pii_scrub);
+    3. exact dedup on the SCRUBBED text (min id per fingerprint — two
+       docs differing only in PII are duplicates after redaction);
+    4. deterministic train/val/test assignment (sample.assign_splits);
+    5. per-(split, source) quota capping (sample.quota_cap), so no
+       source floods any split.
+
+    Output: one row per surviving doc with (doc_id, source, split, wc).
+    Every stage is a projection, a partial-aggregated group-by, or a
+    group-limit — the whole pipeline shuffles fingerprints, ids, and
+    counts, never full text (the scrubbed text column is pruned away
+    by Catalyst before any exchange)."""
+    from . import clean
+    from .sample import assign_splits, quota_cap
+
+    g = (clean.gopher_quality(df, text_col=text_col, min_words=min_words,
+                              min_stop_hits=min_stop_hits)
+         .filter(F.col("gopher_pass")))
+    scrubbed = g.withColumn(text_col, clean.pii_scrub(text_col))
+    keep = (scrubbed
+            .select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+            .groupBy("fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    uniq = scrubbed.join(keep, id_col, "semi")
+    sp = assign_splits(uniq,
+                       splits or {"train": 0.9, "val": 0.05, "test": 0.05},
+                       key_col=id_col, seed=split_seed)
+    sp = sp.withColumn("__stratum",
+                       F.concat_ws("|", F.col("split"), F.col(source_col)))
+    capped = quota_cap(sp, "__stratum", quota_n, key_col=id_col,
+                       seed=quota_seed)
+    return capped.select(id_col, source_col, "split", "wc")
+
+
+def curate_v2_stats(curated: DataFrame) -> DataFrame:
+    """Per-(split, source) corpus composition of a curate_v2 output."""
+    return (curated.groupBy("split", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("wc").cast("long").alias("total_tokens")))

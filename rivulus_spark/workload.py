@@ -1344,9 +1344,10 @@ def q_html_strip(spark, sf_dir):
                      .alias("n_chars_stripped"))
 
 
-@_q("gopher_quality", r"""
-WITH g AS (
-  SELECT doc_id,
+#: Gopher-rule counts CTE over documents (shared by gopher_quality and
+#: the v2 curation pipeline's oracle)
+_GOPHER_CTE = r"""g AS (
+  SELECT doc_id, text, source, n_chars,
          len(regexp_split_to_array(trim(text), '\s+')) AS wc,
          length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonspace,
          len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
@@ -1361,7 +1362,19 @@ WITH g AS (
           + CASE WHEN len(regexp_extract_all(text, '\bhave\b')) > 0 THEN 1 ELSE 0 END
           + CASE WHEN len(regexp_extract_all(text, '\bwith\b')) > 0 THEN 1 ELSE 0 END)
            AS n_stops
-  FROM documents)
+  FROM documents)"""
+
+#: the gopher_pass predicate over the g CTE's counts (min_words=30)
+_GOPHER_PASS = ("(wc >= 30 AND wc <= 100000)"
+                " AND (nonspace::DOUBLE / wc >= 3.0"
+                "      AND nonspace::DOUBLE / wc <= 10.0)"
+                " AND (n_sym::DOUBLE / wc <= 0.1)"
+                " AND (n_alpha::DOUBLE / wc >= 0.8)"
+                " AND (n_stops >= 2)")
+
+
+@_q("gopher_quality", rf"""
+WITH {_GOPHER_CTE}
 SELECT doc_id, wc::BIGINT AS wc,
        floor(nonspace::DOUBLE / wc * 10000) / 10000 AS mean_wl,
        (wc >= 30 AND wc <= 100000) AS flag_wc,
@@ -1370,11 +1383,7 @@ SELECT doc_id, wc::BIGINT AS wc,
        (n_sym::DOUBLE / wc <= 0.1) AS flag_symbols,
        (n_alpha::DOUBLE / wc >= 0.8) AS flag_alpha,
        (n_stops >= 2) AS flag_stops,
-       ((wc >= 30 AND wc <= 100000)
-        AND (nonspace::DOUBLE / wc >= 3.0 AND nonspace::DOUBLE / wc <= 10.0)
-        AND (n_sym::DOUBLE / wc <= 0.1)
-        AND (n_alpha::DOUBLE / wc >= 0.8)
-        AND (n_stops >= 2)) AS gopher_pass
+       ({_GOPHER_PASS}) AS gopher_pass
 FROM g
 """)
 def q_gopher_quality(spark, sf_dir):
@@ -1392,6 +1401,57 @@ def q_gopher_quality(spark, sf_dir):
                      .alias("mean_wl"),
                      "flag_wc", "flag_mean_wl", "flag_symbols",
                      "flag_alpha", "flag_stops", "gopher_pass")
+
+
+#: nested PII redaction expression (same order as clean.PII_PATTERNS)
+def _pii_scrub_sql(col: str) -> str:
+    return (r"""regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(""" + col
+            + r""", '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')""")
+
+
+#: v2 gate: the synthetic corpus carries only one of the Gopher stop
+#: set ("the"), so the pipeline runs the stopword rule at >=1
+_GOPHER_PASS_V2 = _GOPHER_PASS.replace("n_stops >= 2", "n_stops >= 1")
+
+
+@_q("pipeline_curate_v2", rf"""
+WITH {_GOPHER_CTE},
+pass AS (SELECT doc_id, source, wc, {_pii_scrub_sql('text')} AS t
+         FROM g WHERE {_GOPHER_PASS_V2}),
+k AS (SELECT md5(t) AS fp, min(doc_id) AS keep_id FROM pass GROUP BY fp),
+u AS (SELECT pass.* FROM pass JOIN k ON pass.doc_id = k.keep_id),
+sp AS (SELECT *, CASE WHEN b < 900000 THEN 'train'
+                      WHEN b < 950000 THEN 'val'
+                      ELSE 'test' END AS split
+       FROM (SELECT *,
+                    ('0x' || substring(md5('split1' || doc_id::VARCHAR),
+                                       1, 15))::BIGINT % 1000000 AS b
+             FROM u)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY split, source
+        ORDER BY ('0x' || substring(md5('quota2' || doc_id::VARCHAR),
+                                    1, 15))::BIGINT, doc_id) AS rn
+      FROM sp)
+SELECT split, source, count(*) AS n_docs, sum(wc)::BIGINT AS total_tokens
+FROM r WHERE rn <= 5 GROUP BY split, source
+""")
+def q_pipeline_curate_v2(spark, sf_dir):
+    """The round-2 curation pipeline end to end as ONE lazy plan
+    (operators/pipeline.py curate_v2): Gopher quality gate -> PII
+    scrub -> exact dedup on scrubbed text -> deterministic 90/5/5
+    split -> per-(split, source) quota — summarized as per-cell corpus
+    composition. Shuffles carry fingerprints/ids/counts, never text."""
+    from .operators import pipeline
+
+    out = pipeline.curate_v2(_t(spark, sf_dir, "documents"),
+                             min_stop_hits=1)
+    return pipeline.curate_v2_stats(out)
 
 
 @_q("agg_salted", """
@@ -2537,7 +2597,7 @@ _PRIORITY: list[str] = [
     "dedup_exact", "ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_survivors",
     # north star: pipeline
-    "pipeline_curate", "pipeline_stats",
+    "pipeline_curate", "pipeline_curate_v2",
     # north star: multimodal
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_audio_features", "multimodal_binary_stats",
