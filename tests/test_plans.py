@@ -126,10 +126,14 @@ def test_sequence_packing_single_stream_shuffle(spark):
 
 
 def test_embedding_quantize_is_scan_only_projection(spark):
-    # closed-form error: a single parquet scan + projection — zero
-    # exchanges, zero joins, zero Python
+    # closed-form error: a parquet scan + projection — zero joins, zero
+    # Python, and the only allowed exchange is partitioning.spread's
+    # round-robin guard against under-split inputs (no hash/range
+    # shuffle: nothing aggregates or joins)
     p = plan(spark, "embedding_quantize")
-    assert "Exchange" not in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
     assert "Join" not in p and "EvalPython" not in p
 
 

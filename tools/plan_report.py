@@ -76,6 +76,22 @@ HEADLINE = {
                          "the only exchange is the final 3-row rollup"),
     "ann_recall": ("recall audit joins exact and LSH top-k on (q_id, "
                    "n_id) id pairs — vectors never reach the join"),
+    "pipeline_curate_v2": ("Gopher gate -> PII scrub -> exact dedup -> "
+                           "split assign -> per-cell quota as one plan; "
+                           "shuffles carry fingerprints/ids/counts, the "
+                           "scrubbed text column is pruned before any "
+                           "exchange"),
+    "events_resample": ("dense (user, day) grid: broadcast date spine "
+                        "cross join + left join of the sparse partial-"
+                        "aggregated counts — raw events shuffle only as "
+                        "(key, day) aggregate rows"),
+    "charlm_quality": ("alphabet²-bounded bigram model broadcast into a "
+                       "map-side scoring join; training is one partial-"
+                       "aggregated explode"),
+    "encode_docs": ("bounded vocab broadcast into a map-side id lookup; "
+                    "per-doc sequences reassemble inside the aggregate"),
+    "source_quota": ("per-stratum group-limit: hot strata discard "
+                     "overflow map-side, no global sort"),
 }
 
 SF = "/root/testdata/sf0.001"
