@@ -797,3 +797,31 @@ def test_resample_daily_fills_gaps(spark):
     assert rows[(1, "2024-01-02")] == (0, 0.0)
     assert rows[(2, "2024-01-02")] == (1, 1.0)
     assert rows[(2, "2024-01-03")] == (0, 0.0)
+
+
+def test_curate_v2_dedups_after_scrub_and_respects_quota(spark):
+    from rivulus_spark.operators import pipeline
+
+    base = ("the cat and the dog have been seen with that mouse "
+            "near the old mill by the river bank today again ") * 3
+    rows = [
+        # docs 0/1 differ ONLY in PII -> identical after scrub -> dedup
+        (0, base + "mail a@x.com", "s0"),
+        (1, base + "mail b@y.org", "s0"),
+        # distinct content, same source
+        (2, base + "something else entirely here", "s0"),
+        (3, base + "another distinct ending words", "s1"),
+        # junk: fails the word-length rule
+        (4, "x " * 80, "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pipeline.curate_v2(df, min_words=30, quota_n=10)
+    ids = {r.doc_id for r in out.collect()}
+    assert 4 not in ids                      # quality-gated
+    assert not {0, 1} <= ids and ({0, 1} & ids)  # scrub-dedup kept one
+    assert {2, 3} <= ids
+    # quota really caps: with quota_n=1, at most one doc per (split, source)
+    capped = pipeline.curate_v2(df, min_words=30, quota_n=1).collect()
+    from collections import Counter
+    cells = Counter((r.split, r.source) for r in capped)
+    assert all(v == 1 for v in cells.values())
