@@ -161,10 +161,24 @@ def corpus_ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     aggregated n-gram table — Spark plans the k-cut as a group-limit
     (TakeOrdered-style), so the driver never sees more than the
     aggregate table and the full sort never materializes."""
-    grams = ngrams(text_col, n)
-    counts = (df.select(F.col("doc_id"), F.explode(grams).alias("g"))
-              .groupBy("g")
-              .agg(F.countDistinct("doc_id").alias("n_docs"),
+    from ..partitioning import spread
+
+    # lead-window n-gram stream instead of explode(ngrams(...)): the
+    # array-transform form evaluates its lambda interpreted per element
+    # with a slice allocation per gram; this form is whole-stage
+    # codegen end to end (same trade as dedup.shingle_rows) and the
+    # (id)-keyed window spreads under-split inputs
+    w = Window.partitionBy("__id").orderBy("__pos")
+    toks = spread(df).select(F.col("doc_id").alias("__id"),
+                             F.posexplode(tokens(text_col))
+                             .alias("__pos", "__tok"))
+    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w)
+                                for i in range(1, n)]
+    grams = (toks.select("__id", F.concat_ws(" ", *parts).alias("g"),
+                         parts[-1].isNotNull().alias("__full"))
+             .filter(F.col("__full")))
+    counts = (grams.groupBy("g")
+              .agg(F.countDistinct("__id").alias("n_docs"),
                    F.count("*").alias("total_count")))
     w = Window.orderBy(F.col("total_count").desc(), F.col("g").asc())
     return (counts.select(F.col("g").alias("ngram"), "n_docs",
