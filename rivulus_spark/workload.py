@@ -713,6 +713,34 @@ def q_rollup_count(spark, sf_dir):
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
+@_q("events_sliding", """
+WITH e AS (SELECT event_type, epoch_us(ts) AS su FROM events),
+k AS (SELECT unnest(range(4)) AS k),
+w AS (SELECT event_type,
+             (su // 900000000) * 900000000 - k * 900000000 AS ws
+      FROM e CROSS JOIN k)
+SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*) AS n_events
+FROM w GROUP BY window_start, event_type
+""")
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (streaming/windows.py sliding_agg,
+    batch form of the same plan the stream runs): 1-hour windows
+    advancing every 15 minutes — each event lands in exactly 4
+    windows (epoch-aligned, the oracle enumerates the 4 offsets
+    relationally)."""
+    from .streaming import windows as sw
+
+    ev = _events(spark, sf_dir)
+    out = sw.sliding_agg(ev, "ts", "1 hour", "15 minutes",
+                         aggs=[F.count("*").alias("n_events")],
+                         keys=["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm")
+        .alias("window_start"),
+        "event_type", "n_events")
+
+
 @_q("events_resample", """
 WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
 days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
