@@ -378,6 +378,12 @@ class LazyFrame:
          .option("nullValue", "null")
          .csv(path))
 
+    def write_jsonl(self, path: str, mode: str = "error") -> None:
+        """JSON-lines sink (one object per row) — the interchange
+        format of most LLM-corpus tooling; round-trips with
+        ``from_jsonl``."""
+        self._df.write.mode(mode).json(path)
+
     def to_spark(self) -> DataFrame:
         return self._df
 

@@ -130,6 +130,16 @@ class TestSinks:
         with pytest.raises(ColumnNotFoundError):
             people.write_parquet(str(tmp_path / "x"), partition_by=["nope"])
 
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        lf = LazyFrame.from_dataframe(spark, {
+            "id": [1, 2], "name": ["Alice", None]})
+        out = str(tmp_path / "j")
+        lf.write_jsonl(out)
+        back = LazyFrame.from_jsonl(
+            spark, out, [("id", DataType.INT64), ("name", DataType.STRING)])
+        rows = {r.id: r.name for r in back.collect()}
+        assert rows == {1: "Alice", 2: None}
+
     def test_csv_roundtrip_nulls(self, spark, tmp_path):
         lf = LazyFrame.from_dataframe(spark, {
             "id": [1, 2], "name": ["Alice", None]})
