@@ -158,3 +158,39 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         "gopher_pass",
         F.col("flag_wc") & F.col("flag_mean_wl") & F.col("flag_symbols")
         & F.col("flag_alpha") & F.col("flag_stops"))
+
+
+# ---------------------------------------------------------------------
+# C4-style line-level filtering
+# ---------------------------------------------------------------------
+
+def c4_keep_lines(col: str | Column, min_words: int = 5) -> Column:
+    """C4's line-level pass (Raffel et al. 2020 §2.2, restricted to
+    relationally-expressible rules): split the document into lines,
+    drop lines with fewer than ``min_words`` words, rejoin. Gopher
+    (gopher_quality) judges whole documents; this repairs documents by
+    removing navigation/boilerplate stubs line by line. Pure array
+    expression — no shuffle, no Python."""
+    lines = F.split(_c(col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+    return F.array_join(kept, "\n")
+
+
+def c4_line_stats(df: DataFrame, text_col: str = "text",
+                  min_words: int = 5) -> DataFrame:
+    """Adds ``n_lines``, ``n_lines_kept``, and the cleaned text's
+    digest-ready column ``c4_text`` — the audit view of the line
+    filter's aggressiveness before committing to it corpus-wide."""
+    lines = F.split(_c(text_col), r"\n")
+    kept_arr = F.filter(
+        lines,
+        lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+    # count the filtered ARRAY, not a re-split of the joined string:
+    # joining an empty keep-set gives "" which would re-split to [""]
+    # (count 1, where the truth is 0)
+    return (df
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_lines_kept", F.size(kept_arr).cast("long"))
+            .withColumn("c4_text", F.array_join(kept_arr, "\n")))

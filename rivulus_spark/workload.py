@@ -1401,6 +1401,38 @@ _GOPHER_PASS = ("(wc >= 30 AND wc <= 100000)"
                 " AND (n_stops >= 2)")
 
 
+@_q("c4_line_filter", r"""
+WITH t AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS t2 FROM documents),
+s AS (
+  SELECT doc_id,
+         regexp_split_to_array(t2, '\n') AS lines,
+         list_filter(regexp_split_to_array(t2, '\n'),
+                     ln -> len(regexp_split_to_array(trim(ln), '\s+')) >= 5)
+           AS kept
+  FROM t)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_lines_kept,
+       md5(array_to_string(kept, chr(10))) AS c4_md5
+FROM s
+""")
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level boilerplate removal (clean.c4_keep_lines):
+    documents are given deterministic line structure (a common token
+    becomes a newline, same expression both engines), short lines
+    (< 5 words) are dropped, and the repaired text's digest + line
+    counts are emitted. Pure array expression over the scan."""
+    from .operators import clean
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("t2", F.replace(F.col("text"), F.lit(" value "),
+                                        F.lit("\n"))))
+    out = clean.c4_line_stats(docs, "t2", min_words=5)
+    return out.select("doc_id", "n_lines", "n_lines_kept",
+                      F.md5("c4_text").alias("c4_md5"))
+
+
 @_q("gopher_quality", rf"""
 WITH {_GOPHER_CTE}
 SELECT doc_id, wc::BIGINT AS wc,

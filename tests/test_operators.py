@@ -825,3 +825,16 @@ def test_curate_v2_dedups_after_scrub_and_respects_quota(spark):
     from collections import Counter
     cells = Counter((r.split, r.source) for r in capped)
     assert all(v == 1 for v in cells.values())
+
+
+def test_c4_line_filter_drops_short_lines(spark):
+    from rivulus_spark.operators import clean
+
+    df = spark.createDataFrame([
+        (0, "home about contact\nthis line has plenty of words in it\nok"),
+        (1, "a\nb"),  # everything dropped
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in clean.c4_line_stats(df, min_words=5).collect()}
+    assert out[0].n_lines == 3 and out[0].n_lines_kept == 1
+    assert out[0].c4_text == "this line has plenty of words in it"  # nav + 'ok' dropped
+    assert out[1].n_lines_kept == 0 and out[1].c4_text == ""
