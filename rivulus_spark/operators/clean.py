@@ -194,3 +194,29 @@ def c4_line_stats(df: DataFrame, text_col: str = "text",
             .withColumn("n_lines", F.size(lines).cast("long"))
             .withColumn("n_lines_kept", F.size(kept_arr).cast("long"))
             .withColumn("c4_text", F.array_join(kept_arr, "\n")))
+
+
+# ---------------------------------------------------------------------
+# Lexicon (blocklist) scoring
+# ---------------------------------------------------------------------
+
+def lexicon_score(df: DataFrame, lexicon: list[str],
+                  text_col: str = "text",
+                  max_ratio: float = 0.02) -> DataFrame:
+    """Wordlist-based content scoring: per-document count of
+    word-boundary matches against ``lexicon`` (a blocklist, a domain
+    vocabulary, a safety list — the operator is policy-agnostic),
+    their ratio to the word count, and a ``lexicon_pass`` flag at
+    ``max_ratio``. The standard cheap pass before any model-based
+    safety scoring. One regex alternation, pure codegen projection."""
+    if not lexicon:
+        raise ValueError("lexicon must be non-empty")
+    pat = r"\b(" + "|".join(sorted(lexicon)) + r")\b"
+    t = _c(text_col)
+    n_hits = F.regexp_count(t, F.lit(pat))
+    wc = token_count(t)
+    ratio = n_hits.cast("double") / wc
+    return (df
+            .withColumn("n_lexicon_hits", n_hits.cast("long"))
+            .withColumn("lexicon_ratio", ratio)
+            .withColumn("lexicon_pass", ratio <= max_ratio))

@@ -701,6 +701,37 @@ def q_window_lag(spark, sf_dir):
                      - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")))
 
 
+@_q("window_ntile", """
+WITH r AS (
+  SELECT o_custkey, o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+         percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+  FROM orders)
+SELECT quartile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(max(pr), 6) AS max_pr
+FROM r GROUP BY quartile
+""")
+def q_window_ntile(spark, sf_dir):
+    """Distribution windows: ntile quartiles + percent_rank over a
+    total order (price, key) — the bucketing primitive behind
+    percentile-based corpus filtering. The global-order window is the
+    one legitimately single-partition stage; everything after is a
+    partial-aggregated rollup of quartile summaries."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    r = (_t(spark, sf_dir, "orders")
+         .select("o_custkey", "o_totalprice",
+                 F.ntile(4).over(w).alias("quartile"),
+                 F.percent_rank().over(w).alias("pr")))
+    return (r.groupBy("quartile")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"),
+                 F.round(F.max("pr"), 6).alias("max_pr"))
+            .withColumn("quartile", F.col("quartile").cast("long")))
+
+
 @_q("rollup_count", """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        round(sum(l_quantity), 2) AS sum_qty
@@ -1399,6 +1430,35 @@ _GOPHER_PASS = ("(wc >= 30 AND wc <= 100000)"
                 " AND (n_sym::DOUBLE / wc <= 0.1)"
                 " AND (n_alpha::DOUBLE / wc >= 0.8)"
                 " AND (n_stops >= 2)")
+
+
+@_q("lexicon_filter", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(error|fail|slow)\b'))::BIGINT
+         AS n_lexicon_hits,
+       floor(len(regexp_extract_all(text, '\b(error|fail|slow)\b'))::DOUBLE
+             / len(regexp_split_to_array(trim(text), '\s+'))
+             * 100000) / 100000 AS lexicon_ratio,
+       (len(regexp_extract_all(text, '\b(error|fail|slow)\b'))::DOUBLE
+        / len(regexp_split_to_array(trim(text), '\s+')) <= 0.02)
+         AS lexicon_pass
+FROM documents
+""")
+def q_lexicon_filter(spark, sf_dir):
+    """Wordlist (blocklist) scoring (clean.lexicon_score): counts and
+    ratio of word-boundary matches against a term list plus the
+    threshold flag — the cheap policy pass before any model-based
+    scoring. One regex alternation in codegen; both engines derive the
+    ratio from the same integer counts."""
+    from .operators import clean
+
+    out = clean.lexicon_score(_t(spark, sf_dir, "documents"),
+                              ["error", "fail", "slow"], max_ratio=0.02)
+    return out.select(
+        "doc_id", "n_lexicon_hits",
+        (F.floor(F.col("lexicon_ratio") * 100000) / 100000)
+        .alias("lexicon_ratio"),
+        "lexicon_pass")
 
 
 @_q("c4_line_filter", r"""
