@@ -49,3 +49,40 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
                  F.countDistinct("e_id").alias("n_eval_docs"))
             .select(F.col("t_id").alias(id_col),
                     "n_shared_ngrams", "n_eval_docs"))
+
+
+def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
+                        threshold: float = 0.8, k: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate (paraphrase-level) contamination: training
+    documents whose Jaccard similarity to ANY eval document reaches
+    ``threshold`` — catches lightly-edited eval leaks that exact
+    n-gram overlap (contamination_report) under-weights. Output:
+    ``(doc_id, n_eval_matches, max_jacc)`` per contaminated training
+    doc. Ids must be unique across both frames.
+
+    Built on the same MinHash+LSH machinery as dedup (signatures on
+    the union, banded candidates, exact-Jaccard verification), then
+    restricted to cross-side pairs — so the cost profile is the dedup
+    one, not |train| x |eval|."""
+    from .dedup import minhash_lsh_dedup
+
+    t = (train.select(F.col(id_col), F.col(text_col))
+         .withColumn("__side", F.lit("t")))
+    e = (eval_df.select(F.col(id_col), F.col(text_col))
+         .withColumn("__side", F.lit("e")))
+    both = t.unionByName(e)
+    pairs = minhash_lsh_dedup(both, threshold=threshold, k=k,
+                              text_col=text_col, id_col=id_col)
+    sides = both.select(F.col(id_col).alias("__id"), "__side")
+    x = (pairs
+         .join(sides.alias("sa"), pairs.doc_a == F.col("sa.__id"))
+         .join(sides.alias("sb"), pairs.doc_b == F.col("sb.__id"))
+         .filter(F.col("sa.__side") != F.col("sb.__side")))
+    train_id = F.when(F.col("sa.__side") == "t",
+                      F.col("doc_a")).otherwise(F.col("doc_b"))
+    return (x.select(train_id.alias(id_col), "jacc")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_eval_matches"),
+                 F.round(F.max("jacc"), 3).alias("max_jacc")))

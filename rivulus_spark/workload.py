@@ -1893,6 +1893,43 @@ WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
 """
 
 
+@_q("decontaminate_fuzzy", r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents)
+),
+p AS (
+  SELECT CASE WHEN a.source != 'src0' THEN a.doc_id
+              ELSE b.doc_id END AS doc_id,
+         round(len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))), 3) AS jacc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+   AND ((a.source != 'src0' AND b.source = 'src0')
+        OR (a.source = 'src0' AND b.source != 'src0'))
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.8)
+SELECT doc_id, count(*) AS n_eval_matches, round(max(jacc), 3) AS max_jacc
+FROM p GROUP BY doc_id
+""")
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Paraphrase-level contamination (contamination.fuzzy_
+    contamination): src0 plays the eval set, the rest the training
+    corpus; training docs near-duplicating any eval doc at Jaccard >=
+    0.8 are flagged with match count + max similarity. MinHash+LSH
+    cost profile (banded candidates, exact verify) — never
+    |train| x |eval|."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    return contamination.fuzzy_contamination(train, ev, threshold=0.8)
+
+
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (128 perms) + LSH banding (32 bands x 4 rows) + exact

@@ -838,3 +838,22 @@ def test_c4_line_filter_drops_short_lines(spark):
     assert out[0].n_lines == 3 and out[0].n_lines_kept == 1
     assert out[0].c4_text == "this line has plenty of words in it"  # nav + 'ok' dropped
     assert out[1].n_lines_kept == 0 and out[1].c4_text == ""
+
+
+def test_fuzzy_contamination_flags_cross_side_neardups(spark):
+    from rivulus_spark.operators import contamination
+
+    base = "the quick brown fox jumps over the lazy dog near the old mill"
+    train = spark.createDataFrame([
+        (0, base + " today"),              # near-dup of eval 100
+        (1, "completely different training content about spark engines"),
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame([
+        (100, base + " tonight"),
+        (101, "unrelated evaluation prompt text entirely"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           contamination.fuzzy_contamination(train, ev,
+                                             threshold=0.5).collect()}
+    assert set(out) == {0}
+    assert out[0].n_eval_matches == 1 and out[0].max_jacc >= 0.5
