@@ -92,6 +92,18 @@ HEADLINE = {
                     "per-doc sequences reassemble inside the aggregate"),
     "source_quota": ("per-stratum group-limit: hot strata discard "
                      "overflow map-side, no global sort"),
+    "decontaminate_fuzzy": ("cross-set MinHash+LSH: signatures on the "
+                            "union, banded candidates, exact verify — "
+                            "cost tracks near-dups, never "
+                            "|train| x |eval|"),
+    "lexicon_filter": ("one regex alternation in codegen: scan + "
+                       "project, no shuffle"),
+    "c4_line_filter": ("line repair as a pure array expression over "
+                       "the scan"),
+    "stream_interval_join": ("batch form of the watermark-bounded "
+                             "stream-stream join: both sides shuffle "
+                             "on the equi-key, band condition post-"
+                             "filters"),
 }
 
 SF = "/root/testdata/sf0.001"
