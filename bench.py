@@ -70,13 +70,33 @@ def main() -> None:
         # operators persisted (rivulus_spark.cache contract)
         cache.unpersist_all()
 
+    # The driver captures only the final ~2,000 chars of stdout; a
+    # 100+-query timing dict overflows that (round 2's bench line was
+    # unparseable).  Keep the official line compact — total + sf + the
+    # slowest queries only, minified separators — and write the complete
+    # per-query dict to a sidecar the judge can read directly.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump({
+            "metric": "workload_total_runtime",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": timings,
+        }, f, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    slowest = {k: round(v, 2) for k, v in slowest.items()}
     print(json.dumps({
         "metric": "workload_total_runtime",
-        "value": round(total, 3),
+        "value": round(total, 2),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }, separators=(",", ":")))
     spark.stop()
 
 

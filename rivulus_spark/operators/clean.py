@@ -32,9 +32,12 @@ from .text import token_count
 #: cleanup for web-scraped corpora, not an HTML parser
 TAG_PATTERN = r"<[^>]+>"
 
-#: the entities worth decoding without an entity table
-_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-             ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+#: the entities worth decoding without an entity table. ``&amp;`` is
+#: decoded LAST: decoding it first would make double-escaped markup
+#: ("&amp;lt;" — the author wrote a literal "&lt;") re-enter the
+#: pipeline as "&lt;" and wrongly decode to "<"
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
 def _c(col: str | Column) -> Column:
@@ -208,10 +211,31 @@ def lexicon_score(df: DataFrame, lexicon: list[str],
     vocabulary, a safety list — the operator is policy-agnostic),
     their ratio to the word count, and a ``lexicon_pass`` flag at
     ``max_ratio``. The standard cheap pass before any model-based
-    safety scoring. One regex alternation, pure codegen projection."""
+    safety scoring. One regex alternation, pure codegen projection.
+
+    Terms are regex-escaped individually (``re.escape`` emits only
+    backslash-punctuation escapes, legal in both Java regex and RE2 —
+    no ``\\Q..\\E``, which RE2 lacks), so blocklist entries like
+    ``c++`` or ``a.out`` match literally. ``\\b`` anchors are applied
+    per term edge, and only where that edge is a word character — a
+    ``\\b`` next to punctuation can never match (no word boundary
+    between ``+`` and a space), so punctuation edges are left
+    unanchored instead of silently unmatchable."""
     if not lexicon:
         raise ValueError("lexicon must be non-empty")
-    pat = r"\b(" + "|".join(sorted(lexicon)) + r")\b"
+    if any(not t for t in lexicon):
+        raise ValueError("lexicon terms must be non-empty strings")
+    import re as _re
+
+    def _term_pat(t: str) -> str:
+        p = _re.escape(t)
+        if _re.match(r"\w", t[0]):
+            p = r"\b" + p
+        if _re.match(r"\w", t[-1]):
+            p = p + r"\b"
+        return p
+
+    pat = "(" + "|".join(_term_pat(t) for t in sorted(lexicon)) + ")"
     t = _c(text_col)
     n_hits = F.regexp_count(t, F.lit(pat))
     wc = token_count(t)

@@ -73,11 +73,23 @@ def charlm_score(df: DataFrame, model: DataFrame | None = None,
     model = cache.persist(model)  # alphabet²-bounded: one training pass
     v = model.select(F.substring("bigram", 1, 1)).distinct().count()
     per = _char_bigrams(df, text_col, id_col)
-    m = F.broadcast(model)
-    joined = per.join(m, "bigram", "left")
+    # the context count joins on the CONTEXT (first char), not the full
+    # bigram: an unseen bigram whose context IS seen must score
+    # 1/(c_ctx + V), not 1/V — a full-bigram join would null out c_ctx
+    # for exactly those rows (matters only for supplied models; on the
+    # self-trained path every scored bigram is in the model)
+    ctx_counts = (model
+                  .select(F.substring("bigram", 1, 1).alias("__ctx"),
+                          F.col("c_ctx").alias("__c_ctx"))
+                  .distinct())
+    joined = (per
+              .withColumn("__ctx", F.substring("bigram", 1, 1))
+              .join(F.broadcast(model.select("bigram", "c_bigram")),
+                    "bigram", "left")
+              .join(F.broadcast(ctx_counts), "__ctx", "left"))
     logp = F.log(
         (F.coalesce(F.col("c_bigram"), F.lit(0)) + 1).cast("double")
-        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(v)).cast("double"))
+        / (F.coalesce(F.col("__c_ctx"), F.lit(0)) + F.lit(v)).cast("double"))
     return (joined.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.avg(logp).alias("charlm_logprob")))

@@ -1,0 +1,129 @@
+"""Distributed global ranking / ntile — no single-partition window.
+
+Spark's ``Window.orderBy(...)`` with no ``partitionBy`` funnels the
+ENTIRE input through one task (WindowExec logs exactly this warning);
+at 100 TB that is an executor OOM, not a plan. Global order statistics
+are computed in two distributed passes instead:
+
+1. **Bucket** rows by range on the leading order column using
+   approximate percentile boundaries (``percentile_approx``).
+   Bucketing only needs *some* monotone partition of the key space —
+   not exact quantiles — so approximation never affects rank
+   exactness, only bucket balance.
+2. **Offset**: count rows per bucket (one row per bucket), prefix-sum
+   those counts with a window over the tiny bucket-count table, and
+   broadcast the offsets back.
+3. **Rank** within each bucket (window *partitioned by* bucket,
+   ordered by the full key) and add the bucket's offset.
+
+Every shuffle of real data is keyed by bucket; the only unpartitioned
+window runs over ≤ ``n_buckets`` rows. This is the classic two-pass
+parallel ranking used by distributed sorts (TeraSort-style range
+partitioning + per-partition offsets).
+
+Reference parity: the reference engine has no window operator at all
+(SURVEY.md §2 — its expression algebra is row-local); these helpers
+back the ntile / percent_rank workload queries that a percentile-based
+corpus-filtering pipeline needs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int = 64,
+    rank_col: str = "rank",
+    with_total: str | None = None,
+) -> DataFrame:
+    """Append a 1-based global ``row_number`` over ``order_cols``
+    (ascending, nulls first — Spark's default sort order) without a
+    single-partition window.
+
+    ``order_cols`` must form a unique key for exact ``rank`` /
+    ``percent_rank`` parity (with a unique key, row_number == rank).
+    ``with_total``, if set, also appends the total row count under
+    that name (broadcast of a 1-row aggregate — needed by ntile).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    lead = order_cols[0]
+
+    # 1. range-bucket on the leading column. Boundaries are approximate
+    # quantiles: rows equal to a boundary fall in the lower bucket
+    # (strict >), which is consistent and order-preserving. Nulls get
+    # bucket 0, matching Spark's nulls-first ascending sort.
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.select(
+        F.percentile_approx(lead, probs, 10_000).alias("_rk_bounds"))
+    b = (df.crossJoin(F.broadcast(bounds))
+         .withColumn(
+             "_rk_bucket",
+             F.aggregate(
+                 F.col("_rk_bounds"), F.lit(0),
+                 lambda acc, x: acc + F.when(F.col(lead) > x, 1)
+                                      .otherwise(0)))
+         .drop("_rk_bounds"))
+
+    # 2. per-bucket counts -> exclusive prefix sums, via a broadcast
+    # triangular self-join over the <= n_buckets-row count table (a
+    # window-free prefix sum: O(n_buckets^2) tiny rows, and no
+    # unpartitioned WindowExec anywhere in the plan).
+    counts = b.groupBy("_rk_bucket").agg(F.count("*").alias("_rk_n"))
+    lower = counts.select(F.col("_rk_bucket").alias("_rk_b2"),
+                          F.col("_rk_n").alias("_rk_n2"))
+    offsets = (counts.join(F.broadcast(lower),
+                           F.col("_rk_b2") < F.col("_rk_bucket"), "left")
+               .groupBy("_rk_bucket")
+               .agg(F.coalesce(F.sum("_rk_n2"), F.lit(0)).alias("_rk_off")))
+    if with_total is not None:
+        total = counts.agg(F.sum("_rk_n").alias(with_total))
+        b = b.crossJoin(F.broadcast(total))
+
+    # 3. within-bucket row_number + bucket offset = exact global rank.
+    wb = Window.partitionBy("_rk_bucket").orderBy(*order_cols)
+    return (b.join(F.broadcast(offsets), "_rk_bucket")
+            .withColumn(rank_col,
+                        (F.col("_rk_off") + F.row_number().over(wb))
+                        .cast("long"))
+            .drop("_rk_bucket", "_rk_off"))
+
+
+def _ntile_of(rank: Column, total: Column, n: int) -> Column:
+    """SQL-standard ntile(n) of a 1-based rank given the total count:
+    the first ``total % n`` tiles get ``floor(total/n) + 1`` rows, the
+    rest ``floor(total/n)``. Pure column arithmetic — double division
+    is exact for counts < 2^53."""
+    base = F.floor(total / n)
+    rem = total % n
+    big = base + F.lit(1)
+    return (F.when(rank <= rem * big, F.ceil(rank / big))
+            .otherwise(rem + F.ceil((rank - rem * big)
+                                    / F.greatest(base, F.lit(1))))
+            .cast("long"))
+
+
+def add_ntile_percent_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int = 4,
+    tile_col: str = "tile",
+    pr_col: str = "pr",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append ``ntile(n)`` and ``percent_rank()`` over a global order,
+    computed from the two-pass distributed rank (``order_cols`` must be
+    a unique key, so rank == row_number and percent_rank is
+    ``(rank-1)/(N-1)``)."""
+    r = global_row_number(df, order_cols, n_buckets=n_buckets,
+                          rank_col="_rk_r", with_total="_rk_N")
+    rank, total = F.col("_rk_r"), F.col("_rk_N")
+    return (r.withColumn(tile_col, _ntile_of(rank, total, n))
+            .withColumn(pr_col,
+                        F.when(total > 1, (rank - 1) / (total - 1))
+                        .otherwise(F.lit(0.0)))
+            .drop("_rk_r", "_rk_N"))

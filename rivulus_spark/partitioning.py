@@ -5,7 +5,7 @@ with one row group scans as ONE task no matter how many cores exist,
 so any expression-heavy projection chained on the scan (higher-order
 array folds, wide regex batteries) runs serially. At real scale inputs
 have many row groups/files and the scan parallelizes itself — so
-``spread`` is a no-op there (guarded on the actual scan partition
+``spread`` is a no-op there (guarded on the estimated scan split
 count) and only pays its (tiny, input-sized) round-robin shuffle when
 the input genuinely under-splits the machine.
 
@@ -18,15 +18,66 @@ exchange.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower().removesuffix("b")
+    if v and v[-1] in _SIZE_SUFFIX:
+        return int(float(v[:-1]) * _SIZE_SUFFIX[v[-1]])
+    return int(v)
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the usable scan parallelism of ``df``'s file sources
+    from driver-side file metadata only (no plan->RDD conversion, no
+    job). For parquet the unit of parallel work is the ROW GROUP — a
+    byte-range split only does work if a row group starts inside it,
+    so a single-row-group file is one task's work no matter how Spark
+    slices it. Other formats are estimated as
+    ceil(size / spark.sql.files.maxPartitionBytes) splits. Returns
+    None for non-file relations (in-memory, streaming) where the
+    caller should leave the frame untouched."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
+                                 "134217728"))
+    splits = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            if path.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                splits += max(1, pq.ParquetFile(path).metadata.num_row_groups)
+            else:
+                size = os.path.getsize(path)
+                splits += max(1, -(-size // max_bytes))
+        except Exception:
+            return None  # non-local FS / unreadable: trust the source
+    return splits
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism iff its
-    current plan yields fewer partitions than that (e.g. a single-row-
-    group parquet file). No-op on well-split inputs."""
+    file sources yield fewer scan splits than that (e.g. a single-row-
+    group parquet file). No-op on well-split inputs, in-memory
+    relations, and streaming frames — the split estimate comes from
+    file metadata, so there is no eager plan->RDD conversion."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = _estimated_scan_splits(df)
+    if splits is not None and splits < target:
         return df.repartition(target)
     return df

@@ -51,5 +51,9 @@ def get_spark(app_name: str = "rivulus-spark") -> SparkSession:
         # wide-aggregate queries, not as OOM — size it generously.
         .config("spark.driver.memory", os.environ.get("RIVULUS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # stage-progress bars write \r-updates to stderr/stdout; under
+        # the driver's tail-capture they can crowd out the one JSON line
+        # bench.py prints, so keep them off everywhere
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return configure(builder).getOrCreate()

@@ -47,12 +47,17 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
     including the key and time columns, so downstream projections are
     unambiguous.
     """
-    if left.isStreaming:
+    if left.isStreaming and right.isStreaming:
         if left_watermark is None or right_watermark is None:
             raise ValueError(
                 "stream-stream joins require watermarks on both sides "
                 "(state would grow without bound)")
+    # watermark is applied per-side, only to the streaming side(s) —
+    # in particular a batch-left/streaming-right call must still bound
+    # the streaming side's state
+    if left.isStreaming and left_watermark is not None:
         left = left.withWatermark(left_time, left_watermark)
+    if right.isStreaming and right_watermark is not None:
         right = right.withWatermark(right_time, right_watermark)
     r = right
     for c in right.columns:

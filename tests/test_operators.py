@@ -857,3 +857,82 @@ def test_fuzzy_contamination_flags_cross_side_neardups(spark):
                                              threshold=0.5).collect()}
     assert set(out) == {0}
     assert out[0].n_eval_matches == 1 and out[0].max_jacc >= 0.5
+
+
+def test_global_rank_matches_spark_window(spark):
+    """Two-pass distributed rank == Spark's own global-window
+    row_number/ntile/percent_rank, on a size not divisible by n (uneven
+    ntile groups) and with duplicate leading-key values (ties broken by
+    the unique second key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import rank
+
+    rows = [(i, (i * 37) % 50, f"r{i}") for i in range(103)]
+    df = spark.createDataFrame(rows, "id long, v long, tag string")
+
+    got = {r.id: (r.tile, r.pr) for r in rank.add_ntile_percent_rank(
+        df, ["v", "id"], n=4, n_buckets=8).collect()}
+    w = Window.orderBy("v", "id")
+    want = {r.id: (r.tile, r.pr) for r in df.select(
+        "id", F.ntile(4).over(w).cast("long").alias("tile"),
+        F.percent_rank().over(w).alias("pr")).collect()}
+    assert got == want
+
+
+def test_global_row_number_single_row_and_nulls(spark):
+    from rivulus_spark.operators import rank
+
+    one = spark.createDataFrame([(7, 1.0)], "id long, v double")
+    r = rank.add_ntile_percent_rank(one, ["v", "id"], n=4).head()
+    assert (r.tile, r.pr) == (1, 0.0)
+
+    # nulls sort first (Spark asc default); rank must still be total
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, 1.0)],
+                               "id long, v double")
+    out = {r.id: r.rank for r in
+           rank.global_row_number(df, ["v", "id"]).collect()}
+    assert out == {1: 1, 3: 2, 2: 3}
+
+
+def test_lexicon_score_escapes_regex_metacharacters(spark):
+    from rivulus_spark.operators import clean
+
+    df = spark.createDataFrame(
+        [(0, "I code c++ daily and run a.out now"),
+         (1, "about aXout and c plus plus")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_lexicon_hits
+           for r in clean.lexicon_score(df, ["c++", "a.out"]).collect()}
+    # '.' must not match 'X'; 'c++' must compile and match literally
+    assert out == {0: 2, 1: 0}
+
+
+def test_strip_html_double_escaped_entities(spark):
+    from rivulus_spark.operators import clean
+
+    # the author wrote a literal "&lt;" (escaped as "&amp;lt;"): it
+    # must decode to "&lt;", not double-decode to "<"
+    df = spark.createDataFrame([(0, "a &amp;lt; b &amp; c")],
+                               "doc_id long, text string")
+    out = df.select(clean.strip_html("text").alias("t")).head().t
+    assert out == "a &lt; b & c"
+
+
+def test_charlm_supplied_model_unseen_bigram_uses_context_count(spark):
+    """Contract: unseen bigram with a SEEN context scores
+    log(1 / (c_ctx + V)) — the context count must survive the left
+    join even though the full bigram is absent from the model."""
+    import math
+
+    from rivulus_spark.operators import lm
+
+    train = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    model = lm.train_char_bigram(train)  # bigrams: ab(x2), ba(x1); V=2
+    score = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    out = lm.charlm_score(score, model=model).head()
+    # "aa" is unseen; context 'a' is seen with c_ctx=2 -> log(1/(2+2))
+    assert out.n_bigrams == 1
+    assert math.isclose(out.charlm_logprob, math.log(1.0 / 4.0),
+                        rel_tol=1e-9)
