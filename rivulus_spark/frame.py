@@ -124,6 +124,13 @@ class LazyFrame:
     def from_parquet(cls, spark: SparkSession, path: str) -> "LazyFrame":
         return cls(spark.read.parquet(path))
 
+    @classmethod
+    def from_orc(cls, spark: SparkSession, path: str) -> "LazyFrame":
+        """ORC scan — the other self-describing columnar lake format;
+        Catalyst pushes filters/pruning into it exactly as for parquet
+        (asserted in tests/test_plans.py for the roundtrip query)."""
+        return cls(spark.read.orc(path))
+
     # ------------------------------------------------------------------
     # schema access
     # ------------------------------------------------------------------
@@ -383,6 +390,18 @@ class LazyFrame:
         format of most LLM-corpus tooling; round-trips with
         ``from_jsonl``."""
         self._df.write.mode(mode).json(path)
+
+    def write_orc(self, path: str, mode: str = "error",
+                  partition_by: list[str] | None = None) -> None:
+        """ORC sink; round-trips with ``from_orc`` (same hive
+        partitioning semantics as ``write_parquet``)."""
+        w = self._df.write.mode(mode)
+        if partition_by:
+            for c in partition_by:
+                if c not in self.columns:
+                    raise ColumnNotFoundError(c, self.columns)
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
 
     def to_spark(self) -> DataFrame:
         return self._df

@@ -1,6 +1,7 @@
 from . import (asof, cluster, contamination, dedup, multimodal, pack,
-               pipeline, quantize, sample, similarity, sketch, skew, text)
+               pipeline, quantize, rank, sample, similarity, sketch,
+               skew, stats, text)
 
 __all__ = ["asof", "cluster", "contamination", "dedup", "multimodal",
-           "pack", "pipeline", "quantize", "sample", "similarity",
-           "sketch", "skew", "text"]
+           "pack", "pipeline", "quantize", "rank", "sample",
+           "similarity", "sketch", "skew", "stats", "text"]

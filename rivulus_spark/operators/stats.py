@@ -1,0 +1,86 @@
+"""Distribution analytics for corpus curation: histograms and
+percentile clipping.
+
+A curation pipeline's first question about any numeric column (doc
+length, quality score, perplexity) is "what does the distribution look
+like, and where do I cut?". Both operators here are single-pass,
+shuffle-light, and oracle-exact:
+
+- :func:`histogram` is one map-side binning projection + one bounded
+  group-by (≤ ``n_bins`` rows cross the shuffle, never the corpus).
+- :func:`percentile_clip` computes the exact interpolated percentiles
+  (Spark ``percentile``, the same linear-interpolation definition as
+  DuckDB ``quantile_cont``) as a 1-row aggregate, broadcasts the two
+  boundary values back, and filters — the corpus is scanned twice but
+  never shuffled. At 100 TB swap ``exact=False`` to use
+  ``percentile_approx`` (single-digit-KB sketch merge instead of the
+  exact aggregate's per-partition sorted buffers); the plan shape is
+  identical.
+
+Reference parity: the reference engine has no aggregate surface at all
+(SURVEY.md §2.6) — these are north-star superset operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def histogram(df: DataFrame, col: str | Column, lo: float, hi: float,
+              n_bins: int = 20) -> DataFrame:
+    """Fixed-width histogram of ``col`` over ``[lo, hi)``: returns
+    ``(bin, bin_lo, bin_hi, n)`` with out-of-range values clamped into
+    the edge bins (so counts always total the non-null row count).
+    Bin arithmetic is plain floor/least/greatest — portable to any SQL
+    oracle, no ``width_bucket`` dependency."""
+    if not n_bins > 0:
+        raise ValueError("n_bins must be positive")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    c = _c(col).cast("double")
+    w = (hi - lo) / n_bins
+    bin_ = F.least(F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)),
+                              F.lit(0)),
+                   F.lit(n_bins - 1)).cast("long")
+    return (df.where(c.isNotNull())
+            .select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
+                    .alias("bin_hi"),
+                    "n"))
+
+
+def percentile_clip(df: DataFrame, col: str | Column,
+                    p_lo: float = 0.05, p_hi: float = 0.95,
+                    exact: bool = True,
+                    accuracy: int = 10_000) -> DataFrame:
+    """Keep rows whose ``col`` lies within the ``[p_lo, p_hi]``
+    percentile band — the standard outlier cut before training-data
+    statistics (drop the empty docs and the megabyte pathologies in
+    one declarative step). Appends nothing; returns the filtered frame
+    with the original schema.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile``
+    (bit-matches DuckDB ``quantile_cont``); ``exact=False`` uses the
+    ``percentile_approx`` sketch, the 100 TB default."""
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo <= p_hi <= 1")
+    c = _c(col)
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
+    bounds = df.select(c.alias("__pc_x")).agg(
+        F.expr(f"{fn}(__pc_x, array({p_lo}D, {p_hi}D){extra})")
+        .alias("__pc_b"))
+    bounds = bounds.select(F.col("__pc_b")[0].alias("__pc_lo"),
+                           F.col("__pc_b")[1].alias("__pc_hi"))
+    return (df.crossJoin(F.broadcast(bounds))
+            .where((c >= F.col("__pc_lo")) & (c <= F.col("__pc_hi")))
+            .drop("__pc_lo", "__pc_hi"))

@@ -16,6 +16,9 @@ metastore, same API.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -29,6 +32,18 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     the table fits an executor's memory (the bucket count is fixed for
     the table's lifetime — size for the table's target scale, not
     today's)."""
+    if mode == "overwrite":
+        # the session catalog here is in-memory: a table written by a
+        # previous process is gone from the catalog but its managed
+        # location survives in the warehouse dir, and saveAsTable then
+        # fails with LOCATION_ALREADY_EXISTS — drop both first (a real
+        # metastore wouldn't have the orphan; same API either way)
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        if wh.startswith(("file:", "/")) and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     (df.write.mode(mode)
      .bucketBy(n_buckets, *bucket_cols)
      .sortBy(*(sort_cols or bucket_cols))

@@ -1879,6 +1879,122 @@ def q_csv_sink_roundtrip(spark, sf_dir):
                  F.round(F.sum("bal"), 2).alias("sum_bal")))
 
 
+@_q("orc_sink_roundtrip", """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE n_chars > 300
+GROUP BY lang
+""")
+def q_orc_sink_roundtrip(spark, sf_dir):
+    """ORC sink + scan (LazyFrame.write_orc / from_orc) end to end —
+    the other self-describing columnar lake format; the read-back
+    filter must push into the ORC scan just as it would for parquet
+    (asserted in tests/test_plans.py). The write is a per-run fixture;
+    the sink+pruned-scan pair is what's under test."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "rivulus_orc_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    LazyFrame.from_spark(docs).write_orc(path, mode="overwrite")
+    back = LazyFrame.from_orc(spark, path).to_spark()
+    return (back.filter(F.col("n_chars") > 300)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+@_q("bucketed_join_agg", """
+SELECT l.l_returnflag,
+       count(*) AS n_items,
+       round(sum(l.l_quantity), 2) AS sum_qty,
+       round(sum(o.o_totalprice), 2) AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_returnflag
+""")
+def q_bucketed_join_agg(spark, sf_dir):
+    """Co-located bucketed join (sources/bucketed.py): orders and
+    lineitem are written as catalog tables bucketed by order key with
+    equal bucket counts, so the fact-fact join reads co-located
+    buckets and skips BOTH shuffles — at 100 TB the shuffle is paid
+    once at ingest, never per query. The ``merge`` hint pins the
+    sort-merge strategy so bucketing (not a broadcast of the sf-small
+    side) is what the plan exercises; the only exchange left is the
+    final group-by's (asserted in tests/test_plans.py). Writes are
+    per-run fixtures — the join plan is what's under test."""
+    import hashlib
+
+    from .sources import bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_o, t_l = f"b3_orders_{tag}", f"b3_lineitem_{tag}"
+    n_b = 8
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_totalprice"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag"))
+    # pre-shuffle each side by its key so every bucket lands in one
+    # task -> one file per bucket (keeps bucket scans narrow)
+    bucketed.write_bucketed(orders.repartition(n_b, F.col("o_orderkey")),
+                            t_o, ["o_orderkey"], n_b)
+    bucketed.write_bucketed(li.repartition(n_b, F.col("l_orderkey")),
+                            t_l, ["l_orderkey"], n_b)
+    bo = bucketed.read_bucketed(spark, t_o)
+    bl = bucketed.read_bucketed(spark, t_l).hint("merge")
+    j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+    return (j.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+@_q("length_histogram", """
+WITH b AS (
+  SELECT least(greatest(floor(n_chars / 250.0), 0), 19)::BIGINT AS bin
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT bin, bin * 250.0 AS bin_lo, (bin + 1) * 250.0 AS bin_hi,
+       count(*) AS n
+FROM b GROUP BY bin
+""")
+def q_length_histogram(spark, sf_dir):
+    """Document-length histogram (operators/stats.py): fixed-width
+    binning as a map-side projection + bounded group-by — at most
+    n_bins rows cross the shuffle regardless of corpus size. The first
+    chart anyone draws over a new corpus."""
+    from .operators import stats
+
+    return stats.histogram(_t(spark, sf_dir, "documents"), "n_chars",
+                           lo=0.0, hi=5000.0, n_bins=20)
+
+
+@_q("percentile_clip", """
+WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                  quantile_cont(n_chars, 0.95) AS hi
+           FROM documents)
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents, q
+WHERE n_chars >= lo AND n_chars <= hi
+GROUP BY lang
+""")
+def q_percentile_clip(spark, sf_dir):
+    """Percentile-band outlier cut (operators/stats.py): keep docs
+    whose length sits in [p05, p95] — the standard trim of empty docs
+    and megabyte pathologies before corpus statistics. Exact
+    interpolated percentile (= DuckDB quantile_cont) computed as a
+    1-row aggregate and broadcast back; ``exact=False`` swaps in the
+    percentile_approx sketch at scale with an identical plan shape."""
+    from .operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stats.percentile_clip(docs, "n_chars", 0.05, 0.95)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 @_q("text_repetition", """
 WITH toks AS (
   SELECT doc_id,

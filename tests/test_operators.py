@@ -936,3 +936,29 @@ def test_charlm_supplied_model_unseen_bigram_uses_context_count(spark):
     assert out.n_bigrams == 1
     assert math.isclose(out.charlm_logprob, math.log(1.0 / 4.0),
                         rel_tol=1e-9)
+
+
+def test_histogram_clamps_and_totals(spark):
+    from rivulus_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 1, 9.9, 10, 25, 99]] + [(None,)],
+        "x double")
+    out = {r.bin: (r.bin_lo, r.bin_hi, r.n)
+           for r in stats.histogram(df, "x", lo=0.0, hi=20.0,
+                                    n_bins=2).collect()}
+    # -5 clamps into bin 0; 25 and 99 clamp into bin 1; null dropped
+    assert out[0] == (0.0, 10.0, 4) and out[1] == (10.0, 20.0, 3)
+    assert sum(v[2] for v in out.values()) == 7
+
+
+def test_percentile_clip_keeps_band(spark):
+    from rivulus_spark.operators import stats
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "id long, x double")
+    kept = sorted(r.id for r in
+                  stats.percentile_clip(df, "x", 0.10, 0.90).collect())
+    # exact interpolated percentiles of 1..100: p10=10.9, p90=90.1
+    assert kept == list(range(11, 91))
+    assert stats.percentile_clip(df, "x", 0.0, 1.0).count() == 100

@@ -212,3 +212,22 @@ def test_kmeans_assign_sizes_no_cartesian(spark):
     p = plan(spark, "kmeans_assign_sizes")
     assert "MapInPandas" in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_orc_roundtrip_pushes_filter_into_scan(spark):
+    # the ORC read-back must get the same pushdown treatment as parquet
+    p = plan(spark, "orc_sink_roundtrip")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "n_chars" in pushed[0]
+
+
+def test_bucketed_join_shuffles_only_the_final_agg(spark):
+    # both sides bucketed on the join key with equal counts: the
+    # sort-merge join must read co-located buckets with NO exchange on
+    # either input; the single remaining exchange belongs to the
+    # group-by after the join
+    p = plan(spark, "bucketed_join_agg")
+    assert "SortMergeJoin" in p
+    n_exchanges = sum(1 for l in p.splitlines()
+                      if "Exchange" in l and "Reuse" not in l)
+    assert n_exchanges == 1, p
