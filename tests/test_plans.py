@@ -189,9 +189,11 @@ def test_window_ntile_has_no_unpartitioned_data_window(spark):
 @pytest.mark.parametrize("name", [
     # the bench heavy tail: every banded/bucketed candidate path must
     # stay an equi-join — a regression to all-pairs shows up as a
-    # nested-loop or cartesian stage (VERDICT r2 next-round #6)
+    # nested-loop or cartesian stage (VERDICT r2 next-round #6);
+    # covers every batch query >2s in BENCH_DETAIL at sf0.1
     "dedup_minhash_lsh", "embedding_neardup_lsh", "decontaminate_fuzzy",
-    "pipeline_curate",
+    "pipeline_curate", "pipeline_curate_v2", "pipeline_stats",
+    "dedup_survivors", "dedup_clusters",
 ])
 def test_heavy_tail_banded_paths_are_equi_joins(spark, name):
     p = plan(spark, name)

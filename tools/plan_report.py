@@ -104,6 +104,28 @@ HEADLINE = {
                              "stream-stream join: both sides shuffle "
                              "on the equi-key, band condition post-"
                              "filters"),
+    "window_ntile": ("two-pass distributed rank: range-bucket on "
+                     "approximate quantiles, broadcast prefix-sum "
+                     "offsets, within-bucket row_number — every Window "
+                     "is partitioned by bucket, nothing single-"
+                     "partitions the data"),
+    "bucketed_join_agg": ("both sides bucketed on the join key with "
+                          "equal counts: the sort-merge join reads "
+                          "co-located buckets with ZERO exchanges; the "
+                          "only shuffle left is the final group-by"),
+    "kmeans_assign_sizes": ("fixed-centroid assignment: one MapInPandas "
+                            "numpy sweep over the broadcast centroid "
+                            "matrix + a k-row aggregate"),
+    "orc_sink_roundtrip": ("ORC read-back: n_chars filter pushed into "
+                           "the ORC scan exactly as for parquet"),
+    "length_histogram": ("fixed-width binning is a map-side projection; "
+                         "at most n_bins rows cross the shuffle"),
+    "percentile_clip": ("1-row exact-percentile aggregate broadcast "
+                        "back as a band filter: the corpus is scanned, "
+                        "never shuffled"),
+    "csv_sink_roundtrip": ("CSV read-back through the source contract: "
+                           "null token round-trips; aggregate is "
+                           "partial-then-final"),
 }
 
 SF = "/root/testdata/sf0.001"
