@@ -40,10 +40,20 @@ def write_parquet(df: DataFrame, path: str,
     w.parquet(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str,
+                 merge_schema: bool = False) -> DataFrame:
     """Read a (possibly partitioned) parquet dataset; partition columns
-    come back as real columns, and filters on them prune directories."""
-    return spark.read.parquet(path)
+    come back as real columns, and filters on them prune directories.
+
+    ``merge_schema=True`` unions the footers of every file instead of
+    trusting the first one — the schema-evolution read: batches written
+    before a column existed surface it as null. Footer merging is a
+    driver-side listing cost, so leave it off (Spark's default) unless
+    the dataset actually evolved."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",

@@ -1951,6 +1951,70 @@ def q_bucketed_join_agg(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
 
 
+@_q("schema_evolution_roundtrip", """
+SELECT lang, count(*) AS n_docs,
+       count(CASE WHEN doc_id >= 250 THEN n_chars END) AS n_evolved,
+       sum(CASE WHEN doc_id >= 250 THEN n_chars END)::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+""")
+def q_schema_evolution_roundtrip(spark, sf_dir):
+    """Schema-evolution read (sources/sink.py read_parquet
+    merge_schema): an early batch written WITHOUT ``n_chars`` and a
+    later batch WITH it land in the same dataset; the merged read
+    surfaces the column as null for pre-evolution rows, which the
+    per-lang aggregate observes (count/sum over only the evolved
+    rows). Writes are per-run fixtures; the footer-merging scan is
+    what's under test."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import sink
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "rivulus_evo_docs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    old = docs.filter(F.col("doc_id") < 250).select("doc_id", "lang")
+    new = (docs.filter(F.col("doc_id") >= 250)
+           .select("doc_id", "lang", "n_chars"))
+    sink.write_parquet(old, path, mode="overwrite")
+    sink.write_parquet(new, path, mode="append")
+    back = sink.read_parquet(spark, path, merge_schema=True)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("n_chars").alias("n_evolved"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+@_q("shard_export_manifest", """
+WITH s AS (SELECT doc_id, doc_id % 8 AS shard FROM documents)
+SELECT shard, count(*) AS n_rows,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM s GROUP BY shard
+""")
+def q_shard_export_manifest(spark, sf_dir):
+    """Deterministic training-shard export (sources/shards.py):
+    documents split into 8 stable ``pmod(doc_id)`` shards, one sorted
+    file per shard directory, then the manifest (count + id range per
+    shard) read back — the contract a resumable data loader relies
+    on. The write is a per-run fixture; the stable assignment +
+    layout readback is what's under test."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                 "n_chars")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "rivulus_shards_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shards.export_shards(docs, path, n_shards=8)
+    return shards.shard_manifest(spark, path)
+
+
 @_q("length_histogram", """
 WITH b AS (
   SELECT least(greatest(floor(n_chars / 250.0), 0), 19)::BIGINT AS bin

@@ -218,3 +218,50 @@ class TestSaltedJoin:
                 skew.salted_join(big, small, "k", "k", n_salts=3,
                                  how="left").collect()}
         assert rows == {"a": 10.0, "b": None}
+
+
+class TestShardExport:
+    def test_one_sorted_file_per_shard(self, spark, tmp_path):
+        import glob
+
+        from rivulus_spark.sources import shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "shards")
+        shards.export_shards(docs.select("doc_id", "lang"), path, n_shards=4)
+        for k in range(4):
+            files = glob.glob(f"{path}/shard={k}/*.parquet")
+            assert len(files) == 1, f"shard {k}: {files}"
+        # stable assignment: pmod(doc_id, 4), files internally sorted
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(glob.glob(f"{path}/shard=1/*.parquet")[0])
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids)
+        assert all(i % 4 == 1 for i in ids)
+
+    def test_manifest_counts_total(self, spark, tmp_path):
+        from rivulus_spark.sources import shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "m")
+        shards.export_shards(docs, path, n_shards=3)
+        man = shards.shard_manifest(spark, path)
+        assert man.count() == 3
+        assert sum(r.n_rows for r in man.collect()) == docs.count()
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_surfaces_late_column(self, spark, tmp_path):
+        from rivulus_spark.sources import sink
+
+        path = str(tmp_path / "evo")
+        spark.createDataFrame([(1, "en")], "id long, lang string") \
+            .write.mode("overwrite").parquet(path)
+        spark.createDataFrame([(2, "de", 42)],
+                              "id long, lang string, extra long") \
+            .write.mode("append").parquet(path)
+        merged = sink.read_parquet(spark, path, merge_schema=True)
+        assert "extra" in merged.columns
+        rows = {r.id: r.extra for r in merged.collect()}
+        assert rows == {1: None, 2: 42}
