@@ -121,3 +121,29 @@ def test_assign_splits_total_and_disjoint(spark, keys):
     sub = {r.k: r.split for r in
            sample.assign_splits(half, splits, "k").collect()}
     assert all(full[k] == v for k, v in sub.items())
+
+
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=40),
+       n=st.integers(min_value=1, max_value=6))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distributed_rank_matches_global_window(spark, vals, n):
+    """add_ntile_percent_rank must equal Spark's own unpartitioned
+    window for ANY data (duplicates, negatives, any n) — the unique
+    tie-break id makes both totals deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long")
+    got = {r.id: (r.tile, round(r.pr, 12)) for r in
+           rank.add_ntile_percent_rank(df, ["v", "id"], n=n,
+                                       n_buckets=4).collect()}
+    w = Window.orderBy("v", "id")
+    want = {r.id: (r.tile, round(r.pr, 12)) for r in df.select(
+        "id", F.ntile(n).over(w).cast("long").alias("tile"),
+        F.percent_rank().over(w).alias("pr")).collect()}
+    assert got == want
