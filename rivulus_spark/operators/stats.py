@@ -70,7 +70,11 @@ def percentile_clip(df: DataFrame, col: str | Column,
 
     ``exact=True`` uses Spark's exact interpolated ``percentile``
     (bit-matches DuckDB ``quantile_cont``); ``exact=False`` uses the
-    ``percentile_approx`` sketch, the 100 TB default."""
+    ``percentile_approx`` sketch, the 100 TB default.
+
+    Rows with null ``col`` are always dropped (they are inside no
+    band); if the column is entirely null the percentiles themselves
+    are null and the result is empty."""
     if not 0.0 <= p_lo <= p_hi <= 1.0:
         raise ValueError("need 0 <= p_lo <= p_hi <= 1")
     c = _c(col)

@@ -962,3 +962,20 @@ def test_percentile_clip_keeps_band(spark):
     # exact interpolated percentiles of 1..100: p10=10.9, p90=90.1
     assert kept == list(range(11, 91))
     assert stats.percentile_clip(df, "x", 0.0, 1.0).count() == 100
+
+
+def test_stats_and_rank_edge_cases(spark):
+    from rivulus_spark.operators import rank, stats
+
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "id long, x double")
+    # no band exists over an all-null column -> empty, not a crash
+    assert stats.percentile_clip(nulls, "x").count() == 0
+    empty = spark.createDataFrame([], "id long, v double")
+    assert rank.add_ntile_percent_rank(empty, ["v", "id"]).count() == 0
+    with pytest.raises(ValueError):
+        stats.histogram(nulls, "x", 5.0, 5.0)
+    with pytest.raises(ValueError):
+        stats.percentile_clip(nulls, "x", 0.9, 0.1)
+    with pytest.raises(ValueError):
+        rank.global_row_number(nulls, [])
