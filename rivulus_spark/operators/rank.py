@@ -48,6 +48,16 @@ def global_row_number(
     ``percent_rank`` parity (with a unique key, row_number == rank).
     ``with_total``, if set, also appends the total row count under
     that name (broadcast of a 1-row aggregate — needed by ntile).
+
+    Bucket balance follows the LEADING column's value distribution:
+    rows tied on it cannot split across buckets (boundaries must
+    respect the total order), so a tie-heavy leading key (e.g. Zipf
+    token counts) concentrates its modal value in one bucket — ranks
+    stay exact, parallelism degrades toward that bucket's share.
+    Prefer a high-cardinality leading column. Deterministic
+    recomputation (percentile boundaries, not sampled-seed range
+    partitioning) is what lets the count pass and the rank pass agree
+    without persisting the input.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")

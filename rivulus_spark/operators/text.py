@@ -180,6 +180,10 @@ def corpus_ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     counts = (grams.groupBy("g")
               .agg(F.countDistinct("__id").alias("n_docs"),
                    F.count("*").alias("total_count")))
+    # rank-then-filter: Catalyst's InferWindowGroupLimit inserts a
+    # TakeOrderedAndProject(limit=k) below this window (asserted in
+    # test_plans.py), so the unpartitioned rank sees <= k rows — the
+    # n-gram count table itself never single-partitions
     w = Window.orderBy(F.col("total_count").desc(), F.col("g").asc())
     return (counts.select(F.col("g").alias("ngram"), "n_docs",
                           "total_count",
@@ -287,13 +291,26 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     counts = (df.select(F.explode(tokens(text_col)).alias("token"))
               .groupBy("token").agg(F.count("*").alias("count"))
               .filter(F.col("count") >= min_count))
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    out = counts.select("token", "count",
-                        F.row_number().over(w).cast("long")
-                        .alias("token_id"))
     if max_size is not None:
-        out = out.filter(F.col("token_id") <= max_size)
-    return out
+        # rank-then-filter: the optimizer's group-limit rewrite bounds
+        # the unpartitioned rank window to max_size rows via
+        # TakeOrderedAndProject (asserted in test_plans.py) — the full
+        # distinct-token table never single-partitions
+        w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+        return (counts.select("token", "count",
+                              F.row_number().over(w).cast("long")
+                              .alias("token_id"))
+                .filter(F.col("token_id") <= max_size))
+    # uncapped vocab: no rank filter means no group-limit rewrite, so
+    # id assignment uses the two-pass distributed rank instead of
+    # single-partitioning the whole distinct-token table
+    from .rank import global_row_number
+
+    return (global_row_number(
+                counts.withColumn("__negc", -F.col("count")),
+                ["__negc", "token"], rank_col="token_id")
+            .select("token", "count", F.col("token_id").cast("long")
+                    .alias("token_id")))
 
 
 def encode_docs(df: DataFrame, vocab: DataFrame, text_col: str = "text",

@@ -216,6 +216,20 @@ def test_kmeans_assign_sizes_no_cartesian(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
+@pytest.mark.parametrize("name,k", [
+    ("heavy_hitters", 20), ("ngram_topk", 20), ("vocab_topk", 100),
+])
+def test_topk_rank_windows_are_group_limited(spark, name, k):
+    # rank-then-filter top-k over corpus-cardinality count tables: the
+    # optimizer (InferWindowGroupLimit) must insert a
+    # TakeOrderedAndProject(limit=k) BELOW the rank window, so the one
+    # unpartitioned window ranks <= k pre-limited rows — per-partition
+    # heaps + one k-row merge, never the distinct-key table through a
+    # single partition
+    p = plan(spark, name)
+    assert f"TakeOrderedAndProject(limit={k}" in p, p
+
+
 def test_orc_roundtrip_pushes_filter_into_scan(spark):
     # the ORC read-back must get the same pushdown treatment as parquet
     p = plan(spark, "orc_sink_roundtrip")
