@@ -126,6 +126,17 @@ HEADLINE = {
     "csv_sink_roundtrip": ("CSV read-back through the source contract: "
                            "null token round-trips; aggregate is "
                            "partial-then-final"),
+    "schema_evolution_roundtrip": ("mergeSchema scan over an evolved "
+                                   "dataset: late column null-filled "
+                                   "for old batches, aggregate "
+                                   "partial-then-final"),
+    "shard_export_manifest": ("stable pmod shard assignment read back "
+                              "hive-partitioned; manifest is a bounded "
+                              "per-shard aggregate"),
+    "vocab_topk": ("rank-then-filter vocabulary: "
+                   "TakeOrderedAndProject(limit=max_size) below the "
+                   "rank window — the distinct-token table never "
+                   "single-partitions"),
 }
 
 SF = "/root/testdata/sf0.001"
