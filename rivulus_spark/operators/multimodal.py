@@ -199,3 +199,26 @@ def binary_stats(df: DataFrame, id_col: str = "doc_id",
         id_col,
         F.octet_length(F.col(content_col)).cast("long").alias("n_bytes"),
         F.sha2(F.col(content_col), 256).alias("sha256"))
+
+
+def plan_resize(features: DataFrame, max_w: int = 512, max_h: int = 512,
+                id_col: str = "doc_id") -> DataFrame:
+    """Aspect-preserving resize plan over decoded image dims: the
+    target (out_w, out_h) fitting a ``max_w`` x ``max_h`` box without
+    upscaling, plus the 6-dp-truncated scale factor and a no-op flag.
+
+    This is the PLANNING half of a resize stage — pure codegen
+    arithmetic on (width, height), no Python, no shuffle — which at
+    100 TB is what you want to compute (and filter on: skip no-ops,
+    budget output bytes) BEFORE paying the per-blob decode+resample in
+    a mapInPandas codec pass. Output dims are floor(dim * scale)
+    clamped to >= 1, matching the SQL oracle exactly."""
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    s = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h,
+                F.lit(1.0))
+    return features.select(
+        id_col, "width", "height",
+        F.greatest(F.floor(w * s), F.lit(1)).cast("long").alias("out_w"),
+        F.greatest(F.floor(h * s), F.lit(1)).cast("long").alias("out_h"),
+        (F.floor(s * 1e6) / 1e6).alias("scale"),
+        (s >= 1.0).alias("is_noop"))

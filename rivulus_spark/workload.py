@@ -2347,6 +2347,31 @@ def q_multimodal_binary_stats(spark, sf_dir):
     return multimodal.binary_stats(_media_docs(spark, sf_dir))
 
 
+@_q("multimodal_resize_plan", """
+WITH f AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(text),1,4))::BIGINT % 1920 + 1 AS width,
+         ('0x'||substr(md5(text),5,4))::BIGINT % 1080 + 1 AS height
+  FROM documents),
+s AS (SELECT doc_id, width, height,
+             least(512.0/width, 512.0/height, 1.0) AS sc FROM f)
+SELECT doc_id, width, height,
+       greatest(floor(width*sc), 1)::BIGINT AS out_w,
+       greatest(floor(height*sc), 1)::BIGINT AS out_h,
+       floor(sc*1000000)/1000000 AS scale,
+       sc >= 1.0 AS is_noop
+FROM s
+""")
+def q_multimodal_resize_plan(spark, sf_dir):
+    """Resize planning over decoded image dims (multimodal.plan_resize):
+    aspect-preserving fit into a 512x512 box, no upscaling — the
+    codegen arithmetic stage a pipeline runs (and filters on) BEFORE
+    paying per-blob decode+resample, so no-op images never enter the
+    Python codec pass."""
+    feats = multimodal.decode_images(_media_docs(spark, sf_dir))
+    return multimodal.plan_resize(feats, max_w=512, max_h=512)
+
+
 # ======================================================================
 # North star: embedding similarity search (operators/similarity.py)
 # ======================================================================

@@ -92,3 +92,21 @@ def test_decode_audio_fake_matches_hashlib(media):
 def test_decode_audio_real_raises(media):
     with pytest.raises(Exception, match="codec not available"):
         multimodal.decode_audio(media, decode="real").collect()
+
+
+def test_plan_resize_fits_box_never_upscales(spark):
+    from rivulus_spark.operators import multimodal
+
+    feats = spark.createDataFrame(
+        [(1, 1920, 1080), (2, 100, 50), (3, 512, 512), (4, 3, 4000)],
+        "doc_id long, width long, height long")
+    out = {r.doc_id: r for r in
+           multimodal.plan_resize(feats, 512, 512).collect()}
+    # downscale preserves aspect within the box
+    assert (out[1].out_w, out[1].out_h) == (512, 288)
+    assert out[1].is_noop is False
+    # small images pass through untouched
+    assert (out[2].out_w, out[2].out_h, out[2].is_noop) == (100, 50, True)
+    assert (out[3].out_w, out[3].out_h, out[3].is_noop) == (512, 512, True)
+    # extreme aspect ratio clamps to >= 1, never 0
+    assert out[4].out_w == 1 and out[4].out_h == 512
