@@ -3037,8 +3037,8 @@ _PRIORITY: list[str] = [
     # NOTE for the r4 rotation: queries added after this window was
     # frozen (orc_sink_roundtrip, bucketed_join_agg, length_histogram,
     # percentile_clip, schema_evolution_roundtrip,
-    # shard_export_manifest) sit in the tail — swap them in next round
-    # to complete the r1∪r2∪r3∪r4 union.
+    # shard_export_manifest, multimodal_resize_plan) sit in the tail —
+    # swap them in next round to complete the r1∪r2∪r3∪r4 union.
     # --- 19 representatives of families already driver-green in
     # r1/r2, so every round keeps regression coverage on the core ---
     "select_project", "filter_compound", "expr_arith",
