@@ -181,6 +181,26 @@ def c4_keep_lines(col: str | Column, min_words: int = 5) -> Column:
     return F.array_join(kept, "\n")
 
 
+def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document duplicate-line removal (the within-doc sibling of
+    corpus dedup — repeated nav bars / footers inside one scraped page
+    are the most common boilerplate C4/Gopher-style pipelines strip).
+    Adds ``n_lines``, ``n_unique_lines``, ``line_dedup_text`` (first
+    occurrence of each line, original order — ``array_distinct``
+    keeps first-seen order), and ``uniq_md5``, a digest of the SORTED
+    unique lines so the observable is order-independent and portable
+    to engines whose distinct-list order differs. Pure array
+    expressions — no shuffle, no Python."""
+    lines = F.split(_c(text_col), r"\n")
+    uniq = F.array_distinct(lines)
+    return (df
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_unique_lines", F.size(uniq).cast("long"))
+            .withColumn("line_dedup_text", F.array_join(uniq, "\n"))
+            .withColumn("uniq_md5",
+                        F.md5(F.array_join(F.array_sort(uniq), "\n"))))
+
+
 def c4_line_stats(df: DataFrame, text_col: str = "text",
                   min_words: int = 5) -> DataFrame:
     """Adds ``n_lines``, ``n_lines_kept``, and the cleaned text's

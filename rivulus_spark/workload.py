@@ -1496,6 +1496,38 @@ def q_c4_line_filter(spark, sf_dir):
                       F.md5("c4_text").alias("c4_md5"))
 
 
+@_q("intra_doc_dedup", r"""
+WITH t AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS t2
+           FROM documents),
+d AS (SELECT doc_id,
+             t2 || chr(10) || regexp_split_to_array(t2, chr(10))[1] AS t3
+      FROM t),
+s AS (SELECT doc_id, regexp_split_to_array(t3, chr(10)) AS lines FROM d)
+SELECT doc_id, len(lines)::BIGINT AS n_lines,
+       len(list_distinct(lines))::BIGINT AS n_unique_lines,
+       md5(array_to_string(list_sort(list_distinct(lines)), chr(10)))
+         AS uniq_md5
+FROM s
+""")
+def q_intra_doc_dedup(spark, sf_dir):
+    """Within-document duplicate-line removal (clean.dedup_lines):
+    documents get deterministic line structure, the first line is
+    re-appended (guaranteeing every doc carries a duplicate), and the
+    pass reports total vs unique line counts plus an order-independent
+    digest of the surviving lines. Pure array expressions over the
+    scan — the intra-doc sibling of corpus-level dedup."""
+    from .operators import clean
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("t2", F.replace(F.col("text"), F.lit(" value "),
+                                        F.lit("\n")))
+            .withColumn("t3", F.concat(
+                F.col("t2"), F.lit("\n"),
+                F.get(F.split(F.col("t2"), r"\n"), 0))))
+    out = clean.dedup_lines(docs, "t3")
+    return out.select("doc_id", "n_lines", "n_unique_lines", "uniq_md5")
+
+
 @_q("gopher_quality", rf"""
 WITH {_GOPHER_CTE}
 SELECT doc_id, wc::BIGINT AS wc,
@@ -3037,8 +3069,9 @@ _PRIORITY: list[str] = [
     # NOTE for the r4 rotation: queries added after this window was
     # frozen (orc_sink_roundtrip, bucketed_join_agg, length_histogram,
     # percentile_clip, schema_evolution_roundtrip,
-    # shard_export_manifest, multimodal_resize_plan) sit in the tail —
-    # swap them in next round to complete the r1∪r2∪r3∪r4 union.
+    # shard_export_manifest, multimodal_resize_plan, intra_doc_dedup)
+    # sit in the tail — swap them in next round to complete the
+    # r1∪r2∪r3∪r4 union.
     # --- 19 representatives of families already driver-green in
     # r1/r2, so every round keeps regression coverage on the core ---
     "select_project", "filter_compound", "expr_arith",

@@ -979,3 +979,14 @@ def test_stats_and_rank_edge_cases(spark):
         stats.percentile_clip(nulls, "x", 0.9, 0.1)
     with pytest.raises(ValueError):
         rank.global_row_number(nulls, [])
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from rivulus_spark.operators import clean
+
+    df = spark.createDataFrame(
+        [(0, "nav bar\nreal content here\nnav bar\nmore text\nnav bar")],
+        "doc_id long, text string")
+    r = clean.dedup_lines(df).head()
+    assert r.n_lines == 5 and r.n_unique_lines == 3
+    assert r.line_dedup_text == "nav bar\nreal content here\nmore text"
