@@ -66,9 +66,13 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-            except Exception as e:  # failing query: sentinel, not a crash
-                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                best = -1.0
+            except Exception as e:
+                # a flaky rep must not mask an earlier successful
+                # timing: only report the -1.0 failure sentinel when NO
+                # rep ever completed
+                print(f"bench: {name} rep FAILED: {e}", file=sys.stderr)
+                if best is None:
+                    best = -1.0
                 break
             best = dt if best is None else min(best, dt)
             # each rep is timed self-contained: drop intermediates the

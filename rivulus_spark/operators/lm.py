@@ -78,10 +78,13 @@ def charlm_score(df: DataFrame, model: DataFrame | None = None,
     # 1/(c_ctx + V), not 1/V — a full-bigram join would null out c_ctx
     # for exactly those rows (matters only for supplied models; on the
     # self-trained path every scored bigram is in the model)
+    # aggregate (not distinct): a supplied model with inconsistent
+    # c_ctx values for one context would otherwise yield multiple rows
+    # per __ctx and the left join would duplicate per-bigram rows,
+    # silently inflating n_bigrams — max() guarantees one row per ctx
     ctx_counts = (model
-                  .select(F.substring("bigram", 1, 1).alias("__ctx"),
-                          F.col("c_ctx").alias("__c_ctx"))
-                  .distinct())
+                  .groupBy(F.substring("bigram", 1, 1).alias("__ctx"))
+                  .agg(F.max("c_ctx").alias("__c_ctx")))
     joined = (per
               .withColumn("__ctx", F.substring("bigram", 1, 1))
               .join(F.broadcast(model.select("bigram", "c_bigram")),

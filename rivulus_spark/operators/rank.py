@@ -66,17 +66,22 @@ def global_row_number(
     # 1. range-bucket on the leading column. Boundaries are approximate
     # quantiles: rows equal to a boundary fall in the lower bucket
     # (strict >), which is consistent and order-preserving. Nulls get
-    # bucket 0, matching Spark's nulls-first ascending sort.
+    # bucket 0, matching Spark's nulls-first ascending sort. An
+    # ALL-null leading column makes percentile_approx return null —
+    # coalesce the bucket to 0 so every row lands in bucket 0 instead
+    # of being dropped by the null-keyed offsets join.
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.select(
         F.percentile_approx(lead, probs, 10_000).alias("_rk_bounds"))
     b = (df.crossJoin(F.broadcast(bounds))
          .withColumn(
              "_rk_bucket",
-             F.aggregate(
-                 F.col("_rk_bounds"), F.lit(0),
-                 lambda acc, x: acc + F.when(F.col(lead) > x, 1)
-                                      .otherwise(0)))
+             F.coalesce(
+                 F.aggregate(
+                     F.col("_rk_bounds"), F.lit(0),
+                     lambda acc, x: acc + F.when(F.col(lead) > x, 1)
+                                          .otherwise(0)),
+                 F.lit(0)))
          .drop("_rk_bounds"))
 
     # 2. per-bucket counts -> exclusive prefix sums, via a broadcast

@@ -63,8 +63,29 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
                 size = os.path.getsize(path)
                 splits += max(1, -(-size // max_bytes))
         except Exception:
-            return None  # non-local FS / unreadable: trust the source
+            # non-local FS (s3/hdfs) or unreadable footer: fall back to
+            # a size-based estimate via the Hadoop FileSystem API (any
+            # FS Spark can read, no job), so spread() keeps protecting
+            # under-split remote inputs instead of silently no-opping
+            size = _hadoop_file_size(df.sparkSession, f)
+            if size is None:
+                return None  # truly unreachable: trust the source
+            splits += max(1, -(-size // max_bytes))
     return splits
+
+
+def _hadoop_file_size(spark, uri: str) -> int | None:
+    """File length via Hadoop's FileSystem — driver-side metadata call
+    that works on every scheme Spark itself can scan (file/hdfs/s3a/…),
+    unlike ``os.path.getsize`` which is local-only."""
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        return int(fs.getFileStatus(p).getLen())
+    except Exception:
+        return None
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -17,9 +17,12 @@ metastore, same API.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+_TABLE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
@@ -32,6 +35,12 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     the table fits an executor's memory (the bucket count is fixed for
     the table's lifetime — size for the table's target scale, not
     today's)."""
+    if not _TABLE_RE.match(table):
+        # the name is interpolated into SQL and into a filesystem path
+        # that gets rmtree'd on overwrite — reject anything that isn't
+        # a plain identifier before it can reach either
+        raise ValueError(f"invalid table name {table!r}: must match "
+                         f"{_TABLE_RE.pattern}")
     if mode == "overwrite":
         # the session catalog here is in-memory: a table written by a
         # previous process is gone from the catalog but its managed

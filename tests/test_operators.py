@@ -990,3 +990,30 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     r = clean.dedup_lines(df).head()
     assert r.n_lines == 5 and r.n_unique_lines == 3
     assert r.line_dedup_text == "nav bar\nreal content here\nmore text"
+
+
+def test_global_row_number_all_null_order_column(spark):
+    """ADVICE r3: an entirely-null leading order column used to yield a
+    null bounds array -> null bucket -> empty result. Every row must
+    land in bucket 0 and still get a total rank."""
+    from rivulus_spark.operators import rank
+
+    df = spark.createDataFrame([(1, None), (2, None), (3, None)],
+                               "id long, v double")
+    out = {r.id: r.rank for r in
+           rank.global_row_number(df, ["v", "id"]).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_charlm_inconsistent_supplied_model_no_fanout(spark):
+    """ADVICE r3: a supplied model with conflicting c_ctx values for
+    one context must not duplicate per-bigram rows through the context
+    join — n_bigrams stays the true bigram count."""
+    from rivulus_spark.operators import lm
+
+    model = spark.createDataFrame(
+        [("ab", 2, 3), ("ac", 1, 5)],  # ctx 'a' listed with c_ctx 3 AND 5
+        "bigram string, c_bigram long, c_ctx long")
+    score = spark.createDataFrame([(1, "aba")], "doc_id long, text string")
+    out = lm.charlm_score(score, model=model).head()
+    assert out.n_bigrams == 2  # "ab", "ba" — not inflated to 4

@@ -265,3 +265,16 @@ class TestSchemaEvolution:
         assert "extra" in merged.columns
         rows = {r.id: r.extra for r in merged.collect()}
         assert rows == {1: None, 2: 42}
+
+
+def test_write_bucketed_rejects_unsafe_table_names(spark):
+    """ADVICE r3: the table name reaches a SQL string and an rmtree'd
+    filesystem path — non-identifier names must be rejected up front."""
+    import pytest
+
+    from rivulus_spark.sources import bucketed
+
+    df = spark.range(3)
+    for bad in ("../oops", "a/b", "t; DROP TABLE x", "", "1badstart"):
+        with pytest.raises(ValueError):
+            bucketed.write_bucketed(df, bad, ["id"], 4)
