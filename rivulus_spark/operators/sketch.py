@@ -35,6 +35,37 @@ def approx_distinct(df: DataFrame, cols: list[str],
     ])
 
 
+def approx_distinct_audit(df: DataFrame, cols: list[str],
+                          rsd: float = 0.05,
+                          tol: float = 3.0) -> DataFrame:
+    """Bounds-checked HLL: per column ``(column, n_exact,
+    hll_within_bounds)`` where the boolean asserts the HLL++ estimate
+    lands within ``tol * rsd`` (default 3 standard errors) of the exact
+    distinct count. This is the *verification harness* for the sketch —
+    it pays the exact count(distinct) the sketch exists to avoid, so
+    run it at validation scale, not on the 100 TB table. Both the HLL
+    estimate and the exact count are deterministic for a fixed input,
+    so the boolean is a stable, oracle-checkable observable (the raw
+    estimate is engine-specific and is not emitted)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__approx"),
+            F.count_distinct(F.col(c)).alias(f"{c}__exact"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__exact").alias("n_exact"),
+            (F.abs(F.col(f"{c}__approx") - F.col(f"{c}__exact"))
+             <= tol * rsd * F.col(f"{c}__exact")).alias("hll_within_bounds"))
+        for c in cols
+    ]
+    return (wide.select(F.explode(F.array(*per_col)).alias("p"))
+            .select("p.column", "p.n_exact", "p.hll_within_bounds"))
+
+
 def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
                     by: list[str] | None = None) -> DataFrame:
     """Exact linear-interpolated percentiles (PERCENTILE_CONT
@@ -110,3 +141,38 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return (wide.select(F.explode(F.array(*per_col)).alias("p"))
             .select("p.column", "p.n_non_null", "p.approx_distinct",
                     "p.min_str", "p.max_str"))
+
+
+def profile_audit(df: DataFrame, cols: list[str], rsd: float = 0.05,
+                  tol: float = 3.0) -> DataFrame:
+    """``column_profile`` with the approximate-distinct column replaced
+    by a bounds check against the exact count: per column
+    ``(column, n_non_null, min_str, max_str, distinct_ok)``. Like
+    :func:`approx_distinct_audit` this is the validation-scale harness
+    for the sketch — every emitted value is deterministic and
+    SQL-reproducible, which is what makes the profile oracle-checkable
+    end to end. Still one aggregate scan (Catalyst plans the mixed
+    distinct/non-distinct aggregates with a single Expand)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__approx"),
+            F.count_distinct(F.col(c)).alias(f"{c}__exact"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_non_null"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+            (F.abs(F.col(f"{c}__approx") - F.col(f"{c}__exact"))
+             <= tol * rsd * F.col(f"{c}__exact")).alias("distinct_ok"))
+        for c in cols
+    ]
+    return (wide.select(F.explode(F.array(*per_col)).alias("p"))
+            .select("p.column", "p.n_non_null", "p.min_str", "p.max_str",
+                    "p.distinct_ok"))

@@ -1224,26 +1224,62 @@ def q_heavy_hitters(spark, sf_dir):
     return out.select("value", "n", F.col("rank").cast("long").alias("rank"))
 
 
-@_q("approx_distinct_sketch")  # HLL result is engine-specific: rows-only check
+@_q("approx_distinct_sketch", """
+SELECT 'l_partkey' AS "column", count(DISTINCT l_partkey)::BIGINT AS n_exact,
+       TRUE AS hll_within_bounds FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(DISTINCT l_suppkey)::BIGINT, TRUE FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', count(DISTINCT l_orderkey)::BIGINT, TRUE FROM lineitem
+""")
 def q_approx_distinct_sketch(spark, sf_dir):
     """HyperLogLog++ distinct counts over lineitem keys — mergeable
-    fixed-memory sketch, the 100 TB cardinality path. No SQL oracle
-    (DuckDB's HLL differs); the driver records the rows-only check."""
+    fixed-memory sketch, the 100 TB cardinality path. The raw HLL
+    estimate is engine-specific, so the registered observable is the
+    *bounds audit* (estimate within 3·rsd of exact — deterministic for
+    a fixed input), which gives the sketch a hash-matched oracle row;
+    the production estimate path is ``sketch.approx_distinct``."""
     from .operators import sketch
 
-    return sketch.approx_distinct(_t(spark, sf_dir, "lineitem"),
-                                  ["l_partkey", "l_suppkey", "l_orderkey"])
+    return sketch.approx_distinct_audit(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_partkey", "l_suppkey", "l_orderkey"])
 
 
-@_q("column_profile")  # contains approx sketches: rows-only check
+@_q("column_profile", """
+SELECT 'o_orderkey' AS "column", count(o_orderkey)::BIGINT AS n_non_null,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_str,
+       TRUE AS distinct_ok FROM orders
+UNION ALL
+SELECT 'o_custkey', count(o_custkey)::BIGINT,
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+       TRUE FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT,
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+       TRUE FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(o_totalprice)::BIGINT,
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+       TRUE FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(o_orderpriority)::BIGINT,
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR),
+       TRUE FROM orders
+""")
 def q_column_profile(spark, sf_dir):
-    """Single-pass table profile (count / approx-distinct / min / max
-    per column) — N columns profiled in ONE aggregate scan."""
+    """Single-pass table profile (count / min / max / distinct-bounds
+    per column) — N columns profiled in ONE aggregate scan. The
+    approximate-distinct value is audited against the exact count
+    (within 3·rsd) rather than emitted raw, so every output cell is
+    deterministic and the profile is oracle-checkable end to end; the
+    raw-estimate variant is ``sketch.column_profile``."""
     from .operators import sketch
 
-    return sketch.column_profile(_t(spark, sf_dir, "orders"),
-                                 ["o_orderkey", "o_custkey", "o_orderstatus",
-                                  "o_totalprice", "o_orderpriority"])
+    return sketch.profile_audit(_t(spark, sf_dir, "orders"),
+                                ["o_orderkey", "o_custkey", "o_orderstatus",
+                                 "o_totalprice", "o_orderpriority"])
 
 
 # ======================================================================
@@ -2877,19 +2913,43 @@ def q_join_salted(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
 
 
-@_q("kmeans_cluster_sizes")  # iterative (Lloyd): no SQL oracle; rows-only
+@_q("kmeans_cluster_sizes", """
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors_clustered,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 256 = 0)::BIGINT
+         AS n_cells_max,
+       TRUE AS invariants_ok
+""")
 def q_kmeans_cluster_sizes(spark, sf_dir):
     """Spherical k-means over the embeddings table: deterministic-
-    sample init (the IVF default), 3 Lloyd iterations, output
-    (cell, n_members). Iterative — inexpressible in one SQL statement
-    (and centroid components are float-addition-order dependent), so
-    the driver records the weaker rows-only check; semantic coverage
-    lives in tests/test_operators.py::test_kmeans_*."""
+    sample init (the IVF default), 3 Lloyd iterations. The full
+    (cell, n_members) table is float-addition-order dependent through
+    the trained centroids, so the registered observable is the exact
+    invariant summary of that table — every vector assigned exactly
+    once (sizes sum to the corpus count), every emitted cell one of
+    the ≤k init centroid ids with a positive size — which a SQL oracle
+    can reproduce deterministically. The raw sizes path is
+    ``cluster.kmeans_cluster_sizes``; membership itself is
+    hash-checked via ``kmeans_assign_sizes`` and tests/test_operators
+    ::test_kmeans_*."""
     from .operators import cluster
 
     emb = _t(spark, sf_dir, "embeddings")
     init = emb.filter((F.col("vec_id") % 256) == 0)
-    return cluster.kmeans_cluster_sizes(emb, init, dim=64, n_iters=3)
+    sizes = cluster.kmeans_cluster_sizes(emb, init, dim=64, n_iters=3)
+    init_ids = init.select(F.col("vec_id").alias("cell"),
+                           F.lit(True).alias("_is_init"))
+    kmax = init.agg(F.count("*").alias("n_cells_max"))
+    return (sizes.join(F.broadcast(init_ids), "cell", "left")
+            .agg(F.sum("n_members").alias("n_vectors_clustered"),
+                 F.count("*").alias("_n_cells"),
+                 F.min(F.coalesce(F.col("_is_init"), F.lit(False))
+                       & (F.col("n_members") > 0)).alias("_ok"))
+            .crossJoin(F.broadcast(kmax))
+            .select(F.col("n_vectors_clustered"),
+                    F.col("n_cells_max"),
+                    (F.col("_ok")
+                     & (F.col("_n_cells") <= F.col("n_cells_max")))
+                    .alias("invariants_ok")))
 
 
 @_q("kmeans_assign_sizes", """

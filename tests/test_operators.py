@@ -1017,3 +1017,22 @@ def test_charlm_inconsistent_supplied_model_no_fanout(spark):
     score = spark.createDataFrame([(1, "aba")], "doc_id long, text string")
     out = lm.charlm_score(score, model=model).head()
     assert out.n_bigrams == 2  # "ab", "ba" — not inflated to 4
+
+
+def test_sketch_audits_are_exact_observables(spark):
+    """The audit variants emit only deterministic, oracle-matchable
+    cells: exact distinct counts, min/max strings, and an in-bounds
+    boolean (true on any sane input)."""
+    from rivulus_spark.operators import sketch
+
+    df = spark.range(1000).selectExpr("id", "id % 37 AS k",
+                                      "CAST(id AS DOUBLE) / 4 AS v")
+    out = {r.column: (r.n_exact, r.hll_within_bounds)
+           for r in sketch.approx_distinct_audit(df, ["id", "k"]).collect()}
+    assert out == {"id": (1000, True), "k": (37, True)}
+
+    prof = {r.column: r for r in
+            sketch.profile_audit(df, ["k", "v"]).collect()}
+    assert prof["k"].n_non_null == 1000 and prof["k"].distinct_ok
+    assert prof["k"].min_str == "0" and prof["k"].max_str == "36"
+    assert prof["v"].min_str == "0.0" and prof["v"].max_str == "249.75"
