@@ -39,6 +39,7 @@ def global_row_number(
     n_buckets: int = 64,
     rank_col: str = "rank",
     with_total: str | None = None,
+    small_input_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Append a 1-based global ``row_number`` over ``order_cols``
     (ascending, nulls first — Spark's default sort order) without a
@@ -63,6 +64,32 @@ def global_row_number(
         raise ValueError("order_cols must be non-empty")
     lead = order_cols[0]
 
+    # Scale-adaptive strategy, the same statistics-driven physical
+    # choice Spark itself makes for broadcast-vs-shuffle joins: a file
+    # input whose TOTAL size is known to fit one task comfortably
+    # (``small_input_bytes``, default 64 MB — well under the
+    # one-partition read unit) ranks through a single global window,
+    # skipping the multi-stage two-pass machinery whose
+    # stage-scheduling latency dominates at small sizes. This is the
+    # one place the operator deliberately emits an unpartitioned
+    # data window — gated on measured input size, never the default
+    # for inputs of unknown size (in-memory, streaming) or anything
+    # over the threshold, which all take the distributed path. The
+    # bounded-window plan audit in tests/test_plans.py encodes exactly
+    # this policy.
+    from ..partitioning import estimated_input_bytes
+    size = estimated_input_bytes(df)
+    if size is not None and size <= small_input_bytes:
+        w1 = Window.orderBy(*order_cols)
+        out = df.withColumn(rank_col, F.row_number().over(w1).cast("long"))
+        if with_total is not None:
+            out = out.withColumn(
+                with_total,
+                F.count("*").over(
+                    w1.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)))
+        return out
+
     # 1. range-bucket on the leading column. Boundaries are approximate
     # quantiles: rows equal to a boundary fall in the lower bucket
     # (strict >), which is consistent and order-preserving. Nulls get
@@ -71,8 +98,21 @@ def global_row_number(
     # coalesce the bucket to 0 so every row lands in bucket 0 instead
     # of being dropped by the null-keyed offsets join.
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.select(
-        F.percentile_approx(lead, probs, 10_000).alias("_rk_bounds"))
+    # GK accuracy only affects bucket BALANCE (rank error 1/accuracy
+    # of relative rank), never exactness — 32x the bucket count keeps
+    # boundary error well under a bucket's width at a fraction of the
+    # 10k-accuracy sketch cost
+    accuracy = max(1_000, 32 * n_buckets)
+    # persist the two bounded intermediates (1-row bounds, <=n_buckets-
+    # row counts): each is referenced from several plan branches, and
+    # without a persist Catalyst re-expands the whole subtree at every
+    # reference — the sf0.1 plan carried 12 input scans and SIX
+    # percentile-sketch recomputations. Cached size is O(n_buckets)
+    # rows regardless of corpus size, so this is scale-safe (unlike
+    # persisting the bucketed data itself, deliberately avoided).
+    from .. import cache
+    bounds = cache.persist(df.select(
+        F.percentile_approx(lead, probs, accuracy).alias("_rk_bounds")))
     b = (df.crossJoin(F.broadcast(bounds))
          .withColumn(
              "_rk_bucket",
@@ -84,20 +124,26 @@ def global_row_number(
                  F.lit(0)))
          .drop("_rk_bounds"))
 
-    # 2. per-bucket counts -> exclusive prefix sums, via a broadcast
-    # triangular self-join over the <= n_buckets-row count table (a
-    # window-free prefix sum: O(n_buckets^2) tiny rows, and no
-    # unpartitioned WindowExec anywhere in the plan).
-    counts = b.groupBy("_rk_bucket").agg(F.count("*").alias("_rk_n"))
+    # 2. per-bucket counts -> exclusive prefix sums AND the grand
+    # total, fused into ONE broadcast cross-join over the
+    # <= n_buckets-row count table (a window-free prefix sum:
+    # O(n_buckets^2) tiny rows, no unpartitioned WindowExec anywhere
+    # in the plan, and no second aggregate pass over the counts — the
+    # total rides along as sum over all partners, so with_total costs
+    # no extra scan and no extra broadcast join against the data).
+    counts = cache.persist(
+        b.groupBy("_rk_bucket").agg(F.count("*").alias("_rk_n")))
     lower = counts.select(F.col("_rk_bucket").alias("_rk_b2"),
                           F.col("_rk_n").alias("_rk_n2"))
-    offsets = (counts.join(F.broadcast(lower),
-                           F.col("_rk_b2") < F.col("_rk_bucket"), "left")
+    total_aggs = ([F.sum("_rk_n2").alias(with_total)]
+                  if with_total is not None else [])
+    offsets = (counts.crossJoin(F.broadcast(lower))
                .groupBy("_rk_bucket")
-               .agg(F.coalesce(F.sum("_rk_n2"), F.lit(0)).alias("_rk_off")))
-    if with_total is not None:
-        total = counts.agg(F.sum("_rk_n").alias(with_total))
-        b = b.crossJoin(F.broadcast(total))
+               .agg(F.coalesce(
+                        F.sum(F.when(F.col("_rk_b2") < F.col("_rk_bucket"),
+                                     F.col("_rk_n2"))),
+                        F.lit(0)).alias("_rk_off"),
+                    *total_aggs))
 
     # 3. within-bucket row_number + bucket offset = exact global rank.
     wb = Window.partitionBy("_rk_bucket").orderBy(*order_cols)
@@ -129,13 +175,15 @@ def add_ntile_percent_rank(
     tile_col: str = "tile",
     pr_col: str = "pr",
     n_buckets: int = 64,
+    small_input_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Append ``ntile(n)`` and ``percent_rank()`` over a global order,
     computed from the two-pass distributed rank (``order_cols`` must be
     a unique key, so rank == row_number and percent_rank is
     ``(rank-1)/(N-1)``)."""
     r = global_row_number(df, order_cols, n_buckets=n_buckets,
-                          rank_col="_rk_r", with_total="_rk_N")
+                          rank_col="_rk_r", with_total="_rk_N",
+                          small_input_bytes=small_input_bytes)
     rank, total = F.col("_rk_r"), F.col("_rk_N")
     return (r.withColumn(tile_col, _ntile_of(rank, total, n))
             .withColumn(pr_col,

@@ -74,6 +74,31 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     return splits
 
 
+def estimated_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s file sources from driver-side
+    metadata only (no job). None for non-file relations. An
+    overestimate (filters not accounted for) — callers using it to
+    pick a small-input fast path err toward the distributed plan,
+    which is the safe direction."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            size = _hadoop_file_size(df.sparkSession, f)
+            if size is None:
+                return None
+            total += size
+    return total
+
+
 def _hadoop_file_size(spark, uri: str) -> int | None:
     """File length via Hadoop's FileSystem — driver-side metadata call
     that works on every scheme Spark itself can scan (file/hdfs/s3a/…),

@@ -2963,20 +2963,23 @@ def q_kmeans_cluster_sizes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     init = emb.filter((F.col("vec_id") % 256) == 0)
     sizes = cluster.kmeans_cluster_sizes(emb, init, dim=64, n_iters=3)
+    # one full-outer join of two <=k-row tables, one aggregate: keeps
+    # unmatched rows from BOTH sides visible (a non-init cell or an
+    # empty init centroid both surface), with no cross join anywhere
     init_ids = init.select(F.col("vec_id").alias("cell"),
                            F.lit(True).alias("_is_init"))
-    kmax = init.agg(F.count("*").alias("n_cells_max"))
-    return (sizes.join(F.broadcast(init_ids), "cell", "left")
-            .agg(F.sum("n_members").alias("n_vectors_clustered"),
-                 F.count("*").alias("_n_cells"),
-                 F.min(F.coalesce(F.col("_is_init"), F.lit(False))
-                       & (F.col("n_members") > 0)).alias("_ok"))
-            .crossJoin(F.broadcast(kmax))
-            .select(F.col("n_vectors_clustered"),
-                    F.col("n_cells_max"),
-                    (F.col("_ok")
-                     & (F.col("_n_cells") <= F.col("n_cells_max")))
-                    .alias("invariants_ok")))
+    merged = sizes.join(init_ids, "cell", "full")
+    return (merged
+            .agg(F.coalesce(F.sum("n_members"), F.lit(0))
+                 .alias("n_vectors_clustered"),
+                 F.count(F.when(F.col("_is_init"), 1))
+                 .alias("n_cells_max"),
+                 F.coalesce(
+                     F.min(F.when(
+                         F.col("n_members").isNotNull(),
+                         F.coalesce(F.col("_is_init"), F.lit(False))
+                         & (F.col("n_members") > 0))),
+                     F.lit(True)).alias("invariants_ok")))
 
 
 @_q("kmeans_assign_sizes", """

@@ -175,15 +175,44 @@ def test_charlm_model_joins_broadcast(spark):
 
 
 def test_window_ntile_has_no_unpartitioned_data_window(spark):
-    # the two-pass distributed rank (operators/rank.py): every Window
-    # node must be partitioned by the range bucket — a bare
-    # Window.orderBy over the table would single-partition the corpus
-    # (the r2 scale flag)
+    # operators/rank.py is scale-adaptive. At toy file sizes it takes
+    # the single-window path — permitted ONLY because the measured
+    # input is below the small-input threshold (the policy the
+    # operator gates on; asserted here). Forcing the distributed
+    # strategy (small_input_bytes=0) must produce the two-pass plan
+    # where every data window is partitioned by the range bucket (the
+    # r2 scale flag).
+    import os
+
     p = plan(spark, "window_ntile")
     win_lines = [l for l in p.splitlines() if "Window [" in l]
+    assert win_lines, "expected a ranking window"
+    if any("_rk_bucket" not in l for l in win_lines):
+        # single-window strategy chosen: only legitimate under the
+        # size gate
+        assert os.path.getsize(f"{SF}/orders.parquet") <= 64 << 20
+
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import rank
+
+    df = (spark.read.parquet(f"{SF}/orders.parquet")
+          .select("o_totalprice", "o_orderkey"))
+    big = rank.add_ntile_percent_rank(
+        df, ["o_totalprice", "o_orderkey"], n=4, small_input_bytes=0)
+    pb = big._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in pb.splitlines() if "Window [" in l]
     assert win_lines, "expected a within-bucket ranking window"
     for l in win_lines:
         assert "_rk_bucket" in l, f"unpartitioned window: {l}"
+    # and the forced-distributed strategy stays exact
+    got = {r.o_orderkey: (r.tile, r.pr) for r in big.collect()}
+    from pyspark.sql import Window as W
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    want = {r.o_orderkey: (r.tile, r.pr) for r in df.select(
+        "o_orderkey", F.ntile(4).over(w).cast("long").alias("tile"),
+        F.percent_rank().over(w).alias("pr")).collect()}
+    assert got == want
 
 
 @pytest.mark.parametrize("name", [
