@@ -65,24 +65,42 @@ def _partial_sums(assigned: DataFrame) -> DataFrame:
     return assigned.mapInPandas(_sums, "cell long, n long, sums array<double>")
 
 
-def kmeans_train(df: DataFrame, init_centroids: DataFrame, dim: int,
-                 n_iters: int = 5, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """Lloyd-iterate ``init_centroids`` against ``df``; returns the
-    trained (cid, cvec) centroid table (k rows, same schema contract
-    ``ivf_assign_cells`` consumes). Assignment metric is cosine
-    (spherical k-means) — the update mean is not re-normalized because
-    cosine is scale-invariant."""
-    cents = init_centroids.select(
-        F.col(id_col).cast("long").alias("cid"),
-        _as_double(F.col(vec_col)).alias("cvec"))
+def _centroid_pairs(centroids, id_col: str, vec_col: str):
+    """Normalize a centroid input (DataFrame — EAGER, collects one
+    job — or a plain ``(cid, vector)`` pair list) to a sorted pair
+    list."""
+    if isinstance(centroids, DataFrame):
+        rows = (centroids
+                .select(F.col(id_col).cast("long").alias("cid"),
+                        _as_double(F.col(vec_col)).alias("cvec"))
+                .collect())
+        pairs = [(r.cid, list(r.cvec)) for r in rows]
+    else:
+        pairs = [(int(c), list(v)) for c, v in centroids]
+    return sorted(pairs)
+
+
+def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
+                       n_iters: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list:
+    """Lloyd-iterate ``init_centroids`` (DataFrame — eager, or a
+    ``(cid, vector)`` pair list — lazy start) against ``df``; returns
+    the trained centroids as a sorted pair list, the form
+    ``ivf_assign_cells`` consumes without running a job.
+
+    Each iteration is one Spark job (assignment sweep + tiny partial-
+    sum aggregate collected to the driver — k rows, the inherent Lloyd
+    barrier); centroid state between iterations lives driver-side as
+    plain pairs, so no per-iteration createDataFrame/collect round-
+    trips and exactly one broadcast per iteration. Assignment metric is
+    cosine (spherical k-means) — the update mean is not re-normalized
+    because cosine is scale-invariant."""
+    cents = dict(_centroid_pairs(init_centroids, id_col, vec_col))
     zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    sc = df.sparkSession.sparkContext
     for _ in range(n_iters):
-        assigned = ivf_assign_cells(
-            df,
-            cents.select(F.col("cid").alias(id_col),
-                         F.col("cvec").alias(vec_col)),
-            id_col=id_col, vec_col=vec_col)
+        bc = sc.broadcast(sorted(cents.items()))
+        assigned = ivf_assign_cells(df, bc, id_col=id_col, vec_col=vec_col)
         merged = (
             _partial_sums(assigned)
             .groupBy("cell")
@@ -90,32 +108,35 @@ def kmeans_train(df: DataFrame, init_centroids: DataFrame, dim: int,
                  F.aggregate(F.collect_list("sums"), zero,
                              lambda acc, x: F.zip_with(
                                  acc, x, lambda a, b: a + b)).alias("s"))
-            .select(F.col("cell").alias("cid"),
-                    F.transform(F.col("s"),
-                                lambda x: x / F.col("n")).alias("cvec")))
-        # empty cells keep their previous centroid
-        cents = (cents.alias("old")
-                 .join(merged.alias("new"), "cid", "left")
-                 .select("cid", F.coalesce(F.col("new.cvec"),
-                                           F.col("old.cvec")).alias("cvec")))
-        # k rows: materialize per iteration so the lineage (and the
-        # broadcast inside the next assignment) stays flat
-        cents = df.sparkSession.createDataFrame(
-            cents.collect(), "cid long, cvec array<double>")
-    return cents
+            .collect())  # k tiny rows: the Lloyd iteration barrier
+        # mean update; empty cells keep their previous centroid
+        for r in merged:
+            cents[r.cell] = [s / r.n for s in r.s]
+    return sorted(cents.items())
 
 
-def kmeans_cluster_sizes(df: DataFrame, init_centroids: DataFrame, dim: int,
+def kmeans_train(df: DataFrame, init_centroids, dim: int,
+                 n_iters: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """DataFrame-facing wrapper over :func:`kmeans_train_pairs`:
+    returns the trained (cid, cvec) centroid table (k rows, the schema
+    contract ``ivf_assign_cells``'s DataFrame path consumes).
+    EAGER by nature — k-means is iterative, so building the result
+    runs ``n_iters`` Spark jobs."""
+    pairs = kmeans_train_pairs(df, init_centroids, dim, n_iters,
+                               id_col, vec_col)
+    return df.sparkSession.createDataFrame(
+        [(c, v) for c, v in pairs], "cid long, cvec array<double>")
+
+
+def kmeans_cluster_sizes(df: DataFrame, init_centroids, dim: int,
                          n_iters: int = 3, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Train + final assignment, reduced to (cell, n_members) — the
     workload-facing summary (centroid components are float-order
     dependent; membership counts are the stable observable)."""
-    cents = kmeans_train(df, init_centroids, dim, n_iters, id_col, vec_col)
-    return (ivf_assign_cells(
-                df,
-                cents.select(F.col("cid").alias(id_col),
-                             F.col("cvec").alias(vec_col)),
-                id_col=id_col, vec_col=vec_col)
+    pairs = kmeans_train_pairs(df, init_centroids, dim, n_iters,
+                               id_col, vec_col)
+    return (ivf_assign_cells(df, pairs, id_col=id_col, vec_col=vec_col)
             .groupBy("cell")
             .agg(F.count("*").alias("n_members")))

@@ -295,21 +295,32 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return out
 
 
-def ivf_assign_cells(df: DataFrame, centroids: DataFrame,
-                     id_col: str = "vec_id",
+def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, 6-decimal
     rounded, centroid-id tie-break). Returns (id, vec, cell) with the
     RAW double vector.
 
+    ``centroids`` may be:
+
+    - a ``DataFrame`` with (id_col, vec_col) — convenience path.
+      **EAGER**: building the plan collects the centroid table (one
+      Spark job) so it can broadcast; fine interactively, but a lazily
+      composed pipeline should pre-collect instead.
+    - a plain ``list`` of ``(cid, vector)`` pairs — fully lazy, no job
+      at plan-construction time.
+    - a SparkContext ``Broadcast`` whose value is such a pair list —
+      lazy, and reuses one broadcast across many operator calls (the
+      k-means training loop does this each iteration).
+
     Scale shape: the centroid matrix (an IVF list count is ~sqrt(N),
-    always tiny next to the corpus) is collected once and broadcast to
-    a ``mapInPandas`` scoring pass — one vectorized numpy sweep per
-    Arrow batch, NO join, NO shuffle, no per-vector interpreted folds
-    (the round-1 broadcast-join + F.aggregate form was O(N*nlist*dim)
-    in the interpreted expression evaluator — the one superlinear
-    interpreted pass in the repo, per VERDICT r1 #4). Output is one row
-    per input row, pipelined map-side.
+    always tiny next to the corpus) is broadcast to a ``mapInPandas``
+    scoring pass — one vectorized numpy sweep per Arrow batch, NO
+    join, NO shuffle, no per-vector interpreted folds (the round-1
+    broadcast-join + F.aggregate form was O(N*nlist*dim) in the
+    interpreted expression evaluator — the one superlinear interpreted
+    pass in the repo, per VERDICT r1 #4). Output is one row per input
+    row, pipelined map-side.
 
     Float contract (keeps the DuckDB oracle bit-green): dot products
     accumulate dimension-by-dimension in ascending order — the same
@@ -321,18 +332,26 @@ def ivf_assign_cells(df: DataFrame, centroids: DataFrame,
     argmax tie-break is lowest centroid id: columns are sorted by cid,
     so np.argmax's first-maximum rule is exactly the oracle's
     ``ORDER BY sim DESC, cid`` rank-1 row."""
-    cent = (centroids
-            .select(F.col(id_col).cast("long").alias("cid"),
-                    _as_double(F.col(vec_col)).alias("cvec"))
-            .collect())  # NOTE: eager — building this plan runs a job
-    if not cent:
-        raise ValueError(
-            "ivf_assign_cells: centroid set is empty (check the stride/"
-            "init selection against the corpus id space)")
-    cent.sort(key=lambda r: r.cid)
-    cids_l = [r.cid for r in cent]
-    C_l = [r.cvec for r in cent]
-    bc = df.sparkSession.sparkContext.broadcast((cids_l, C_l))
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(centroids, DataFrame):
+        rows = (centroids
+                .select(F.col(id_col).cast("long").alias("cid"),
+                        _as_double(F.col(vec_col)).alias("cvec"))
+                .collect())  # documented eager convenience path
+        pairs = [(r.cid, list(r.cvec)) for r in rows]
+    elif isinstance(centroids, Broadcast):
+        pairs = None  # resolved worker-side from the caller's broadcast
+    else:
+        pairs = [(int(c), list(v)) for c, v in centroids]
+    if pairs is not None:
+        if not pairs:
+            raise ValueError(
+                "ivf_assign_cells: centroid set is empty (check the "
+                "stride/init selection against the corpus id space)")
+        bc = df.sparkSession.sparkContext.broadcast(pairs)
+    else:
+        bc = centroids
 
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     _as_double(F.col(vec_col)).alias("vec"))
@@ -341,7 +360,9 @@ def ivf_assign_cells(df: DataFrame, centroids: DataFrame,
         import numpy as np
         import pandas as pd
 
-        cids_l, C_l = bc.value
+        prs = sorted(bc.value, key=lambda p: p[0])
+        cids_l = [p[0] for p in prs]
+        C_l = [p[1] for p in prs]
         cids = np.asarray(cids_l, dtype=np.int64)
         C = np.asarray(C_l, dtype=np.float64)          # (nlist, dim)
         dim = C.shape[1]

@@ -1036,3 +1036,35 @@ def test_sketch_audits_are_exact_observables(spark):
     assert prof["k"].n_non_null == 1000 and prof["k"].distinct_ok
     assert prof["k"].min_str == "0" and prof["k"].max_str == "36"
     assert prof["v"].min_str == "0.0" and prof["v"].max_str == "249.75"
+
+
+def test_ivf_assign_cells_list_centroids_is_lazy(spark):
+    """VERDICT r3 #5: composing a plan from pre-collected centroids
+    must not trigger a Spark job; the DataFrame input stays as the
+    documented eager convenience path."""
+    from rivulus_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    cents = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
+    jobs_before = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+    out = similarity.ivf_assign_cells(df, cents)
+    assert spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs() \
+        == jobs_before, "plan construction ran a Spark job"
+    got = {r.id: r.cell for r in out.collect()}
+    assert got == {1: 10, 2: 20, 3: 10}
+
+
+def test_kmeans_train_pairs_accepts_pair_list_init(spark):
+    from rivulus_spark.operators import cluster
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), float(1 - i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    init = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    pairs = cluster.kmeans_train_pairs(df, init, dim=2, n_iters=2)
+    assert [c for c, _ in pairs] == [0, 1]
+    # the two parity classes are linearly separable: centroids converge
+    # onto the class means
+    assert pairs[0][1] == [1.0, 0.0] and pairs[1][1] == [0.0, 1.0]
