@@ -3140,39 +3140,36 @@ def q_embedding_quantize(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-3 rotation: every query that has never had a driver
-    # correctness row (r1 ∪ r2 windows, per VERDICT r2) plus the new
-    # csv_sink_roundtrip — 30 entries ---
-    "stream_dedup", "stream_running_totals",
-    "events_sliding", "events_resample",
-    "join_null_safe", "join_salted",
-    "html_strip", "lexicon_filter", "c4_line_filter",
-    "text_repetition", "ngram_topk", "tfidf_terms", "vocab_topk",
-    "decontaminate", "decontaminate_fuzzy",
-    "dedup_simhash", "embedding_neardup_lsh", "ann_recall",
-    "embedding_quantize", "sequence_packing",
-    "stratified_sample", "source_quota", "token_budget_mix",
-    "jsonl_source_roundtrip", "partitioned_sink_roundtrip",
-    "csv_sink_roundtrip",
-    "unpivot_status", "window_ntile", "pipeline_stats",
-    "kmeans_cluster_sizes", "kmeans_assign_sizes",
-    # NOTE for the r4 rotation: queries added after this window was
-    # frozen (orc_sink_roundtrip, bucketed_join_agg, length_histogram,
-    # percentile_clip, schema_evolution_roundtrip,
-    # shard_export_manifest, multimodal_resize_plan, intra_doc_dedup)
-    # sit in the tail — swap them in next round to complete the
-    # r1∪r2∪r3∪r4 union.
-    # --- 19 representatives of families already driver-green in
-    # r1/r2, so every round keeps regression coverage on the core ---
+    # --- round-4 rotation (VERDICT r3 item 1): the 8 queries that have
+    # never had a driver correctness row — after this round every one of
+    # the 115 queries has appeared in an r1∪r2∪r3∪r4 window ---
+    "orc_sink_roundtrip", "bucketed_join_agg",
+    "schema_evolution_roundtrip", "shard_export_manifest",
+    "length_histogram", "percentile_clip",
+    "intra_doc_dedup", "multimodal_resize_plan",
+    # --- formerly no_oracle, re-registered with exact observables
+    # (HLL bounds audit / Lloyd invariant summary) — first hash-checked
+    # run this round ---
+    "approx_distinct_sketch", "column_profile", "kmeans_cluster_sizes",
+    # --- code changed since last green row (rank rewrite + null-bounds
+    # fix, streaming staging reuse, lazy centroid plumbing, lm ctx
+    # aggregation, sketch module additions) — re-verify ---
+    "window_ntile", "stream_running_totals", "stream_dedup",
+    "charlm_quality", "ann_recall", "kmeans_assign_sizes",
+    "ann_ivf_topk", "sketch_quantiles", "heavy_hitters",
+    # --- regression representatives: reference-surface core ---
     "select_project", "filter_compound", "expr_arith",
-    "join_three", "csv_source_roundtrip", "mem_source_join",
-    "sql_entry_q6", "agg_q1", "agg_salted",
-    "events_json",
-    "window_rank", "stream_events_hourly", "sessionize",
-    "asof_join_events",
-    "dedup_exact", "dedup_minhash_lsh",
-    "embedding_neardup", "pipeline_curate",
-    "multimodal_image_features",
+    "join_three", "join_null_safe", "limit_topk",
+    "csv_source_roundtrip", "csv_sink_roundtrip", "mem_source_join",
+    "sql_entry_q6", "agg_q1",
+    # --- relational breadth last checked r1/r2 — refresh their rows ---
+    "agg_q3", "agg_q5", "pivot_status", "argmax_per_group",
+    "full_outer_join", "semi_join", "anti_join", "cube_count",
+    "range_join_events", "scalar_subquery", "window_lag",
+    # --- LLM-pipeline representatives, one per family ---
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "embedding_neardup", "pipeline_curate", "pipeline_curate_v2",
+    "multimodal_image_features", "text_quality",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
