@@ -88,16 +88,28 @@ def main() -> None:
     # unparseable).  Keep the official line compact — total + sf + the
     # slowest queries only, minified separators — and write the complete
     # per-query dict to a sidecar the judge can read directly.
+    detail = {
+        "metric": "workload_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    # fold in the committed two-point scale curve (tools/bench_scale.py
+    # at sf0.1 vs sf1) so the driver's BENCH_DETAIL artifact carries the
+    # linearity evidence alongside the per-query timings
+    curve_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "SCALE_CURVE.json")
+    if os.path.exists(curve_path):
+        try:
+            with open(curve_path) as f:
+                detail["scale_curve"] = json.load(f)
+        except Exception:
+            pass
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
-        json.dump({
-            "metric": "workload_total_runtime",
-            "value": round(total, 3),
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "queries": timings,
-        }, f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     slowest = {k: round(v, 2) for k, v in slowest.items()}

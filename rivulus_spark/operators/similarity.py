@@ -212,6 +212,45 @@ def band_width(n_planes: int, n_bands: int) -> int:
     return n_planes // n_bands + (1 if n_planes % n_bands else 0)
 
 
+def adaptive_lsh_params(n_rows: int, base_width: int = 4,
+                        base_bands: int = 4, target_occupancy: int = 16,
+                        design_sim: float = 0.9,
+                        max_bands: int = 16) -> tuple[int, int]:
+    """(n_planes, n_bands) sized to the corpus so candidate volume
+    stays linear in n as the corpus grows.
+
+    With FIXED bits per band, expected bucket occupancy grows linearly
+    with n and intra-bucket candidate pairs quadratically — measured as
+    a 22x time ratio on 10x data in the r3 scale audit. Two axes adapt:
+
+    - width (bits/band) grows with log2(n) until expected occupancy
+      n/2^width falls to ~target_occupancy — the same reasoning as
+      sizing shuffle partitions to data volume. Capped at 15 (32k
+      buckets/band; int64 band values forever safe).
+    - n_bands grows to compensate the recall each extra bit costs: a
+      pair at design_sim collides per-plane with prob p = 1-acos(s)/pi,
+      per band p^width, overall 1-(1-p^width)^bands. Bands increase
+      until the miss rate at the new width is back to the base
+      (4 bits x 4 bands) design point, capped at max_bands — past the
+      cap recall decays slowly with corpus size, the standard LSH
+      trade (multiprobe is the next rung, out of scope).
+
+    Deterministic in n_rows alone, so the SQL oracle generator derives
+    bit-identical parameters from the same row count. Returns
+    (n_planes, n_bands) with n_planes = width * n_bands."""
+    import math
+
+    width = base_width
+    while (n_rows >> width) > target_occupancy and width < 15:
+        width += 1
+    p = 1.0 - math.acos(design_sim) / math.pi
+    target_miss = (1.0 - p ** base_width) ** base_bands
+    bands = base_bands
+    while (1.0 - p ** width) ** bands > target_miss and bands < max_bands:
+        bands += 1
+    return width * bands, bands
+
+
 def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
                              n_planes: int = 16, n_bands: int = 4,
                              id_col: str = "vec_id",
@@ -237,35 +276,101 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
 
     Deterministic planes (plane_component) are shared with the SQL
     oracle generator, so the approximation itself is oracle-checkable.
+
+    Band values are computed per band (bit i of band j = sign of plane
+    j*width+i), not packed into one int64 signature — identical buckets
+    to the historical packed form for n_planes <= 63, but with no cap
+    on total planes, which adaptive_lsh_params needs at large corpus
+    sizes. Above _CODEGEN_PLANE_LIMIT planes the per-plane codegen
+    expressions are replaced by one Arrow mapInPandas stage doing a
+    single (batch x dim) @ (dim x planes) matmul — same bucket keys,
+    BLAS instead of an unrolled expression tree Janino would choke on.
     """
     width = band_width(n_planes, n_bands)
     base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
-    sigs = base.withColumn(
-        "sig", hyperplane_signature(F.col("vec"), dim, n_planes))
     from .. import cache
-    sigs = cache.persist(sigs)
-    bands = F.array(*[
-        F.struct(F.lit(j).alias("bi"),
-                 F.shiftright(F.col("sig"), j * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
-        for j in range(n_bands)
-    ])
-    e = (sigs.select("id", F.explode(bands).alias("b"))
-         .select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")))
+    base = cache.persist(base)
+    if n_planes <= _CODEGEN_PLANE_LIMIT:
+        bands = F.array(*[
+            F.struct(F.lit(j).alias("bi"),
+                     _band_value_expr(F.col("vec"), dim, width, j)
+                     .alias("bv"))
+            for j in range(n_bands)
+        ])
+        e = (base.select("id", F.explode(bands).alias("b"))
+             .select("id", F.col("b.bi").alias("bi"),
+                     F.col("b.bv").alias("bv")))
+    else:
+        e = _band_rows_numpy(base.select("id", "vec"), dim, width, n_bands)
     l, r = e.alias("l"), e.alias("r")
     cands = (l.join(r, (F.col("l.bi") == F.col("r.bi"))
                     & (F.col("l.bv") == F.col("r.bv"))
                     & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
              .distinct())
-    a = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
                     F.col("nrm").alias("na"))
-    b = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
                     F.col("nrm").alias("nb"))
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (cands.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
             .filter(F.col("sim") >= threshold))
+
+
+# beyond this many planes the unrolled per-plane codegen expressions
+# stop being the fast path (Janino compile time + method-size limits);
+# one BLAS matmul in an Arrow batch computes all signs at once
+_CODEGEN_PLANE_LIMIT = 48
+
+
+def _band_value_expr(vec: Column, dim: int, width: int, band: int) -> Column:
+    """Codegen'd band value: bit i = sign of plane band*width+i. Bit
+    layout identical to the packed-int64 signature's band slice, so
+    candidate sets match the historical form and the SQL oracle."""
+    out = None
+    for i in range(width):
+        p = band * width + i
+        plane = F.array(*[F.lit(plane_component(p, k)) for k in range(dim)])
+        bit = F.when(dot(vec, plane) >= 0,
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out
+
+
+def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
+                     n_bands: int) -> DataFrame:
+    """(id, bi, bv) band rows via one matmul per Arrow batch — the
+    large-plane-count path. Sign decisions use float64 accumulation;
+    order of summation differs from the codegen fold, so a dot product
+    within ~1e-12 of zero could bucket differently than the expression
+    path — harmless for candidate generation (verification is exact)."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = width * n_bands
+    planes = np.array([[plane_component(p, k) for k in range(dim)]
+                       for p in range(n_planes)], dtype=np.float64).T
+    weights = (1 << np.arange(width, dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf["vec"]), dtype=np.float64)
+            signs = (mat @ planes) >= 0
+            bvs = np.empty((len(pdf), n_bands), dtype=np.int64)
+            for j in range(n_bands):
+                bvs[:, j] = signs[:, j * width:(j + 1) * width] @ weights
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame({
+                "id": np.repeat(ids, n_bands),
+                "bi": np.tile(np.arange(n_bands, dtype=np.int32),
+                              len(pdf)),
+                "bv": bvs.reshape(-1),
+            })
+
+    return df_id_vec.mapInPandas(gen, schema="id long, bi int, bv long")
 
 
 # ----------------------------------------------------------------------

@@ -2518,11 +2518,31 @@ def q_embedding_neardup(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-def _neardup_lsh_oracle(dim: int = 64, n_planes: int = 16, n_bands: int = 4,
-                        threshold: float = 0.4) -> str:
+def _parquet_rows(path: str, default: int) -> int:
+    """Row count from the parquet footer — metadata only, no Spark job.
+    Used to derive size-adaptive operator parameters (LSH bits/bands)
+    deterministically on BOTH the Spark side (from the queried sf_dir)
+    and the oracle side (from the driver's fixed sf0.01 dir), so the
+    two always agree. Falls back to `default` for non-local paths."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return default
+
+
+def _neardup_lsh_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     """Relational replica of cosine_neardup_pairs_lsh: identical plane
     literals (plane_component), band split via shift/mask, candidate
-    equi-join on (band_idx, band_value), exact rounded-sim verify."""
+    equi-join on (band_idx, band_value), exact rounded-sim verify.
+    LSH parameters come from adaptive_lsh_params over the sf0.01 row
+    count — the same derivation the Spark query performs on its sf_dir,
+    so both engines band identically at the driver's comparison point
+    (500 vectors resolve to 5 bits x 6 bands = 30 planes)."""
+    n_planes, n_bands = similarity.adaptive_lsh_params(
+        _parquet_rows("/root/testdata/sf0.01/embeddings.parquet", 200))
+    assert n_planes <= 63, "packed-signature SQL form needs <= 63 planes"
     width = similarity.band_width(n_planes, n_bands)
     mask = (1 << width) - 1
     sig_terms = []
@@ -2561,10 +2581,16 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     """All-pairs cosine near-dup via hyperplane-LSH banding — the
     100 TB path (no O(n^2) stage; candidates from an equi-join on band
     values, exact-verified). Deterministic planes shared with the
-    oracle make even the approximation exactly checkable."""
+    oracle make even the approximation exactly checkable. Bits/bands
+    scale with the corpus row count (adaptive_lsh_params) so bucket
+    occupancy — and with it candidate volume per true near-dup — stays
+    constant as the data grows; the fixed 16/4 setting measured 22x
+    time on 10x rows in the r3 scale audit."""
+    n_planes, n_bands = similarity.adaptive_lsh_params(
+        _parquet_rows(f"{sf_dir}/embeddings.parquet", 200))
     return similarity.cosine_neardup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64,
-        n_planes=16, n_bands=4)
+        n_planes=n_planes, n_bands=n_bands)
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:

@@ -200,6 +200,39 @@ def test_neardup_lsh_subset_of_exact(vecs):
         assert exact[(r.id_a, r.id_b)] == r.sim
 
 
+def test_adaptive_lsh_params_bounds_occupancy_and_bands():
+    """Bits/band grow with log2(n) so expected bucket occupancy stays
+    bounded (the r3 scale audit measured 22x time on 10x rows with
+    fixed bits); bands grow to hold the design recall but stay capped."""
+    prev_width = 0
+    for n in [100, 1_000, 10_000, 1_000_000, 10 ** 9]:
+        n_planes, bands = similarity.adaptive_lsh_params(n)
+        width = n_planes // bands
+        assert n_planes == width * bands
+        assert (n >> width) <= 16 or width == 15
+        assert 4 <= bands <= 16
+        assert width >= prev_width  # monotone in corpus size
+        prev_width = width
+    # the driver's sf0.01 point resolves to the historical setting
+    assert similarity.adaptive_lsh_params(200) == (16, 4)
+
+
+def test_lsh_numpy_band_path_matches_codegen(vecs, monkeypatch):
+    """The large-plane-count matmul path buckets identically to the
+    unrolled codegen expressions (same planes, same bit layout), so
+    forcing it over the same input yields the same verified pairs."""
+    want = sorted((r.id_a, r.id_b, r.sim) for r in
+                  similarity.cosine_neardup_pairs_lsh(
+                      vecs, threshold=0.5, dim=3, n_planes=8,
+                      n_bands=4).collect())
+    monkeypatch.setattr(similarity, "_CODEGEN_PLANE_LIMIT", 0)
+    got = sorted((r.id_a, r.id_b, r.sim) for r in
+                 similarity.cosine_neardup_pairs_lsh(
+                     vecs, threshold=0.5, dim=3, n_planes=8,
+                     n_bands=4).collect())
+    assert got == want and len(want) > 0
+
+
 def test_ann_lsh_subset_of_exact(vecs):
     """ANN results are exact cosines, ranked within buckets — every
     returned neighbor must carry the same sim the exact path computes."""
