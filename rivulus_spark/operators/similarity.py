@@ -540,6 +540,82 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("q_id", "n_id", "rank", "sim"))
 
 
+def adaptive_ann_params(n_rows: int,
+                        target_occupancy: int = 16) -> tuple[int, int]:
+    """(n_planes, probe_radius) for single-band ANN bucketing, sized to
+    the corpus: bits grow with log2(n) so bucket occupancy — and with
+    it per-query candidate volume — stays ~target_occupancy instead of
+    growing linearly with the corpus; the probe radius steps up once
+    the extra bits would otherwise erode recall (each bit multiplies a
+    near pair's same-bucket probability by p < 1, so wider signatures
+    need Hamming-ball probing to compensate — the multiprobe trade-off
+    from Lv et al., VLDB 2007). Deterministic in n_rows alone, so the
+    SQL oracle generator derives identical parameters."""
+    bits = 4
+    while (n_rows >> bits) > target_occupancy and bits < 15:
+        bits += 1
+    radius = 1 if bits <= 9 else 2
+    return bits, radius
+
+
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks of the Hamming ball of the given radius: the query's
+    own bucket, every 1-bit flip (radius >= 1), every 2-bit flip
+    (radius >= 2). Sorted, deterministic — shared with the SQL oracle.
+    Probe count is 1 + b + C(b,2) at radius 2, so probing stays cheap
+    (<= 121 buckets at the 15-bit cap) while recall approaches the
+    banded-LSH level without a second signature."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
+
+
+def ann_cosine_lsh_multiprobe(corpus: DataFrame, queries: DataFrame,
+                              k: int, dim: int, n_planes: int = 8,
+                              radius: int = 1, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k with multiprobe LSH: each query scans its own
+    bucket plus every bucket within Hamming distance ``radius`` of its
+    signature. Compared to exact-bucket ann_cosine_lsh this multiplies
+    the probed volume by |probe_masks| (still a tiny, size-independent
+    slice of the corpus when bits track adaptive_ann_params) and lifts
+    recall from p^b to P(Hamming(sig_q, sig_n) <= radius) — the
+    standard way to keep recall while growing the bucket space with
+    the corpus.
+
+    Plan shape: the probe set is a map-side explode of the (small,
+    broadcast) query side — corpus rows still see ONE equi-join on
+    signature, no nested loop. Each corpus vector matches at most one
+    probe mask per query (probe signatures are distinct), so no
+    dedup stage is needed."""
+    c = with_norm(corpus, id_col, vec_col, "n_id", "n_vec", "n_nrm")
+    c = c.withColumn("sig", hyperplane_signature(F.col("n_vec"), dim,
+                                                 n_planes))
+    q = with_norm(queries, id_col, vec_col, "q_id", "q_vec", "q_nrm")
+    q = q.withColumn("sig", hyperplane_signature(F.col("q_vec"), dim,
+                                                 n_planes))
+    masks = probe_masks(n_planes, radius)
+    probes = (q.select(
+        "q_id", "q_vec", "q_nrm", "sig",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"))
+        .select("q_id", "q_vec", "q_nrm",
+                F.col("sig").bitwiseXOR(F.col("m")).alias("psig")))
+    sim = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    pairs = (
+        c.join(F.broadcast(probes), (F.col("q_id") != F.col("n_id"))
+               & (c.sig == probes.psig))
+        .select("q_id", "n_id", F.round(sim, 6).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "sim"))
+
+
 def ann_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int,
                    dim: int, n_planes: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

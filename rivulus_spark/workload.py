@@ -2593,10 +2593,17 @@ def q_embedding_neardup_lsh(spark, sf_dir):
         n_planes=n_planes, n_bands=n_bands)
 
 
-def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
-    """Regenerate the LSH bucketing relationally: the plane literals
-    come from the same plane_component() the Spark operator uses, so
-    bucket assignment is bit-identical across engines."""
+def _ann_lsh_oracle(dim: int = 64, k: int = 5) -> str:
+    """Regenerate the multiprobe LSH bucketing relationally: the plane
+    literals come from the same plane_component() the Spark operator
+    uses, the bits/radius from the same adaptive_ann_params over the
+    sf0.01 row count, and the probe masks from the same probe_masks —
+    so bucket assignment AND the Hamming-ball probe set are
+    bit-identical across engines."""
+    n_planes, radius = similarity.adaptive_ann_params(
+        _parquet_rows("/root/testdata/sf0.01/embeddings.parquet", 200))
+    masks = ", ".join(str(m)
+                      for m in similarity.probe_masks(n_planes, radius))
     sig_terms = []
     for p in range(n_planes):
         arr = ", ".join(repr(similarity.plane_component(p, i))
@@ -2610,13 +2617,15 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 s AS (SELECT vec_id, emb,
          {sig} AS sig
       FROM e),
+pm AS (SELECT unnest([{masks}]) AS m),
 p AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          round(list_dot_product(q.emb, c.emb)
                / (sqrt(list_dot_product(q.emb, q.emb))
                   * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
-  FROM s q JOIN s c ON q.vec_id < 10 AND c.vec_id != q.vec_id
-                   AND q.sig = c.sig),
+  FROM s q CROSS JOIN pm
+  JOIN s c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+          AND xor(q.sig, pm.m) = c.sig),
 r AS (SELECT q_id, n_id, sim,
              row_number() OVER (PARTITION BY q_id
                                 ORDER BY sim DESC, n_id) AS rank
@@ -2627,13 +2636,19 @@ SELECT q_id, n_id, rank, sim FROM r WHERE rank <= {k}
 
 @_q("ann_lsh_topk", _ann_lsh_oracle())
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH bucketing — the
+    """Approximate top-k via multiprobe random-hyperplane LSH — the
     100 TB path: an equi-join on bucket signature replaces the cross
-    join of knn_cosine. Deterministic planes make even the approximate
-    result exactly oracle-checkable."""
+    join of knn_cosine, bits grow with the corpus so per-query probe
+    volume stays constant, and Hamming-ball probing (radius from
+    adaptive_ann_params) holds recall as the bucket space widens.
+    Deterministic planes + mask set make even the approximate result
+    exactly oracle-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.ann_cosine_lsh(emb, emb.filter(F.col("vec_id") < 10),
-                                    k=5, dim=64, n_planes=8)
+    n_planes, radius = similarity.adaptive_ann_params(
+        _parquet_rows(f"{sf_dir}/embeddings.parquet", 200))
+    out = similarity.ann_cosine_lsh_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64,
+        n_planes=n_planes, radius=radius)
     return out.select("q_id", "n_id",
                       F.col("rank").cast("long").alias("rank"), "sim")
 
@@ -3183,9 +3198,10 @@ _PRIORITY: list[str] = [
     "window_ntile", "stream_running_totals", "stream_dedup",
     "charlm_quality", "ann_recall", "kmeans_assign_sizes",
     "ann_ivf_topk", "sketch_quantiles", "heavy_hitters",
+    "ann_lsh_topk",
     # --- regression representatives: reference-surface core ---
     "select_project", "filter_compound", "expr_arith",
-    "join_three", "join_null_safe", "limit_topk",
+    "join_three", "join_null_safe",
     "csv_source_roundtrip", "csv_sink_roundtrip", "mem_source_join",
     "sql_entry_q6", "agg_q1",
     # --- relational breadth last checked r1/r2 — refresh their rows ---

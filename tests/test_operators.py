@@ -233,6 +233,45 @@ def test_lsh_numpy_band_path_matches_codegen(vecs, monkeypatch):
     assert got == want and len(want) > 0
 
 
+def test_adaptive_ann_params_and_probe_masks():
+    """Bits track corpus size with bounded occupancy; the Hamming-ball
+    probe set has exactly 1 + b (+ C(b,2) at radius 2) distinct masks."""
+    prev = 0
+    for n in [100, 1_000, 100_000, 10 ** 9]:
+        bits, radius = similarity.adaptive_ann_params(n)
+        assert (n >> bits) <= 16 or bits == 15
+        assert radius == (1 if bits <= 9 else 2)
+        assert bits >= prev
+        prev = bits
+    m1 = similarity.probe_masks(8, 1)
+    assert len(m1) == len(set(m1)) == 9 and m1[0] == 0
+    m2 = similarity.probe_masks(8, 2)
+    assert len(m2) == len(set(m2)) == 1 + 8 + 28
+
+
+def test_ann_multiprobe_supersets_exact_bucket(vecs):
+    """Radius-0 multiprobe equals the exact-bucket ANN; radius 1 can
+    only add candidates, and every returned sim is the exact cosine."""
+    base = {(r.q_id, r.n_id): r.sim for r in
+            similarity.ann_cosine_lsh(
+                vecs, vecs.filter(F.col("vec_id") < 2), k=5, dim=3,
+                n_planes=4).collect()}
+    r0 = {(r.q_id, r.n_id): r.sim for r in
+          similarity.ann_cosine_lsh_multiprobe(
+              vecs, vecs.filter(F.col("vec_id") < 2), k=5, dim=3,
+              n_planes=4, radius=0).collect()}
+    assert r0 == base
+    r1 = similarity.ann_cosine_lsh_multiprobe(
+        vecs, vecs.filter(F.col("vec_id") < 2), k=5, dim=3,
+        n_planes=4, radius=1).collect()
+    exact = {(r.id_a, r.id_b): r.sim for r in
+             similarity.cosine_neardup_pairs(vecs, threshold=-1.0).collect()}
+    assert len(r1) >= len(r0)
+    for r in r1:
+        key = (min(r.q_id, r.n_id), max(r.q_id, r.n_id))
+        assert exact[key] == r.sim
+
+
 def test_ann_lsh_subset_of_exact(vecs):
     """ANN results are exact cosines, ranked within buckets — every
     returned neighbor must carry the same sim the exact path computes."""
