@@ -2728,9 +2728,12 @@ def q_ann_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.knn_cosine(emb, q, k=5).select("q_id", "n_id")
-    approx = (similarity.ann_cosine_lsh(emb, q, k=5, dim=64, n_planes=8)
-              .select(F.col("q_id").alias("a_q"),
-                      F.col("n_id").alias("a_n")))
+    n_planes, radius = similarity.adaptive_ann_params(
+        _parquet_rows(f"{sf_dir}/embeddings.parquet", 200))
+    approx = (similarity.ann_cosine_lsh_multiprobe(
+        emb, q, k=5, dim=64, n_planes=n_planes, radius=radius)
+        .select(F.col("q_id").alias("a_q"),
+                F.col("n_id").alias("a_n")))
     joined = exact.join(
         approx, (exact.q_id == approx.a_q) & (exact.n_id == approx.a_n),
         "left")
