@@ -31,7 +31,7 @@ QUERIES_TO_RUN = [
     "decontaminate_fuzzy", "dedup_minhash_lsh", "stream_dedup",
     "window_ntile", "kmeans_cluster_sizes", "embedding_neardup_lsh",
     "stream_interval_join",
-    "agg_q1", "join_three",
+    "agg_q1", "join_three", "ann_lsh_topk",
 ]
 
 
