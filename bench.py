@@ -47,10 +47,12 @@ def main() -> None:
         warm_dir = None
 
     # steady-state protocol: min over RIVULUS_BENCH_REPS runs (default
-    # 2) — a single local[32] run carries ±30-40% GC/JIT noise that
-    # would be read as engine regressions; the minimum is the standard
-    # steady-state throughput estimator (cf. JMH)
-    reps = max(1, int(os.environ.get("RIVULUS_BENCH_REPS", "2")))
+    # 3) — a single local[32] run carries ±30-40% GC/JIT/host noise
+    # that would be read as engine regressions (observed: the same
+    # query measured 3.7s and 12.7s in back-to-back runs under
+    # transient host load); the minimum is the standard steady-state
+    # throughput estimator (cf. JMH)
+    reps = max(1, int(os.environ.get("RIVULUS_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
