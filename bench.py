@@ -69,18 +69,19 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
             except Exception as e:
-                # a flaky rep must not mask an earlier successful
-                # timing: only report the -1.0 failure sentinel when NO
-                # rep ever completed
+                # a flaky rep (transient host load, OOM) must not mask
+                # the other reps: keep trying, and report the -1.0
+                # failure sentinel only when NO rep ever completed
                 print(f"bench: {name} rep FAILED: {e}", file=sys.stderr)
-                if best is None:
-                    best = -1.0
-                break
+                cache.unpersist_all()
+                continue
             best = dt if best is None else min(best, dt)
             # each rep is timed self-contained: drop intermediates the
             # operators persisted (rivulus_spark.cache contract)
             cache.unpersist_all()
         cache.unpersist_all()
+        if best is None:
+            best = -1.0
         timings[name] = round(best, 3)
         if best >= 0:
             total += best

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, ivf_assign_cells
+from .similarity import centroid_pairs, ivf_assign_cells
 
 
 def _partial_sums(assigned: DataFrame) -> DataFrame:
@@ -65,21 +65,6 @@ def _partial_sums(assigned: DataFrame) -> DataFrame:
     return assigned.mapInPandas(_sums, "cell long, n long, sums array<double>")
 
 
-def _centroid_pairs(centroids, id_col: str, vec_col: str):
-    """Normalize a centroid input (DataFrame — EAGER, collects one
-    job — or a plain ``(cid, vector)`` pair list) to a sorted pair
-    list."""
-    if isinstance(centroids, DataFrame):
-        rows = (centroids
-                .select(F.col(id_col).cast("long").alias("cid"),
-                        _as_double(F.col(vec_col)).alias("cvec"))
-                .collect())
-        pairs = [(r.cid, list(r.cvec)) for r in rows]
-    else:
-        pairs = [(int(c), list(v)) for c, v in centroids]
-    return sorted(pairs)
-
-
 def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
                        n_iters: int = 5, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> list:
@@ -95,7 +80,7 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
     trips and exactly one broadcast per iteration. Assignment metric is
     cosine (spherical k-means) — the update mean is not re-normalized
     because cosine is scale-invariant."""
-    cents = dict(_centroid_pairs(init_centroids, id_col, vec_col))
+    cents = dict(centroid_pairs(init_centroids, id_col, vec_col))
     zero = F.array(*[F.lit(0.0) for _ in range(dim)])
     sc = df.sparkSession.sparkContext
     for _ in range(n_iters):
@@ -109,6 +94,10 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
                              lambda acc, x: F.zip_with(
                                  acc, x, lambda a, b: a + b)).alias("s"))
             .collect())  # k tiny rows: the Lloyd iteration barrier
+        # the collect() barrier fully materialized this iteration's
+        # job, so its broadcast can be dropped immediately — without
+        # this a long-lived session leaks one block per iteration
+        bc.unpersist()
         # mean update; empty cells keep their previous centroid
         for r in merged:
             cents[r.cell] = [s / r.n for s in r.s]

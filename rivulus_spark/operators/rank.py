@@ -79,6 +79,20 @@ def global_row_number(
     # this policy.
     from ..partitioning import estimated_input_bytes
     size = estimated_input_bytes(df)
+    # the estimate measures the SOURCE files, not the ranked relation:
+    # a lineage that can multiply rows (explode/Generate, joins) makes
+    # file bytes an under-estimate, so treat the size as unknown and
+    # take the distributed path — mis-classifying small is the failure
+    # mode that single-partitions a huge window
+    if size is not None:
+        try:
+            import re as _re
+
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if _re.search(r"\b(Generate|Join)\b", plan):
+                size = None
+        except Exception:
+            size = None
     if size is not None and size <= small_input_bytes:
         w1 = Window.orderBy(*order_cols)
         out = df.withColumn(rank_col, F.row_number().over(w1).cast("long"))
@@ -97,6 +111,17 @@ def global_row_number(
     # ALL-null leading column makes percentile_approx return null —
     # coalesce the bucket to 0 so every row lands in bucket 0 instead
     # of being dropped by the null-keyed offsets join.
+    lead_type = dict(df.dtypes).get(lead, "")
+    if not any(t in lead_type for t in
+               ("int", "long", "float", "double", "decimal", "date",
+                "timestamp", "short", "byte")):
+        raise ValueError(
+            f"global_row_number: distributed ranking buckets on "
+            f"percentile bounds of the leading order column, which "
+            f"requires an orderable numeric/temporal type — got "
+            f"{lead!r}: {lead_type}. Rank on a numeric key (e.g. a "
+            f"length or hash-derived sort key) or pre-map the string "
+            f"domain to codes.")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # GK accuracy only affects bucket BALANCE (rank error 1/accuracy
     # of relative rank), never exactness — 32x the bucket count keeps

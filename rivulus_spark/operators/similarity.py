@@ -293,7 +293,8 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     if n_planes <= _CODEGEN_PLANE_LIMIT:
         bands = F.array(*[
             F.struct(F.lit(j).alias("bi"),
-                     _band_value_expr(F.col("vec"), dim, width, j)
+                     _band_value_expr(F.col("vec"), dim, width, j,
+                                      n_planes)
                      .alias("bv"))
             for j in range(n_bands)
         ])
@@ -301,7 +302,8 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
              .select("id", F.col("b.bi").alias("bi"),
                      F.col("b.bv").alias("bv")))
     else:
-        e = _band_rows_numpy(base.select("id", "vec"), dim, width, n_bands)
+        e = _band_rows_numpy(base.select("id", "vec"), dim, width, n_bands,
+                             n_planes)
     l, r = e.alias("l"), e.alias("r")
     cands = (l.join(r, (F.col("l.bi") == F.col("r.bi"))
                     & (F.col("l.bv") == F.col("r.bv"))
@@ -324,34 +326,41 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
 _CODEGEN_PLANE_LIMIT = 48
 
 
-def _band_value_expr(vec: Column, dim: int, width: int, band: int) -> Column:
+def _band_value_expr(vec: Column, dim: int, width: int, band: int,
+                     n_planes: int) -> Column:
     """Codegen'd band value: bit i = sign of plane band*width+i. Bit
     layout identical to the packed-int64 signature's band slice, so
-    candidate sets match the historical form and the SQL oracle."""
-    out = None
+    candidate sets match the historical form and the SQL oracle. When
+    n_planes is not divisible by n_bands the last band covers fewer
+    real planes — positions past n_planes stay 0, exactly as the
+    packed signature's high bits did (no phantom planes)."""
+    out = F.lit(0).cast("long")
     for i in range(width):
         p = band * width + i
+        if p >= n_planes:
+            break
         plane = F.array(*[F.lit(plane_component(p, k)) for k in range(dim)])
-        bit = F.when(dot(vec, plane) >= 0,
-                     F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-        out = bit if out is None else out + bit
+        out = out + F.when(dot(vec, plane) >= 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return out
 
 
 def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
-                     n_bands: int) -> DataFrame:
+                     n_bands: int, n_planes: int | None = None) -> DataFrame:
     """(id, bi, bv) band rows via one matmul per Arrow batch — the
     large-plane-count path. Sign decisions use float64 accumulation;
     order of summation differs from the codegen fold, so a dot product
     within ~1e-12 of zero could bucket differently than the expression
-    path — harmless for candidate generation (verification is exact)."""
+    path — harmless for candidate generation (verification is exact).
+    Like _band_value_expr, bit positions past n_planes stay 0 when the
+    last band is short (n_planes not divisible by n_bands)."""
     import numpy as np
     import pandas as pd
 
-    n_planes = width * n_bands
+    if n_planes is None:
+        n_planes = width * n_bands
     planes = np.array([[plane_component(p, k) for k in range(dim)]
                        for p in range(n_planes)], dtype=np.float64).T
-    weights = (1 << np.arange(width, dtype=np.int64))
 
     def gen(batches):
         for pdf in batches:
@@ -359,9 +368,11 @@ def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
                 continue
             mat = np.asarray(list(pdf["vec"]), dtype=np.float64)
             signs = (mat @ planes) >= 0
-            bvs = np.empty((len(pdf), n_bands), dtype=np.int64)
+            bvs = np.zeros((len(pdf), n_bands), dtype=np.int64)
             for j in range(n_bands):
-                bvs[:, j] = signs[:, j * width:(j + 1) * width] @ weights
+                lo, hi = j * width, min((j + 1) * width, n_planes)
+                w = (1 << np.arange(hi - lo, dtype=np.int64))
+                bvs[:, j] = signs[:, lo:hi] @ w
             ids = pdf["id"].to_numpy()
             yield pd.DataFrame({
                 "id": np.repeat(ids, n_bands),
@@ -398,6 +409,23 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def centroid_pairs(centroids, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list:
+    """Normalize a centroid input — a DataFrame (EAGER: collects one
+    job, the documented convenience path) or a plain ``(cid, vector)``
+    iterable — to a sorted pair list, the lazy form ivf_assign_cells
+    and the k-means trainer consume without running a job. The single
+    normalization point for both modules, so the cast/sort contract
+    (long ids, float64 vectors, ascending cid) cannot drift."""
+    if isinstance(centroids, DataFrame):
+        rows = (centroids
+                .select(F.col(id_col).cast("long").alias("cid"),
+                        _as_double(F.col(vec_col)).alias("cvec"))
+                .collect())
+        return sorted((r.cid, list(r.cvec)) for r in rows)
+    return sorted((int(c), list(v)) for c, v in centroids)
 
 
 def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
@@ -439,24 +467,21 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
     ``ORDER BY sim DESC, cid`` rank-1 row."""
     from pyspark.broadcast import Broadcast
 
-    if isinstance(centroids, DataFrame):
-        rows = (centroids
-                .select(F.col(id_col).cast("long").alias("cid"),
-                        _as_double(F.col(vec_col)).alias("cvec"))
-                .collect())  # documented eager convenience path
-        pairs = [(r.cid, list(r.cvec)) for r in rows]
-    elif isinstance(centroids, Broadcast):
-        pairs = None  # resolved worker-side from the caller's broadcast
+    if isinstance(centroids, Broadcast):
+        # resolved worker-side from the caller's broadcast; the
+        # driver-side copy is cheap to inspect for the empty guard
+        if not centroids.value:
+            raise ValueError(
+                "ivf_assign_cells: centroid broadcast is empty (check "
+                "the stride/init selection against the corpus id space)")
+        bc = centroids
     else:
-        pairs = [(int(c), list(v)) for c, v in centroids]
-    if pairs is not None:
+        pairs = centroid_pairs(centroids, id_col, vec_col)
         if not pairs:
             raise ValueError(
                 "ivf_assign_cells: centroid set is empty (check the "
                 "stride/init selection against the corpus id space)")
         bc = df.sparkSession.sparkContext.broadcast(pairs)
-    else:
-        bc = centroids
 
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     _as_double(F.col(vec_col)).alias("vec"))

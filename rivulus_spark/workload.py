@@ -1372,6 +1372,7 @@ def _staged_stream_parquet(df: DataFrame, source: str, tag: str,
     finding); the write is harness setup, not engine throughput."""
     import hashlib
     import os
+    import re as _re
     import tempfile
 
     try:
@@ -1379,6 +1380,16 @@ def _staged_stream_parquet(df: DataFrame, source: str, tag: str,
         fingerprint = f"{source}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         fingerprint = source
+    # the key must also cover the DERIVATION, not just the source
+    # bytes — otherwise editing the staged projection silently replays
+    # the old derivation from a stale dir. The analyzed plan text is a
+    # deterministic fingerprint of the derivation once per-session
+    # expression ids (#123) are stripped.
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        fingerprint += "|" + _re.sub(r"#\d+", "", plan)
+    except Exception:
+        pass
     key = hashlib.md5(f"{tag}|{n_files}|{fingerprint}".encode()) \
         .hexdigest()[:16]
     staging = os.path.join(tempfile.gettempdir(),
@@ -2519,14 +2530,26 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def _parquet_rows(path: str, default: int) -> int:
-    """Row count from the parquet footer — metadata only, no Spark job.
+    """Row count from parquet footers — metadata only, no Spark job.
     Used to derive size-adaptive operator parameters (LSH bits/bands)
     deterministically on BOTH the Spark side (from the queried sf_dir)
     and the oracle side (from the driver's fixed sf0.01 dir), so the
-    two always agree. Falls back to `default` for non-local paths."""
+    two always agree. Handles both a single file and the Spark
+    directory-of-part-files layout; falls back to `default` only for
+    genuinely unreadable paths (remote FS without local footers) — a
+    silent fallback on one side only would make the engines band
+    differently, so keep inputs footer-readable where adaptivity
+    matters."""
+    import os as _os
+
     try:
         import pyarrow.parquet as pq
 
+        if _os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
+                for f in _os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", ".")))
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return default

@@ -1077,6 +1077,64 @@ def test_global_row_number_all_null_order_column(spark):
     assert out == {1: 1, 2: 2, 3: 3}
 
 
+def test_global_row_number_distrusts_multiplying_lineage(spark, tmp_path):
+    """Review r4: the small-file fast path must not single-partition a
+    relation whose lineage can multiply rows (explode/join) — file
+    bytes under-estimate such relations, so they take the distributed
+    path regardless of source size."""
+    from rivulus_spark.operators import rank
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, [10.0, 30.0, 50.0]), (2, [20.0, 40.0])],
+                          "id long, vs array<double>").write.parquet(p)
+    df = spark.read.parquet(p).select(F.explode("vs").alias("v"))
+    out = rank.global_row_number(df, ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    from test_plans import _unpartitioned_windows
+
+    data_windows = [l for _, l in _unpartitioned_windows(plan)
+                    if "_rk_bucket" not in l]
+    assert not data_windows, data_windows
+    got = sorted((r.v, r.rank) for r in out.collect())
+    assert got == [(10.0, 1), (20.0, 2), (30.0, 3), (40.0, 4), (50.0, 5)]
+
+
+def test_ivf_assign_cells_empty_broadcast_raises(spark):
+    """Review r4: the Broadcast centroid path must fail driver-side
+    with the designed ValueError, not a worker-side IndexError."""
+    from rivulus_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    bc = spark.sparkContext.broadcast([])
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivf_assign_cells(emb, bc)
+
+
+def test_lsh_non_divisible_planes_no_phantom_bits(spark, monkeypatch):
+    """Review r4: with n_planes=10, n_bands=4 the last band covers only
+    planes 8-9 — positions past n_planes must stay 0 (as the packed
+    signature's high bits did), identically in both band paths."""
+    rows = [(i, [float(i % 5) - 2.0, float(i % 3), 1.0]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted((r.id_a, r.id_b) for r in
+                  similarity.cosine_neardup_pairs_lsh(
+                      vecs, threshold=-1.0, dim=3, n_planes=10,
+                      n_bands=4).collect())
+    monkeypatch.setattr(similarity, "_CODEGEN_PLANE_LIMIT", 0)
+    got = sorted((r.id_a, r.id_b) for r in
+                 similarity.cosine_neardup_pairs_lsh(
+                     vecs, threshold=-1.0, dim=3, n_planes=10,
+                     n_bands=4).collect())
+    assert got == want
+    # the packed-signature reference: band 3 of a 10-bit signature
+    sig = vecs.select(
+        similarity.hyperplane_signature(
+            F.col("embedding").cast("array<double>"), 3, 10).alias("s"),
+        "vec_id").collect()
+    assert all(0 <= r.s < (1 << 10) for r in sig)
+
+
 def test_charlm_inconsistent_supplied_model_no_fanout(spark):
     """ADVICE r3: a supplied model with conflicting c_ctx values for
     one context must not duplicate per-bigram rows through the context

@@ -57,6 +57,11 @@ def _tag_text(text: str, rep: int) -> str:
         return text
     toks = text.split(" ")
     tag = f"x{rep}"
+    if len(toks) < 3:
+        # a doc too short to hit the every-3rd-token rewrite would be
+        # byte-identical across replicas — exactly the cross-replica
+        # duplicate cluster this function exists to prevent
+        return text + " " + tag
     for j in range(2, len(toks), 3):
         toks[j] = toks[j] + tag
     return " ".join(toks)
