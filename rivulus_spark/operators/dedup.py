@@ -357,35 +357,47 @@ def simhash32(col: str | Column) -> Column:
 
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
-                  out_col: str = "simhash32") -> DataFrame:
-    """(id, simhash32) for every document — same result as projecting
+                  out_col: str = "simhash32",
+                  n_bits: int = 32) -> DataFrame:
+    """(id, simhash) for every document — same result as projecting
     ``simhash32()`` but formulated as explode(tokens) -> groupBy(id)
-    with 32 codegen'd conditional-sum aggregates. Higher-order array
-    folds are interpreted per element, so the projection form costs
-    32 interpreted passes per document; this form stays inside
-    whole-stage codegen with map-side partial aggregation and is ~10x
-    faster on corpus-scale inputs (same trade as minhash_signatures)."""
+    with n_bits codegen'd conditional-sum aggregates. Higher-order
+    array folds are interpreted per element, so the projection form
+    costs n_bits interpreted passes per document; this form stays
+    inside whole-stage codegen with map-side partial aggregation and is
+    ~10x faster on corpus-scale inputs (same trade as
+    minhash_signatures).
+
+    ``n_bits`` caps at 60 (word_hash is 60-bit). Width matters at
+    scale: pigeonhole banding's bucket space is 2^(n_bits/(k+1)) per
+    band, so a 32-bit hash at Hamming 3 gives only 256 buckets/band —
+    occupancy (and candidate pairs) grow linearly (quadratically) with
+    the corpus. 60 bits -> 32k buckets/band, 128x fewer collisions,
+    and a more discriminative fingerprint."""
     from ..partitioning import spread
 
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     w = (spread(df).select(F.col(id_col).alias("id"),
                            F.explode(tokens(text_col)).alias("tok"))
          .select("id", word_hash(F.col("tok")).alias("h")))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
-        for j in range(32)
+        for j in range(n_bits)
     ]
     v = w.groupBy("id").agg(*votes)
     out = F.lit(0).cast("long")
-    for j in range(32):
+    for j in range(n_bits):
         out = out + F.when(F.col(f"v{j}") >= 0,
                            F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
     return v.select("id", out.alias(out_col))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs whose 32-bit SimHashes differ in at most
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_bits: int = 32) -> DataFrame:
+    """Near-dup pairs whose n_bits-wide SimHashes differ in at most
     ``max_hamming`` bits — EXACT result via pigeonhole banding.
 
     The hash is split into ``max_hamming + 1`` equal-width bands; a pair
@@ -404,8 +416,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     to the corpus even at 100 TB) is persisted so the tokenize + 32-way
     vote aggregation runs once instead of once per self-join side."""
     n_bands = max_hamming + 1
-    width = 32 // n_bands + (1 if 32 % n_bands else 0)
-    s = cache.persist(simhash_table(df, text_col, id_col, out_col="sh"))
+    width = n_bits // n_bands + (1 if n_bits % n_bands else 0)
+    s = cache.persist(simhash_table(df, text_col, id_col, out_col="sh",
+                                    n_bits=n_bits))
     bands = F.array(*[
         F.struct(F.lit(j).alias("bi"),
                  F.shiftright(F.col("sh"), j * width)
@@ -535,11 +548,12 @@ def cluster_survivors(df: DataFrame, clusters: DataFrame,
 
 def simhash_pairs_brute(df: DataFrame, max_hamming: int = 3,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        n_bits: int = 32) -> DataFrame:
     """Brute-force all-pairs SimHash comparison — the O(n^2) reference
     formulation of ``simhash_pairs`` (same output), kept for
     small-input verification."""
-    s = simhash_table(df, text_col, id_col, out_col="sh")
+    s = simhash_table(df, text_col, id_col, out_col="sh", n_bits=n_bits)
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

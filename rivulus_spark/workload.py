@@ -2276,12 +2276,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                    threshold=0.8)
 
 
-def _simhash_oracle() -> str:
+#: SimHash width for the registered queries: 60 (word_hash's full
+#: width). Pigeonhole banding's bucket space is 2^(n_bits/(k+1)) per
+#: band — 32 bits at Hamming 3 caps at 256 buckets/band, so occupancy
+#: (and candidate pairs) grow linearly (quadratically) with the
+#: corpus; 60 bits gives 32k buckets/band, 128x fewer collisions.
+_SIMHASH_BITS = 60
+
+
+def _simhash_oracle(n_bits: int = _SIMHASH_BITS) -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(32))
+        for j in range(n_bits))
     val = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2 ** j} ELSE 0 END)"
-                     for j in range(32))
+                     for j in range(n_bits))
     return f"""
 WITH w AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
@@ -2292,30 +2300,34 @@ WITH w AS (
          {votes}
   FROM w GROUP BY doc_id
 )
-SELECT doc_id, ({val})::BIGINT AS simhash32 FROM v
+SELECT doc_id, ({val})::BIGINT AS simhash FROM v
 """
 
 
 @_q("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
-    """Per-document 32-bit SimHash via the codegen'd explode+group-by
+    """Per-document 60-bit SimHash via the codegen'd explode+group-by
     formulation (simhash_table); the projection form simhash32() is the
-    shuffle-free alternative for narrow inputs."""
-    return (dedup.simhash_table(_t(spark, sf_dir, "documents"))
-            .select(F.col("id").alias("doc_id"), "simhash32"))
+    shuffle-free 32-bit alternative for narrow inputs. 60 bits (the
+    full word_hash width) is the scale setting — see _SIMHASH_BITS."""
+    return (dedup.simhash_table(_t(spark, sf_dir, "documents"),
+                                out_col="simhash", n_bits=_SIMHASH_BITS)
+            .select(F.col("id").alias("doc_id"), "simhash"))
 
 
 @_q("dedup_simhash_pairs", f"""
 WITH s AS ({_simhash_oracle()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash32, b.simhash32))::BIGINT AS hamming
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming distance <= 3 (brute-force
-    pair generation; the scale path bands the hash by pigeonhole)."""
-    out = dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs at Hamming distance <= 3 over the 60-bit
+    fingerprint, via pigeonhole banding (15-bit bands -> 32k
+    buckets/band; exact result, no recall loss)."""
+    out = dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
+                              max_hamming=3, n_bits=_SIMHASH_BITS)
     return out.select("doc_a", "doc_b",
                       F.col("hamming").cast("long").alias("hamming"))
 
@@ -3232,8 +3244,10 @@ _PRIORITY: list[str] = [
     "sql_entry_q6", "agg_q1",
     # --- relational breadth last checked r1/r2 — refresh their rows ---
     "agg_q3", "agg_q5", "pivot_status", "argmax_per_group",
-    "full_outer_join", "semi_join", "anti_join", "cube_count",
-    "range_join_events", "scalar_subquery", "window_lag",
+    "full_outer_join", "semi_join", "anti_join",
+    "range_join_events", "window_lag",
+    # changed this round (60-bit SimHash) — recheck both forms
+    "dedup_simhash", "dedup_simhash_pairs",
     # --- LLM-pipeline representatives, one per family ---
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
     "embedding_neardup", "pipeline_curate", "pipeline_curate_v2",

@@ -125,13 +125,28 @@ def test_simhash_near_for_near_dups(docs):
     assert (0, 1) in pairs                     # near-dup within 8 bits
 
 
-@pytest.mark.parametrize("max_hamming", [1, 3, 8])
-def test_simhash_banded_matches_brute(docs, max_hamming):
+@pytest.mark.parametrize("max_hamming,n_bits", [(1, 32), (3, 32), (8, 32),
+                                                (3, 60), (8, 60)])
+def test_simhash_banded_matches_brute(docs, max_hamming, n_bits):
     banded = {(r.doc_a, r.doc_b): r.hamming
-              for r in dedup.simhash_pairs(docs, max_hamming=max_hamming).collect()}
+              for r in dedup.simhash_pairs(
+                  docs, max_hamming=max_hamming, n_bits=n_bits).collect()}
     brute = {(r.doc_a, r.doc_b): r.hamming
-             for r in dedup.simhash_pairs_brute(docs, max_hamming=max_hamming).collect()}
+             for r in dedup.simhash_pairs_brute(
+                 docs, max_hamming=max_hamming, n_bits=n_bits).collect()}
     assert banded == brute
+
+
+def test_simhash_width_monotone(docs):
+    """A 60-bit fingerprint is strictly more discriminative: every
+    pair within Hamming k at 60 bits is within k at its 32-bit prefix
+    (the low 32 bits are the same votes), so the 60-bit pair set at a
+    fixed threshold is a subset of the 32-bit one."""
+    p60 = {(r.doc_a, r.doc_b) for r in
+           dedup.simhash_pairs(docs, max_hamming=3, n_bits=60).collect()}
+    p32 = {(r.doc_a, r.doc_b) for r in
+           dedup.simhash_pairs(docs, max_hamming=3, n_bits=32).collect()}
+    assert p60 <= p32
 
 
 # ----------------------------------------------------------------------
