@@ -357,7 +357,7 @@ def simhash32(col: str | Column) -> Column:
 
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
-                  out_col: str = "simhash32",
+                  out_col: str = "simhash",
                   n_bits: int = 32) -> DataFrame:
     """(id, simhash) for every document — same result as projecting
     ``simhash32()`` but formulated as explode(tokens) -> groupBy(id)
@@ -400,8 +400,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     """Near-dup pairs whose n_bits-wide SimHashes differ in at most
     ``max_hamming`` bits — EXACT result via pigeonhole banding.
 
-    The hash is split into ``max_hamming + 1`` equal-width bands; a pair
-    within Hamming distance ``max_hamming`` has at most ``max_hamming``
+    The hash is split into ``max_hamming + 1`` near-equal-width bands
+    (floor/floor+1 bits, so every band holds real bits); a pair within
+    Hamming distance ``max_hamming`` has at most ``max_hamming``
     differing bits, which can dirty at most ``max_hamming`` bands, so at
     least one band matches exactly. Candidate generation is therefore an
     equi-join keyed on (band_idx, band_value) — a hash-partitioned
@@ -412,17 +413,32 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     several bands. Same output contract as the brute-force formulation
     (``simhash_pairs_brute``), linear shuffle at corpus scale.
 
-    The signature table (one 12-byte row per document — tiny relative
-    to the corpus even at 100 TB) is persisted so the tokenize + 32-way
-    vote aggregation runs once instead of once per self-join side."""
+    The signature table (one 16-byte (id, hash) row per document —
+    tiny relative to the corpus even at 100 TB) is persisted so the
+    tokenize + n_bits-way vote aggregation runs once instead of once
+    per self-join side."""
     n_bands = max_hamming + 1
-    width = n_bits // n_bands + (1 if n_bits % n_bands else 0)
+    if n_bands > n_bits:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming+1 <= n_bits bands "
+            f"with >=1 bit each (got {n_bands} bands over {n_bits} "
+            f"bits)")
+    # distribute the remainder instead of ceiling every band: a
+    # ceiling width can push a whole band past the top bit (e.g.
+    # 9 bands x ceil(32/9)=4 bits reads bits 32-35 of a 32-bit hash),
+    # making that band a constant-0 key whose self-join degenerates to
+    # the O(n^2) cross product banding exists to avoid. With
+    # floor/floor+1 widths every band holds real bits and the
+    # pigeonhole guarantee is unchanged.
+    base_w, rem = divmod(n_bits, n_bands)
+    widths = [base_w + 1 if j < rem else base_w for j in range(n_bands)]
+    starts = [sum(widths[:j]) for j in range(n_bands)]
     s = cache.persist(simhash_table(df, text_col, id_col, out_col="sh",
                                     n_bits=n_bits))
     bands = F.array(*[
         F.struct(F.lit(j).alias("bi"),
-                 F.shiftright(F.col("sh"), j * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+                 F.shiftright(F.col("sh"), starts[j])
+                 .bitwiseAND(F.lit((1 << widths[j]) - 1)).alias("bv"))
         for j in range(n_bands)
     ])
     e = s.select("id", "sh", F.explode(bands).alias("b"))
