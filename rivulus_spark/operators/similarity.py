@@ -287,6 +287,14 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     BLAS instead of an unrolled expression tree Janino would choke on.
     """
     width = band_width(n_planes, n_bands)
+    if n_planes <= width * (n_bands - 1):
+        # a band with zero real planes would be a constant-0 join key
+        # whose self-join degenerates to the O(n^2) cross product —
+        # same guard as simhash_pairs' remainder-distributed bands
+        raise ValueError(
+            f"n_planes={n_planes} leaves band {n_planes // width} of "
+            f"{n_bands} with no real planes (width {width}); choose "
+            f"n_planes > width*(n_bands-1), e.g. a multiple of n_bands")
     base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
     from .. import cache
     base = cache.persist(base)
