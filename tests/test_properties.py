@@ -147,3 +147,55 @@ def test_distributed_rank_matches_global_window(spark, vals, n):
         "id", F.ntile(n).over(w).cast("long").alias("tile"),
         F.percent_rank().over(w).alias("pr")).collect()}
     assert got == want
+
+
+@given(n=st.integers(min_value=1, max_value=10 ** 12))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_lsh_params_invariants(n):
+    """For ANY corpus size: planes = width*bands, every band holds real
+    bits (no zero-plane band -> no constant-key cross join), occupancy
+    is bounded unless at the width cap, and bands stay in [4, 16]."""
+    from rivulus_spark.operators import similarity
+
+    n_planes, bands = similarity.adaptive_lsh_params(n)
+    width = n_planes // bands
+    assert n_planes == width * bands
+    assert 4 <= width <= 15 and 4 <= bands <= 16
+    assert (n >> width) <= 16 or width == 15
+    # the operator-level guard accepts these parameters
+    assert n_planes > width * (bands - 1)
+
+
+@given(n=st.integers(min_value=1, max_value=10 ** 12))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_ann_params_invariants(n):
+    """Bits bounded-occupancy (or at cap), radius steps at the
+    documented threshold, and the probe mask set is distinct with the
+    exact Hamming-ball cardinality."""
+    from rivulus_spark.operators import similarity
+
+    bits, radius = similarity.adaptive_ann_params(n)
+    assert 4 <= bits <= 15
+    assert (n >> bits) <= 16 or bits == 15
+    assert radius == (1 if bits <= 9 else 2)
+    masks = similarity.probe_masks(bits, radius)
+    want = 1 + bits + (bits * (bits - 1) // 2 if radius == 2 else 0)
+    assert len(masks) == len(set(masks)) == want
+    assert all(0 <= m < (1 << bits) for m in masks)
+
+
+@given(n_bits=st.integers(min_value=1, max_value=60),
+       max_hamming=st.integers(min_value=0, max_value=16))
+@settings(max_examples=200, deadline=None)
+def test_simhash_band_layout_covers_all_bits(n_bits, max_hamming):
+    """The remainder-distributed band layout partitions [0, n_bits)
+    exactly: every band holds >=1 real bit (the guard rejects the
+    rest), widths differ by at most 1, and bands are disjoint."""
+    n_bands = max_hamming + 1
+    if n_bands > n_bits:
+        return  # operator raises; covered by unit test
+    base_w, rem = divmod(n_bits, n_bands)
+    widths = [base_w + 1 if j < rem else base_w for j in range(n_bands)]
+    assert sum(widths) == n_bits
+    assert all(w >= 1 for w in widths)
+    assert max(widths) - min(widths) <= 1
