@@ -1092,6 +1092,29 @@ def test_global_row_number_all_null_order_column(spark):
     assert out == {1: 1, 2: 2, 3: 3}
 
 
+def test_dedup_family_tolerates_null_and_empty_text(spark):
+    """Null text drops out of token-derived signatures (explode of a
+    null array yields no rows); empty/whitespace text hashes the empty
+    token consistently (the tokenizer's documented 1-empty-token
+    contract, mirrored by the SQL oracles); real duplicates still
+    pair. No operator crashes on degenerate documents."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "one"),
+         (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id long, text string")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.jacc) for r in pairs] == [(4, 5, 1.0)]
+    sh = {r.id: r.simhash for r in
+          dedup.simhash_table(docs, n_bits=60).collect()}
+    assert 0 not in sh                      # null text: no signature
+    assert sh[1] == sh[2]                   # empty == whitespace
+    assert sh[4] == sh[5]                   # real dups agree
+    from rivulus_spark.operators import text as t
+    counts = {r.doc_id: r.n for r in docs.select(
+        "doc_id", t.token_count("text").alias("n")).collect()}
+    assert counts[0] is None and counts[1] == 1 and counts[4] == 5
+
+
 def test_global_row_number_distrusts_multiplying_lineage(spark, tmp_path):
     """Review r4: the small-file fast path must not single-partition a
     relation whose lineage can multiply rows (explode/join) — file
