@@ -235,6 +235,70 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                                 num_perm)
 
 
+def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 3,
+                             num_perm: int = NUM_PERM) -> DataFrame:
+    """(id, sig) MinHash signatures computed entirely map-side in one
+    Arrow ``mapInPandas`` pass — NO shuffle, unlike the relational
+    form whose shingle explode + distinct + 128-min group-by exchanges
+    ~token-count rows twice. At corpus scale this is the difference
+    between a map-only signature stage and two corpus-sized shuffles;
+    locally it halves the MinHash family's wall time.
+
+    Bit-exact parity with ``signatures_from_rows``: tokenization
+    replicates Spark's ``split(trim(text), '\\s+')`` (ASCII-space trim,
+    Java's ASCII ``\\s`` class, trailing empties kept), shingles are the
+    same space-joined k-grams, hashes the same md5-derived 60-bit ints
+    reduced mod P, permutations the same affine coeffs in exact int64
+    arithmetic (min over a multiset equals min over its distinct set,
+    so no dedup pass is needed). Docs with fewer than k tokens emit no
+    row, like the relational group-by over zero shingle rows. Parity is
+    asserted against the relational form in tests and transitively by
+    the driver's SQL oracle."""
+    import re
+
+    a_coeffs = [perm_coeffs(i)[0] for i in range(num_perm)]
+    b_coeffs = [perm_coeffs(i)[1] for i in range(num_perm)]
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s, NOT unicode \s
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(a_coeffs, dtype=np.int64)[:, None]
+        B = np.asarray(b_coeffs, dtype=np.int64)[:, None]
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(txt, str):
+                    continue
+                toks = ws.split(txt.strip(" "))
+                if len(toks) < k:
+                    continue
+                sh = {" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}
+                h = np.fromiter(
+                    (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
+                         16) % MINHASH_P for s in sh),
+                    dtype=np.int64, count=len(sh))[None, :]
+                ids.append(doc_id)
+                sigs.append(((A * h + B) % MINHASH_P).min(axis=1).tolist())
+            if ids:
+                # object dtype for the list column — a bare ndarray of
+                # lists trips Arrow's NumPyConverter
+                yield pd.DataFrame({
+                    "id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="object"),
+                })
+
+    from ..partitioning import spread
+
+    return (spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(gen, schema="id long, sig array<long>"))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
                         sig_col: str = "sig",
                         rows_per_band: int = LSH_ROWS,
@@ -291,21 +355,29 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     never to the corpus squared — and compare full shingle strings, so
     the result is exact (no hash collisions involved).
 
-    The shingle rows feed four consumers (signatures, both sides of the
-    intersection join, per-doc sizes) and the signature table feeds two
-    (both sides of the banding self-join), so both are persisted:
-    measured end-to-end this beats recomputation by ~2x and, more
-    importantly, collapses the run-to-run variance that repeated
-    multi-stage recomputes (each with its own large codegen'd
-    aggregate) produce. Both tables are small relative to the corpus —
-    rows is (id, ~20-byte shingle) and sigs is one 1 KB row per doc —
-    and spill to disk under MEMORY_AND_DISK if they don't fit. Both
-    register with :mod:`rivulus_spark.cache`; long-lived sessions call
-    ``cache.unpersist_all()`` between units of work (the result is
-    lazy, so the operator itself cannot know when its caches die)."""
-    rows = cache.persist(shingle_rows(df, text_col, id_col, k))
-    sigs = cache.persist(signatures_from_rows(rows, num_perm))
-    cands = lsh_candidate_pairs(sigs, num_perm=num_perm)
+    Stage shape (the 100 TB argument): signatures come from the
+    map-only Arrow pass (``minhash_signatures_arrow`` — no shuffle);
+    banding shuffles one ~1 KB signature row per doc; and the shingle
+    rows needed for exact-Jaccard verification are exploded ONLY for
+    docs that appear in a candidate pair (a semi-join pushes the
+    candidate-id filter below the explode), so the token-sized shuffle
+    that used to cover the whole corpus now covers just the near-dup
+    neighborhood — verification cost is proportional to true near-dups
+    end to end. The signature table feeds both sides of the banding
+    self-join and the candidate-restricted rows feed three consumers
+    (both intersection sides, per-doc sizes), so both are persisted
+    (MEMORY_AND_DISK, registered with :mod:`rivulus_spark.cache`;
+    long-lived sessions call ``cache.unpersist_all()`` between units
+    of work — the result is lazy, so the operator itself cannot know
+    when its caches die)."""
+    sigs = cache.persist(minhash_signatures_arrow(df, text_col, id_col,
+                                                  k, num_perm))
+    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm))
+    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
+                .union(cands.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    rows = cache.persist(shingle_rows(
+        df.join(cand_ids, id_col, "semi"), text_col, id_col, k))
     sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         cands

@@ -103,6 +103,27 @@ def test_minhash_lsh_matches_bruteforce(docs):
     assert lsh == brute
 
 
+def test_minhash_arrow_signatures_match_relational(spark, docs):
+    """The map-only Arrow signature pass is bit-identical to the
+    relational explode+distinct+group-by form, including Java-vs-
+    Python whitespace trap cases: tabs/newlines split (Java \\s),
+    NBSP does NOT (unicode \\s would), trim strips ASCII space only,
+    and sub-k-token docs emit no row in either form."""
+    tricky = spark.createDataFrame(
+        [(100, "a\tb\nc d"),            # tabs/newlines are separators
+         (101, "a b c d"),          # NBSP is NOT a separator
+         (102, "  padded   doc   here "),
+         (103, "only two"),              # < k tokens: no signature
+         (104, None)],
+        "doc_id long, text string")
+    both = docs.union(tricky)
+    rel = {r.id: r.sig for r in dedup.minhash_signatures(both).collect()}
+    arrow = {r.id: r.sig for r in
+             dedup.minhash_signatures_arrow(both).collect()}
+    assert arrow == rel
+    assert 103 not in arrow and 104 not in arrow
+
+
 def test_minhash_lsh_custom_num_perm(docs):
     """num_perm flows from signature building through banding (r1
     ADVICE: banding hardcoded 128 and read past shorter signatures)."""
