@@ -42,7 +42,14 @@ from .errors import (
 from .expressions.expr import Expr, Schema
 from .schema import DataType, comparable, infer_series_type, struct_type
 
-_JOIN_TYPES = {"inner", "left", "right", "outer", "full", "semi", "anti", "cross"}
+# no "cross": keys are mandatory in this API, so a requested cross
+# product would silently execute as an inner equi-join — reject it
+# rather than return a wrong (smaller) result; Spark's crossJoin is
+# available via from_spark for the rare genuine Cartesian need
+_JOIN_TYPES = {"inner", "left", "right", "outer", "full", "semi", "anti"}
+#: join types where unmatched RIGHT rows survive — their key lives in
+#: the right key column, so the output key must coalesce both sides
+_RIGHT_PRESERVING = {"right", "outer", "full"}
 
 
 class LazyFrame:
@@ -62,11 +69,9 @@ class LazyFrame:
         first non-null value's type wins; Int64+Float64 promotes to
         Float64; other mixes raise MixedTypesError; all-null -> NullType.
         """
+        # dict keys are unique by construction, so no duplicate-name
+        # check is possible (or needed) on this input form
         names = list(data)
-        if len(set(names)) != len(names):
-            for n in names:
-                if names.count(n) > 1:
-                    raise DuplicateColumnError(n)
         lengths = {n: len(v) for n, v in data.items()}
         if len(set(lengths.values())) > 1:
             raise LengthMismatchError(str(lengths))
@@ -230,7 +235,19 @@ class LazyFrame:
         joined = l.join(r, cond, how)
         if how in ("semi", "anti"):
             return LazyFrame(joined)
-        out_cols = [F.col(f"__rvl.{c}") for c in self.columns]
+        # for right-preserving joins an unmatched right row carries its
+        # key only in the right key column — emitting the bare left key
+        # would null it out (silent data loss), so the output key
+        # coalesces both sides
+        rk_for_lk = dict(zip(lks, rks))
+        out_cols = []
+        for c in self.columns:
+            if how in _RIGHT_PRESERVING and c in rk_for_lk:
+                out_cols.append(
+                    F.coalesce(F.col(f"__rvl.{c}"),
+                               F.col(f"__rvr.{rk_for_lk[c]}")).alias(c))
+            else:
+                out_cols.append(F.col(f"__rvl.{c}"))
         for c in other.columns:
             if c in rks:
                 continue
@@ -249,18 +266,29 @@ class LazyFrame:
         return LazyFrame(self._df.withColumn(name, expr))
 
     def with_columns(self, **exprs: "Expr | Column") -> "LazyFrame":
-        """Add/replace several columns in one projection (one pass —
-        chained with_column calls also fuse under Catalyst, but this
-        keeps the API explicit)."""
-        out = self
+        """Add/replace several columns in ONE projection: every
+        expression is compiled against the CURRENT schema (later exprs
+        cannot reference earlier new columns — chain with_column for
+        that), then applied in a single ``withColumns`` call."""
+        schema = None
+        compiled: dict[str, Column] = {}
         for name, e in exprs.items():
-            out = out.with_column(name, e)
-        return out
+            if isinstance(e, Expr):
+                if schema is None:
+                    schema = self._logical_schema_for_exprs()
+                e.validate(schema)
+                e = e._compile(schema)
+            compiled[name] = e
+        return LazyFrame(self._df.withColumns(compiled))
 
     def rename(self, mapping: dict[str, str]) -> "LazyFrame":
         for old in mapping:
             if old not in self.columns:
                 raise ColumnNotFoundError(old, self.columns)
+        new_names = [mapping.get(c, c) for c in self.columns]
+        for n in new_names:
+            if new_names.count(n) > 1:
+                raise DuplicateColumnError(n)
         return LazyFrame(self._df.withColumnsRenamed(mapping))
 
     def drop(self, *cols: str) -> "LazyFrame":
@@ -277,6 +305,8 @@ class LazyFrame:
             raise ColumnNotFoundError(col_name, self.columns)
         out = out_name or col_name
         others = [c for c in self.columns if c != col_name]
+        if out in others:
+            raise DuplicateColumnError(out)
         return LazyFrame(self._df.select(
             *others, F.explode(F.col(col_name)).alias(out)))
 
@@ -367,41 +397,48 @@ class LazyFrame:
         which is what enables partition pruning on re-read at scale.
         Note: partition column types on re-read follow Spark's partition
         inference (numeric/date inferred; anything else, including
-        boolean, comes back as string)."""
-        w = self._df.write.mode(mode)
-        if partition_by:
-            for c in partition_by:
-                if c not in self.columns:
-                    raise ColumnNotFoundError(c, self.columns)
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        boolean, comes back as string). Delegates to sources.sink so
+        the sink contract lives in one place (like from_csv/from_jsonl
+        delegate their source contracts)."""
+        from .sources import sink
+
+        self._validate_partition_cols(partition_by)
+        sink.write_parquet(self._df, path, partition_by=partition_by,
+                           mode=mode)
 
     def write_csv(self, path: str, mode: str = "error",
                   delimiter: str = ",", header: bool = True) -> None:
-        """CSV sink with the source contract's null token ("null")."""
-        (self._df.write.mode(mode)
-         .option("sep", delimiter)
-         .option("header", header)
-         .option("nullValue", "null")
-         .csv(path))
+        """CSV sink with the source contract's null token ("null");
+        delegates to sources.sink.write_csv (single contract site)."""
+        from .sources import sink
+
+        sink.write_csv(self._df, path, mode=mode, delimiter=delimiter,
+                       header=header)
 
     def write_jsonl(self, path: str, mode: str = "error") -> None:
         """JSON-lines sink (one object per row) — the interchange
         format of most LLM-corpus tooling; round-trips with
-        ``from_jsonl``."""
-        self._df.write.mode(mode).json(path)
+        ``from_jsonl``. Delegates to sources.sink.write_jsonl."""
+        from .sources import sink
+
+        sink.write_jsonl(self._df, path, mode=mode)
 
     def write_orc(self, path: str, mode: str = "error",
                   partition_by: list[str] | None = None) -> None:
         """ORC sink; round-trips with ``from_orc`` (same hive
-        partitioning semantics as ``write_parquet``)."""
-        w = self._df.write.mode(mode)
-        if partition_by:
-            for c in partition_by:
-                if c not in self.columns:
-                    raise ColumnNotFoundError(c, self.columns)
-            w = w.partitionBy(*partition_by)
-        w.orc(path)
+        partitioning semantics as ``write_parquet``). Delegates to
+        sources.sink.write_orc."""
+        from .sources import sink
+
+        self._validate_partition_cols(partition_by)
+        sink.write_orc(self._df, path, partition_by=partition_by,
+                       mode=mode)
+
+    def _validate_partition_cols(self,
+                                 partition_by: list[str] | None) -> None:
+        for c in partition_by or []:
+            if c not in self.columns:
+                raise ColumnNotFoundError(c, self.columns)
 
     def to_spark(self) -> DataFrame:
         return self._df

@@ -57,14 +57,31 @@ def read_parquet(spark: SparkSession, path: str,
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
-              coalesce_files: int | None = None) -> None:
+              coalesce_files: int | None = None,
+              delimiter: str = ",", header: bool = True) -> None:
     """CSV sink matching the engine's CSV source contract (header row,
-    ``null`` as the null token)."""
+    ``null`` as the null token). The SINGLE place that contract is
+    encoded — LazyFrame.write_csv delegates here, like from_csv
+    delegates to sources.csv."""
     if coalesce_files is not None:
         df = df.coalesce(coalesce_files)
     (df.write.mode(mode)
-     .option("header", True).option("nullValue", "null")
+     .option("sep", delimiter)
+     .option("header", header).option("nullValue", "null")
      .csv(path))
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite",
+              coalesce_files: int | None = None) -> None:
+    """ORC sink; same hive-partitioning semantics as write_parquet."""
+    if coalesce_files is not None:
+        df = df.coalesce(coalesce_files)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",

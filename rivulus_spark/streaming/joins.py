@@ -59,6 +59,18 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
         left = left.withWatermark(left_time, left_watermark)
     if right.isStreaming and right_watermark is not None:
         right = right.withWatermark(right_time, right_watermark)
+    # the _r-suffix contract breaks if a suffixed name collides with an
+    # existing column (chained interval_joins, or a right frame that
+    # already carries both 'x' and 'x_r' — the sequential rename would
+    # then produce a corrupt duplicate column); fail eagerly instead
+    suffixed = [f"{c}_r" for c in right.columns]
+    clash = ({s for s in suffixed if s in left.columns}
+             | {s for s in suffixed if s in right.columns}
+             | {s for s in suffixed if suffixed.count(s) > 1})
+    if clash:
+        raise ValueError(
+            f"interval_join: suffixed right column(s) {sorted(clash)} "
+            f"collide with existing columns; rename before joining")
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, f"{c}_r")

@@ -61,8 +61,15 @@ def streaming_dedup(df: DataFrame, key_col: str = "fp",
             return
         first = None
         for pdf in pdfs:
-            if len(pdf):
-                mn = int(pdf[id_col].min())
+            # nullable long columns arrive as float64 with NaN for
+            # nulls; min() over an all-null group returns NaN and
+            # int(NaN) would kill the whole streaming query — skip
+            # null ids instead (a key whose ids are all null emits no
+            # keep row, matching the batch dedup family's null
+            # behavior)
+            ids = pdf[id_col].dropna()
+            if len(ids):
+                mn = int(ids.min())
                 first = mn if first is None else min(first, mn)
         fresh = not state.exists
         state.update((1,))

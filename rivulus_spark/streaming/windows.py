@@ -60,7 +60,15 @@ def _events_read_confs(spark: SparkSession) -> None:
     with: TIMESTAMP(NANOS) (unsupported by the vectorized reader —
     read the raw nanos as long) and TIMESTAMP(MICROS) with
     isAdjustedToUTC=false (read as tz-aware TIMESTAMP, not
-    TIMESTAMP_NTZ — watermarks reject NTZ event time)."""
+    TIMESTAMP_NTZ — watermarks reject NTZ event time).
+
+    Deliberately SESSION-scoped and not restored: a streaming query
+    re-resolves read confs each micro-batch, so save/restore around
+    the readStream declaration would flip the schema mid-stream.
+    Side effect on the session: later parquet reads see NANOS columns
+    as long and NTZ inference off. Callers that need the Spark
+    defaults for unrelated reads should use a separate SparkSession
+    (cheap: SparkSession.newSession() shares the context)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
@@ -99,7 +107,13 @@ def read_event_stream(spark: SparkSession, path: str,
         if os.path.islink(link) and os.readlink(link) != target:
             os.unlink(link)
         if not os.path.exists(link):
-            os.symlink(target, link)
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                # concurrent process staged the same target between the
+                # exists() check and the symlink (TOCTOU) — both want
+                # the identical link, so losing the race is fine
+                pass
         path = d
     reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger))

@@ -143,6 +143,30 @@ class TestJoin:
         assert alice == [25.99, 99.99]
 
 
+    def test_right_preserving_joins_keep_unmatched_right_keys(self, spark):
+        """Review r4: unmatched RIGHT rows must keep their join key —
+        the output key coalesces both sides for right/outer/full joins
+        (the bare left key would be null, silently losing the value)."""
+        left = LazyFrame.from_dataframe(spark, {
+            "id": [1, 2], "l": ["a", "b"]})
+        right = LazyFrame.from_dataframe(spark, {
+            "id": [2, 99], "r": ["x", "y"]})
+        for how in ("right", "full"):
+            out = {r.id: (r.l, r.r) for r in
+                   left.join(right, "id", "id", how=how).collect()}
+            assert out[99] == (None, "y"), how
+            assert out[2] == ("b", "x"), how
+        full = left.join(right, "id", "id", how="full").collect()
+        assert sorted(r.id for r in full) == [1, 2, 99]
+
+    def test_cross_join_type_rejected(self, spark, users):
+        """'cross' with mandatory keys would silently execute as inner
+        — reject instead of returning a wrong (smaller) result."""
+        from rivulus_spark.errors import InvalidPredicateError
+
+        with pytest.raises(InvalidPredicateError, match="cross"):
+            users.join(users, "user_id", "user_id", how="cross")
+
     def test_null_safe_join_matches_null_keys(self, spark):
         left = LazyFrame.from_dataframe(spark, {
             "k": [1, None, 2], "tag": ["x", "y", "z"]})
@@ -291,6 +315,26 @@ class TestFacadeMethods:
         lf = LazyFrame.from_dataframe(spark, {"a": [1]})
         with pytest.raises(ColumnNotFoundError):
             lf.rename({"zz": "y"})
+
+    def test_rename_collision_rejected(self, spark):
+        """Review r4: renaming onto an existing name must raise the
+        engine's eager DuplicateColumnError, not produce a frame with
+        two identical columns that fails later as AMBIGUOUS_REFERENCE."""
+        from rivulus_spark.errors import DuplicateColumnError
+
+        lf = LazyFrame.from_dataframe(spark, {"a": [1], "b": [2]})
+        with pytest.raises(DuplicateColumnError):
+            lf.rename({"a": "b"})
+        with pytest.raises(DuplicateColumnError):
+            lf.rename({"a": "x", "b": "x"})
+
+    def test_explode_out_name_collision_rejected(self, spark):
+        from rivulus_spark.errors import DuplicateColumnError
+
+        df = spark.createDataFrame([(1, ["x"])],
+                                   "id long, tags array<string>")
+        with pytest.raises(DuplicateColumnError):
+            LazyFrame.from_spark(df).explode("tags", "id")
 
     def test_drop(self, spark):
         lf = LazyFrame.from_dataframe(spark, {"a": [1], "b": [2], "c": [3]})
