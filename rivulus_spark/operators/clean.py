@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import token_count, tokens
 
 # ---------------------------------------------------------------------
 # HTML stripping
@@ -86,7 +86,15 @@ def pii_scrub(col: str | Column) -> Column:
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document match counts (``n_email``, ``n_ipv4``, ...) plus
     ``n_pii`` total — the audit signal curation pipelines threshold on
-    (drop documents with pathological PII density, scrub the rest)."""
+    (drop documents with pathological PII density, scrub the rest).
+
+    Semantics: each pattern counts ITS OWN matches against the raw
+    text, so one string matching two patterns (an email whose local
+    part embeds a phone-shaped digit run) contributes to both counts
+    and twice to ``n_pii`` — per-pattern match totals, not distinct
+    PII items. ``pii_scrub``'s sequential replacement is where the
+    ordering protection lives; thresholds on ``n_pii`` should treat it
+    as an upper bound on item count."""
     out = df
     for name, pat, _ in PII_PATTERNS:
         out = out.withColumn(f"n_{name}",
@@ -139,7 +147,11 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     for s in _SYMBOLS:
         c = F.regexp_count(t, F.lit(s if s != "..." else r"\.\.\."))
         n_sym = c if n_sym is None else n_sym + c
-    n_alpha_words = F.regexp_count(t, F.lit(r"[A-Za-z][A-Za-z0-9]*"))
+    # Gopher's rule is the fraction of WORDS containing an alphabetic
+    # character — counting alpha RUNS instead lets 'a-b-c' contribute 3
+    # and pushes junk past the threshold (review r4, verified)
+    n_alpha_words = F.size(
+        F.filter(tokens(t), lambda w: w.rlike("[A-Za-z]")))
     n_stops = None
     for s in _GOPHER_STOPS:
         hit = (F.regexp_count(t, F.lit(rf"\b{s}\b")) > 0).cast("int")
@@ -167,6 +179,17 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
 # C4-style line-level filtering
 # ---------------------------------------------------------------------
 
+def _kept_lines(col: str | Column, min_words: int) -> Column:
+    """Array of lines surviving the C4 line rule — the single place the
+    keep predicate (split on newline, >= min_words words) is encoded,
+    shared by the transform (c4_keep_lines) and the audit view
+    (c4_line_stats) so the two can't desynchronize."""
+    lines = F.split(_c(col), r"\n")
+    return F.filter(
+        lines,
+        lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+
+
 def c4_keep_lines(col: str | Column, min_words: int = 5) -> Column:
     """C4's line-level pass (Raffel et al. 2020 §2.2, restricted to
     relationally-expressible rules): split the document into lines,
@@ -174,11 +197,7 @@ def c4_keep_lines(col: str | Column, min_words: int = 5) -> Column:
     (gopher_quality) judges whole documents; this repairs documents by
     removing navigation/boilerplate stubs line by line. Pure array
     expression — no shuffle, no Python."""
-    lines = F.split(_c(col), r"\n")
-    kept = F.filter(
-        lines,
-        lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
-    return F.array_join(kept, "\n")
+    return F.array_join(_kept_lines(col, min_words), "\n")
 
 
 def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -207,9 +226,7 @@ def c4_line_stats(df: DataFrame, text_col: str = "text",
     digest-ready column ``c4_text`` — the audit view of the line
     filter's aggressiveness before committing to it corpus-wide."""
     lines = F.split(_c(text_col), r"\n")
-    kept_arr = F.filter(
-        lines,
-        lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+    kept_arr = _kept_lines(text_col, min_words)
     # count the filtered ARRAY, not a re-split of the joined string:
     # joining an empty keep-set gives "" which would re-split to [""]
     # (count 1, where the truth is 0)
@@ -247,11 +264,18 @@ def lexicon_score(df: DataFrame, lexicon: list[str],
         raise ValueError("lexicon terms must be non-empty strings")
     import re as _re
 
+    # the word-char test for \b anchoring must be ASCII: Java's \b is
+    # Unicode-aware but RE2/Go/Rust's is ASCII-only, so anchoring a
+    # term whose edge is a non-ASCII letter (e.g. 'café') would be
+    # silently unmatchable on the least-common-denominator engines the
+    # portability contract names — leave such edges unanchored instead
+    _ascii_word = _re.compile(r"[A-Za-z0-9_]")
+
     def _term_pat(t: str) -> str:
         p = _re.escape(t)
-        if _re.match(r"\w", t[0]):
+        if _ascii_word.match(t[0]):
             p = r"\b" + p
-        if _re.match(r"\w", t[-1]):
+        if _ascii_word.match(t[-1]):
             p = p + r"\b"
         return p
 

@@ -40,7 +40,13 @@ def pack_context_windows(df: DataFrame, ctx_len: int = 512,
     the concatenate-then-cut training layout."""
     toks = df.select(F.col(part_col).alias("part"), F.col(id_col),
                      bpe_token_count(text_col).cast("long").alias("n_tok"))
-    w = Window.partitionBy("part").orderBy(id_col)
+    # ROWS frame, not the default RANGE: RANGE treats rows tied on the
+    # order key as peers that each see the full peer-group sum, so
+    # duplicate (part, id) pairs would all skip past their own window
+    # (window 0 can vanish entirely); ROWS keeps the running sum a
+    # true prefix sum regardless of ties
+    w = (Window.partitionBy("part").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     assigned = toks.select(
         "part", "n_tok",
         F.floor((F.sum("n_tok").over(w) - F.col("n_tok"))

@@ -116,7 +116,15 @@ def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
     exactly, so every row is assigned. Content-addressed like
     ``hash_sample``: re-runs, repartitions, and other engines agree on
     every row's split — the property that keeps eval rows out of train
-    across pipeline versions. Pure projection, no shuffle."""
+    across pipeline versions. Pure projection, no shuffle.
+
+    Null keys: a null ``key_col`` hashes to null, whose comparisons are
+    null, so the CASE falls through to the LAST split — deterministic
+    and identical in the SQL oracle (DuckDB's CASE behaves the same),
+    but it concentrates every malformed row in that split. Note the
+    asymmetry with ``hash_sample``, which DROPS null keys; filter or
+    repair null keys before splitting if that matters for your eval
+    set."""
     if not splits:
         raise ValueError("splits must be non-empty")
     total = sum(splits.values())
@@ -142,6 +150,12 @@ def quota_cap(df: DataFrame, strata_col: str, n: int, key_col: str,
     total order) and the first ``n`` survive. The domain-quota pass of
     web-corpus curation — no single source may dominate the mix — with
     the same engine-portable determinism as ``hash_sample``.
+
+    PRECONDITION: ``key_col`` must be unique within each stratum — the
+    (hash, key) sort is a total order only then. Rows tied on a
+    duplicated key are ordered by physical row order, so which of them
+    survives the cap would vary across runs/partitionings and no SQL
+    oracle could reproduce the selection.
 
     Scale shape: one hash exchange on the stratum column, then a
     per-stratum rank that Spark executes as a group-limit (each

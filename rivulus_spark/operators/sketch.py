@@ -80,7 +80,15 @@ def exact_quantiles(df: DataFrame, value_col: str, probs: list[float],
     semantics — matches DuckDB's quantile_cont, so it is fully
     oracle-checkable). Exact percentiles need the values of each group
     co-located: one shuffle on ``by``. For a global percentile at
-    corpus scale prefer ``approx_quantiles``."""
+    corpus scale prefer ``approx_quantiles``.
+
+    Rounding: round(x, 4), NOT the floor-truncation other observables
+    use — floor mangles every non-representable decimal (9.1 would
+    emit as 9.0999), while round's known cross-engine divergence
+    (Spark rounds the shortest decimal repr, DuckDB the raw double) is
+    confined to interpolated values whose repr terminates in an exact
+    half at the 4th decimal — vanishingly rare for real data, and the
+    matching SQL oracle must use round(...,4) identically."""
     aggs = [
         F.round(F.percentile(F.col(value_col), F.lit(p)), 4)
         .alias(f"p{str(p).replace('.', '')}")

@@ -35,9 +35,12 @@ def histogram(df: DataFrame, col: str | Column, lo: float, hi: float,
               n_bins: int = 20) -> DataFrame:
     """Fixed-width histogram of ``col`` over ``[lo, hi)``: returns
     ``(bin, bin_lo, bin_hi, n)`` with out-of-range values clamped into
-    the edge bins (so counts always total the non-null row count).
-    Bin arithmetic is plain floor/least/greatest — portable to any SQL
-    oracle, no ``width_bucket`` dependency."""
+    the edge bins (so counts always total the non-null, non-NaN row
+    count). NaN is excluded like null — floor(NaN) would otherwise
+    silently land it in bin 0, inflating the lowest bin with values
+    that are not small but undefined. Bin arithmetic is plain
+    floor/least/greatest — portable to any SQL oracle, no
+    ``width_bucket`` dependency."""
     if not n_bins > 0:
         raise ValueError("n_bins must be positive")
     if not hi > lo:
@@ -47,7 +50,7 @@ def histogram(df: DataFrame, col: str | Column, lo: float, hi: float,
     bin_ = F.least(F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)),
                               F.lit(0)),
                    F.lit(n_bins - 1)).cast("long")
-    return (df.where(c.isNotNull())
+    return (df.where(c.isNotNull() & ~F.isnan(c))
             .select(bin_.alias("bin"))
             .groupBy("bin")
             .agg(F.count("*").alias("n"))

@@ -74,11 +74,15 @@ def avg_token_len(col: str | Column) -> Column:
 
 def punct_ratio(col: str | Column) -> Column:
     """Punctuation chars / non-space chars, floor-truncated to 3
-    decimals (floor is bit-deterministic across engines; round isn't)."""
+    decimals (floor is bit-deterministic across engines; round isn't).
+    Empty/whitespace-only text has zero non-space chars — the ratio is
+    null (guarded: an unguarded divide crashes the whole job under
+    Spark 4's default ANSI mode the moment one empty web-scraped doc
+    appears)."""
     c = F.col(col) if isinstance(col, str) else col
     n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
     n_chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
-    ratio = n_punct.cast("double") / n_chars
+    ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars)
     return F.floor(ratio * 1000).cast("double") / 1000
 
 

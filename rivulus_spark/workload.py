@@ -1488,7 +1488,8 @@ _GOPHER_CTE = r"""g AS (
          length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonspace,
          len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
            + len(regexp_extract_all(text, '…')) AS n_sym,
-         len(regexp_extract_all(text, '[A-Za-z][A-Za-z0-9]*')) AS n_alpha,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
          (CASE WHEN len(regexp_extract_all(text, '\bthe\b')) > 0 THEN 1 ELSE 0 END
           + CASE WHEN len(regexp_extract_all(text, '\bbe\b')) > 0 THEN 1 ELSE 0 END
           + CASE WHEN len(regexp_extract_all(text, '\bto\b')) > 0 THEN 1 ELSE 0 END

@@ -1113,6 +1113,43 @@ def test_global_row_number_all_null_order_column(spark):
     assert out == {1: 1, 2: 2, 3: 3}
 
 
+def test_quality_features_tolerates_empty_text(spark):
+    """Review r4 (verified crash): empty/whitespace text has zero
+    non-space chars — punct_ratio must emit null, not raise
+    DIVIDE_BY_ZERO under ANSI mode and abort the corpus scan."""
+    df = spark.createDataFrame([(0, ""), (1, "   "), (2, "hi there!")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.quality_features(df).collect()}
+    assert rows[0].punct_ratio is None and rows[1].punct_ratio is None
+    assert rows[2].punct_ratio is not None
+
+
+def test_pack_windows_rows_frame_with_duplicate_ids(spark):
+    """Review r4 (verified): the default RANGE frame made duplicate
+    (part, id) rows peers that each saw the full peer sum — window 0
+    vanished. With a ROWS frame the prefix sum is true regardless."""
+    from rivulus_spark.operators import pack
+
+    df = spark.createDataFrame(
+        [(1, "s", "a b c d"), (1, "s", "w x y z")],
+        "doc_id long, source string, text string")
+    out = {r.window_id: r.n_docs
+           for r in pack.pack_context_windows(df, ctx_len=4).collect()}
+    assert 0 in out  # first doc starts in window 0
+
+
+def test_gopher_alpha_counts_words_not_runs(spark):
+    """Review r4 (verified): 'a-b-c' is ONE word with alpha, not three
+    alpha runs — junk where only 1/3 of words contain a letter must
+    fail the 0.8 alpha-word rule."""
+    from rivulus_spark.operators import clean
+
+    junk = " ".join(["1234 #### a-b-c"] * 20)
+    df = spark.createDataFrame([(0, junk)], "doc_id long, text string")
+    r = clean.gopher_quality(df, min_words=10).head()
+    assert r.flag_alpha is False
+
+
 def test_dedup_family_tolerates_null_and_empty_text(spark):
     """Null text drops out of token-derived signatures (explode of a
     null array yields no rows); empty/whitespace text hashes the empty
