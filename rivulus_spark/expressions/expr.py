@@ -113,6 +113,22 @@ class Expr:
     __and__ = and_
     __or__ = or_
 
+    # reflected variants so scalar-on-the-left spellings work
+    # (2 + col('x'), 1.5 * col('price')) — same asymmetry fix
+    # pyspark.sql.Column ships
+    def __radd__(self, o): return Expr.lit(o)._bin(Op.ADD, self)
+    def __rsub__(self, o): return Expr.lit(o)._bin(Op.SUB, self)
+    def __rmul__(self, o): return Expr.lit(o)._bin(Op.MUL, self)
+    def __rtruediv__(self, o): return Expr.lit(o)._bin(Op.DIV, self)
+
+    def __bool__(self) -> bool:
+        # the trap pyspark.sql.Column also blocks: Python's and/or/if
+        # would silently evaluate an Expr as truthy and drop predicates
+        # (`a == b and c == d` returns only the second comparison)
+        raise TypeError(
+            "Expr cannot be converted to bool: use & | ~ for boolean "
+            "logic, not and/or/not")
+
     def __eq__(self, o):  # type: ignore[override]
         return self.eq(o)
 
@@ -186,9 +202,11 @@ class Expr:
         if op in _ARITHMETIC:
             out = {Op.ADD: l + r, Op.SUB: l - r, Op.MUL: l * r, Op.DIV: l / r}[op]
             if op is Op.DIV and self.output_type(schema) is DataType.INT64:
-                # reference semantics: Int64/Int64 stays Int64 (truncating);
-                # Spark's `/` always yields Double, so cast back.
-                out = (l / r).cast("long")
+                # reference semantics: Int64/Int64 stays Int64, truncating
+                # toward zero. Spark's integral `div` does exactly that in
+                # int64 arithmetic; the former (l / r).cast("long") detour
+                # through Double silently lost precision at |value| >= 2^53.
+                out = F.call_function("div", l, r)
             return out
         if op in _COMPARISONS:
             if op is Op.EQ_NULL_SAFE:

@@ -85,12 +85,30 @@ def range_join(left: DataFrame, right: DataFrame, by: list[str],
     if upper <= lower:
         raise ValueError(f"empty range: lower={lower}, upper={upper}")
     width = upper - lower
+
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    def _bucket(x: Column, integral: bool) -> Column:
+        if integral:
+            # exact int64 floor division: x - pmod(x, w) is exactly
+            # divisible, so truncating `div` equals floor — the
+            # double-division F.floor(x / w) shifts bucket boundaries
+            # for |x| >= 2^53 (unix NANOS), which can put bucket(hi)
+            # two past bucket(lo) and silently drop qualifying pairs
+            # in the skipped middle bucket
+            return F.call_function(
+                "div", x - F.pmod(x, F.lit(width)), F.lit(width))
+        return F.floor(x / F.lit(width))
+
+    _int_types = (ByteType, ShortType, IntegerType, LongType)
+    l_int = isinstance(left.schema[left_on].dataType, _int_types)
+    r_int = isinstance(right.schema[right_on].dataType, _int_types)
     lo = F.col(left_on) + F.lit(lower)
     hi = F.col(left_on) + F.lit(upper)
     lbuckets = F.array_distinct(F.array(
-        F.floor(lo / F.lit(width)), F.floor(hi / F.lit(width))))
+        _bucket(lo, l_int), _bucket(hi, l_int)))
     l = left.withColumn("__bkt", F.explode(lbuckets))
-    r = right.withColumn("__bkt", F.floor(F.col(right_on) / F.lit(width)))
+    r = right.withColumn("__bkt", _bucket(F.col(right_on), r_int))
     rename = {c: f"{c}_right" for c in right.columns
               if c in left.columns and c not in by}
     r = r.withColumnsRenamed(rename)

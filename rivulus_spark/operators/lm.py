@@ -66,11 +66,23 @@ def charlm_score(df: DataFrame, model: DataFrame | None = None,
     bigram model: ``(id, n_bigrams, charlm_logprob)`` where the score
     is the mean add-one-smoothed log probability per bigram. Unseen
     bigrams fall back to ``1 / (c_ctx + V)`` (unseen context: ``1/V``).
-    """
-    if model is None:
-        model = train_char_bigram(df, text_col, id_col)
+
+    Output contract: one row per document that produces at least one
+    bigram — documents whose normalized text is shorter than 2 chars
+    (or null) emit NO row, like a group-by over their zero bigram
+    rows; reconcile against the corpus with a left join if you need
+    explicit not-scored rows.
+
+    Laziness: the SELF-TRAINED path runs one eager job (the model
+    must be counted for V and is persisted — alphabet²-bounded). A
+    SUPPLIED model is left untouched: not persisted (it belongs to
+    the caller — registering it in the cache registry would let an
+    unrelated cache.unpersist_all() drop it behind the caller's
+    back), and V is counted from it directly (tiny)."""
     from .. import cache
-    model = cache.persist(model)  # alphabet²-bounded: one training pass
+
+    if model is None:
+        model = cache.persist(train_char_bigram(df, text_col, id_col))
     v = model.select(F.substring("bigram", 1, 1)).distinct().count()
     per = _char_bigrams(df, text_col, id_col)
     # the context count joins on the CONTEXT (first char), not the full
@@ -85,10 +97,14 @@ def charlm_score(df: DataFrame, model: DataFrame | None = None,
     ctx_counts = (model
                   .groupBy(F.substring("bigram", 1, 1).alias("__ctx"))
                   .agg(F.max("c_ctx").alias("__c_ctx")))
+    # same guard on the bigram side: a supplied model with duplicate
+    # bigram rows (an un-deduped union of shards) would fan out
+    # per-bigram rows through the left join and inflate n_bigrams
+    bigram_counts = (model.groupBy("bigram")
+                     .agg(F.max("c_bigram").alias("c_bigram")))
     joined = (per
               .withColumn("__ctx", F.substring("bigram", 1, 1))
-              .join(F.broadcast(model.select("bigram", "c_bigram")),
-                    "bigram", "left")
+              .join(F.broadcast(bigram_counts), "bigram", "left")
               .join(F.broadcast(ctx_counts), "__ctx", "left"))
     logp = F.log(
         (F.coalesce(F.col("c_bigram"), F.lit(0)) + 1).cast("double")

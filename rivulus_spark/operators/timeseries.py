@@ -36,15 +36,27 @@ def resample_daily(df: DataFrame, time_col: str, key_col: str,
     """Dense (key, day) grid over the table's full date span with the
     given aggregates; days with no rows for a key get the ``fills``
     value for each aggregate column (default: left-join nulls).
-    Output: (key_col, day DATE, *agg columns)."""
+    Output: (key_col, day DATE, *agg columns).
+
+    Scale shape: the corpus is scanned ONCE — the sparse (key, day)
+    aggregate is persisted (it is bounded by keys x active days, tiny
+    next to the event table) and the date bounds, key set, and dense
+    grid all derive from it rather than re-scanning the source.
+
+    Null keys: a null ``key_col`` groups into sparse but the grid join
+    is null-unsafe (like the SQL oracle), so the null key's rows
+    surface as fill values — filter null keys first if they carry
+    real data."""
+    from .. import cache
+
     d = df.withColumn("__d", F.to_date(time_col))
-    bounds = d.agg(F.min("__d").alias("d0"), F.max("__d").alias("d1"))
+    sparse = cache.persist(
+        d.groupBy(key_col, F.col("__d").alias("day")).agg(*aggs))
+    bounds = sparse.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         F.explode(F.sequence("d0", "d1")).alias("day"))
-    keys = d.select(F.col(key_col)).distinct()
+    keys = sparse.select(F.col(key_col)).distinct()
     grid = keys.crossJoin(F.broadcast(spine))
-    sparse = (d.groupBy(key_col, F.col("__d").alias("day"))
-              .agg(*aggs))
     out = grid.join(sparse, [key_col, "day"], "left")
     for name, fill in (fills or {}).items():
         c = fill if isinstance(fill, Column) else F.lit(fill)

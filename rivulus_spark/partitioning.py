@@ -32,7 +32,8 @@ def _parse_bytes(v: str) -> int:
     return int(v)
 
 
-def _estimated_scan_splits(df: DataFrame) -> int | None:
+def _estimated_scan_splits(df: DataFrame,
+                           stop_at: int | None = None) -> int | None:
     """Estimate the usable scan parallelism of ``df``'s file sources
     from driver-side file metadata only (no plan->RDD conversion, no
     job). For parquet the unit of parallel work is the ROW GROUP — a
@@ -41,7 +42,11 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     slices it. Other formats are estimated as
     ceil(size / spark.sql.files.maxPartitionBytes) splits. Returns
     None for non-file relations (in-memory, streaming) where the
-    caller should leave the frame untouched."""
+    caller should leave the frame untouched.
+
+    ``stop_at``: return early once the count reaches this bound — the
+    spread() caller only needs to know whether splits < target, so a
+    50k-file table costs ~target footer opens, not 50k."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -53,6 +58,8 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
                                  "134217728"))
     splits = 0
     for f in files:
+        if stop_at is not None and splits >= stop_at:
+            return splits
         path = f.removeprefix("file:")
         try:
             if path.endswith(".parquet"):
@@ -123,7 +130,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    splits = _estimated_scan_splits(df)
+    splits = _estimated_scan_splits(df, stop_at=target)
     if splits is not None and splits < target:
         return df.repartition(target)
     return df

@@ -1113,6 +1113,51 @@ def test_global_row_number_all_null_order_column(spark):
     assert out == {1: 1, 2: 2, 3: 3}
 
 
+def test_range_join_exact_buckets_at_nanos_scale(spark):
+    """Review r4: double-division bucketing shifts boundaries for
+    int64 values >= 2^53 (unix nanos) and can silently drop
+    qualifying pairs; integer floor-division bucketing is exact."""
+    from rivulus_spark.operators import asof
+
+    base = 1_700_000_000_000_000_000  # unix nanos, >> 2^53
+    left = spark.createDataFrame([(1, base)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, base + off) for off in (0, 10, 99, 101)], "k long, t2 long")
+    out = asof.range_join(left, right, ["k"], "t", "t2", 0, 100)
+    assert sorted(r.t2 - base for r in out.collect()) == [0, 10, 99]
+
+
+def test_charlm_duplicate_bigram_model_rows_no_fanout(spark):
+    """Review r4: duplicate bigram rows in a supplied model (un-deduped
+    shard union) must not fan out per-bigram rows."""
+    from rivulus_spark.operators import lm
+
+    model = spark.createDataFrame(
+        [("ab", 2, 3), ("ab", 5, 3), ("ba", 1, 3)],
+        "bigram string, c_bigram long, c_ctx long")
+    score = spark.createDataFrame([(1, "aba")], "doc_id long, text string")
+    out = lm.charlm_score(score, model=model).head()
+    assert out.n_bigrams == 2
+
+
+def test_expr_reflected_ops_and_bool_guard(spark):
+    """Review r4: scalar-on-the-left arithmetic works (2 + col) and
+    Python boolean contexts raise instead of silently dropping
+    predicates (the pyspark.sql.Column contract)."""
+    from rivulus_spark import LazyFrame, col, lit
+
+    lf = LazyFrame.from_dataframe(spark, {"a": [1, 2], "b": [10, 20]})
+    rows = (lf.select((2 + col("a")).alias("x"),
+                      (100 - col("b")).alias("y"),
+                      (3 * col("a")).alias("z"))
+            .sort("x").collect())
+    assert (rows[0].x, rows[0].y, rows[0].z) == (3, 90, 3)
+    with pytest.raises(TypeError, match="bool"):
+        bool(col("a") == lit(1))
+    with pytest.raises(TypeError, match="bool"):
+        (col("a") == lit(1)) and (col("b") == lit(2))
+
+
 def test_quality_features_tolerates_empty_text(spark):
     """Review r4 (verified crash): empty/whitespace text has zero
     non-space chars — punct_ratio must emit null, not raise
