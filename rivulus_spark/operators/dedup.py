@@ -286,10 +286,17 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
                 ids.append(doc_id)
                 sigs.append(((A * h + B) % MINHASH_P).min(axis=1).tolist())
             if ids:
-                # object dtype for the list column — a bare ndarray of
-                # lists trips Arrow's NumPyConverter
+                # Nullable Int64: a null doc_id with non-null text
+                # arrives from Arrow as float64 NaN; the relational
+                # form keeps it as a null-id group row, so emit the
+                # same here instead of crashing int64 conversion.
+                # Object dtype for the list column — a bare ndarray of
+                # lists trips Arrow's NumPyConverter.
                 yield pd.DataFrame({
-                    "id": pd.Series(ids, dtype="int64"),
+                    "id": pd.array(
+                        [None if x is None
+                         or (isinstance(x, float) and np.isnan(x))
+                         else int(x) for x in ids], dtype="Int64"),
                     "sig": pd.Series(sigs, dtype="object"),
                 })
 

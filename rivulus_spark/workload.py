@@ -33,15 +33,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# Oracles whose SQL depends on the data size (adaptive LSH/ANN params):
+# builders take the sf_dir being compared and regenerate the SQL with
+# the SAME parameter derivation the Spark query performs at call time,
+# so engine and oracle agree at ANY scale, not just the driver's
+# sf0.01 point. ORACLE[] holds the driver-contract build (sf0.01).
+ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _q(name: str, oracle: str | None = None):
+def _q(name: str, oracle: str | Callable[[str], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
-        if oracle is not None:
+        if callable(oracle):
+            ORACLE_BUILDERS[name] = oracle
+            ORACLE[name] = oracle(DRIVER_SF_DIR)
+        elif oracle is not None:
             ORACLE[name] = oracle
         return fn
     return deco
+
+
+def oracle_sql_for(name: str, sf_dir: str) -> str | None:
+    """Oracle SQL for `name` at `sf_dir` — size-adaptive oracles are
+    rebuilt from that directory's row counts (the same derivation the
+    Spark query uses); static oracles are returned as-is."""
+    if name in ORACLE_BUILDERS:
+        return ORACLE_BUILDERS[name](sf_dir)
+    return ORACLE.get(name)
 
 
 def _prep(spark: SparkSession) -> None:
@@ -2546,38 +2565,60 @@ def _parquet_rows(path: str, default: int) -> int:
     """Row count from parquet footers — metadata only, no Spark job.
     Used to derive size-adaptive operator parameters (LSH bits/bands)
     deterministically on BOTH the Spark side (from the queried sf_dir)
-    and the oracle side (from the driver's fixed sf0.01 dir), so the
-    two always agree. Handles both a single file and the Spark
-    directory-of-part-files layout; falls back to `default` only for
-    genuinely unreadable paths (remote FS without local footers) — a
-    silent fallback on one side only would make the engines band
-    differently, so keep inputs footer-readable where adaptivity
-    matters."""
+    and the oracle side (from the same sf_dir via the oracle
+    builders), so the two always agree. Handles a single file, the
+    Spark directory-of-part-files layout, and nested/hive-partitioned
+    directories (recursive walk). Falls back to `default` only for
+    genuinely unreadable paths (remote FS without local footers) and
+    WARNS when it does — a silent fallback on one side only would make
+    the engines band differently, so keep inputs footer-readable where
+    adaptivity matters."""
     import os as _os
 
     try:
         import pyarrow.parquet as pq
 
         if _os.path.isdir(path):
-            return sum(
-                pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
-                for f in _os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith(("_", ".")))
+            total, n_files = 0, 0
+            for root, _dirs, files in _os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(("_",
+                                                                    ".")):
+                        total += pq.ParquetFile(
+                            _os.path.join(root, f)).metadata.num_rows
+                        n_files += 1
+            if n_files == 0:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            return total
         return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"_parquet_rows({path!r}) unreadable ({e}); using default="
+            f"{default} — adaptive params may desync from the oracle if "
+            "only one side hits this fallback", stacklevel=2)
         return default
 
 
-def _neardup_lsh_oracle(dim: int = 64, threshold: float = 0.4) -> str:
+def _emb_rows(sf_dir: str) -> int:
+    """THE shared row-count call for adaptive LSH/ANN parameters —
+    both the Spark queries and the oracle builders derive from this
+    one function over the same sf_dir, so banding can never desync
+    between engines (r4 ADVICE)."""
+    return _parquet_rows(f"{sf_dir}/embeddings.parquet", 200)
+
+
+def _neardup_lsh_oracle(sf_dir: str = DRIVER_SF_DIR, dim: int = 64,
+                        threshold: float = 0.4) -> str:
     """Relational replica of cosine_neardup_pairs_lsh: identical plane
     literals (plane_component), band split via shift/mask, candidate
     equi-join on (band_idx, band_value), exact rounded-sim verify.
-    LSH parameters come from adaptive_lsh_params over the sf0.01 row
-    count — the same derivation the Spark query performs on its sf_dir,
-    so both engines band identically at the driver's comparison point
+    LSH parameters come from adaptive_lsh_params over `sf_dir`'s row
+    count via _emb_rows — the same call the Spark query performs —
+    so both engines band identically at any comparison scale
     (500 vectors resolve to 5 bits x 6 bands = 30 planes)."""
-    n_planes, n_bands = similarity.adaptive_lsh_params(
-        _parquet_rows("/root/testdata/sf0.01/embeddings.parquet", 200))
+    n_planes, n_bands = similarity.adaptive_lsh_params(_emb_rows(sf_dir))
     assert n_planes <= 63, "packed-signature SQL form needs <= 63 planes"
     width = similarity.band_width(n_planes, n_bands)
     mask = (1 << width) - 1
@@ -2612,7 +2653,7 @@ WHERE round(list_dot_product(a.emb, z.emb)
 """
 
 
-@_q("embedding_neardup_lsh", _neardup_lsh_oracle())
+@_q("embedding_neardup_lsh", _neardup_lsh_oracle)
 def q_embedding_neardup_lsh(spark, sf_dir):
     """All-pairs cosine near-dup via hyperplane-LSH banding — the
     100 TB path (no O(n^2) stage; candidates from an equi-join on band
@@ -2623,21 +2664,22 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     constant as the data grows; the fixed 16/4 setting measured 22x
     time on 10x rows in the r3 scale audit."""
     n_planes, n_bands = similarity.adaptive_lsh_params(
-        _parquet_rows(f"{sf_dir}/embeddings.parquet", 200))
+        _emb_rows(sf_dir))
     return similarity.cosine_neardup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64,
         n_planes=n_planes, n_bands=n_bands)
 
 
-def _ann_lsh_oracle(dim: int = 64, k: int = 5) -> str:
+def _ann_lsh_oracle(sf_dir: str = DRIVER_SF_DIR, dim: int = 64,
+                    k: int = 5) -> str:
     """Regenerate the multiprobe LSH bucketing relationally: the plane
     literals come from the same plane_component() the Spark operator
     uses, the bits/radius from the same adaptive_ann_params over the
-    sf0.01 row count, and the probe masks from the same probe_masks —
-    so bucket assignment AND the Hamming-ball probe set are
-    bit-identical across engines."""
-    n_planes, radius = similarity.adaptive_ann_params(
-        _parquet_rows("/root/testdata/sf0.01/embeddings.parquet", 200))
+    `sf_dir` row count (via the shared _emb_rows call — r4 ADVICE),
+    and the probe masks from the same probe_masks — so bucket
+    assignment AND the Hamming-ball probe set are bit-identical
+    across engines at any comparison scale."""
+    n_planes, radius = similarity.adaptive_ann_params(_emb_rows(sf_dir))
     masks = ", ".join(str(m)
                       for m in similarity.probe_masks(n_planes, radius))
     sig_terms = []
@@ -2670,7 +2712,7 @@ SELECT q_id, n_id, rank, sim FROM r WHERE rank <= {k}
 """
 
 
-@_q("ann_lsh_topk", _ann_lsh_oracle())
+@_q("ann_lsh_topk", _ann_lsh_oracle)
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via multiprobe random-hyperplane LSH — the
     100 TB path: an equi-join on bucket signature replaces the cross
@@ -2681,7 +2723,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     exactly oracle-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
     n_planes, radius = similarity.adaptive_ann_params(
-        _parquet_rows(f"{sf_dir}/embeddings.parquet", 200))
+        _emb_rows(sf_dir))
     out = similarity.ann_cosine_lsh_multiprobe(
         emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64,
         n_planes=n_planes, radius=radius)
@@ -2747,9 +2789,9 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"), "sim")
 
 
-@_q("ann_recall", f"""
+@_q("ann_recall", lambda sf_dir: f"""
 WITH exact AS ({_KNN_ORACLE}),
-approx AS ({_ann_lsh_oracle()})
+approx AS ({_ann_lsh_oracle(sf_dir)})
 SELECT e.q_id, count(a.n_id) AS n_hits,
        count(a.n_id) / 5.0 AS recall_at_5
 FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
@@ -2765,7 +2807,7 @@ def q_ann_recall(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10)
     exact = similarity.knn_cosine(emb, q, k=5).select("q_id", "n_id")
     n_planes, radius = similarity.adaptive_ann_params(
-        _parquet_rows(f"{sf_dir}/embeddings.parquet", 200))
+        _emb_rows(sf_dir))
     approx = (similarity.ann_cosine_lsh_multiprobe(
         emb, q, k=5, dim=64, n_planes=n_planes, radius=radius)
         .select(F.col("q_id").alias("a_q"),

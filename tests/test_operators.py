@@ -114,7 +114,8 @@ def test_minhash_arrow_signatures_match_relational(spark, docs):
          (101, "a b c d"),          # NBSP is NOT a separator
          (102, "  padded   doc   here "),
          (103, "only two"),              # < k tokens: no signature
-         (104, None)],
+         (104, None),
+         (None, "null id with real text here")],  # null-id group row
         "doc_id long, text string")
     both = docs.union(tricky)
     rel = {r.id: r.sig for r in dedup.minhash_signatures(both).collect()}
@@ -122,6 +123,7 @@ def test_minhash_arrow_signatures_match_relational(spark, docs):
              dedup.minhash_signatures_arrow(both).collect()}
     assert arrow == rel
     assert 103 not in arrow and 104 not in arrow
+    assert None in arrow  # r4 ADVICE: NaN id crashed the arrow pass
 
 
 def test_minhash_lsh_custom_num_perm(docs):

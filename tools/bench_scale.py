@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Two-point scale curve (VERDICT r3 item 6): time the heaviest
-workload queries at sf0.1 and sf1 (tools/make_scale.py output) and
-write SCALE_CURVE.json, which bench.py folds into BENCH_DETAIL.json.
+"""Multi-point scale curve (VERDICT r3 item 6, extended r5): time the
+heaviest workload queries at sf0.1 and sf1 (tools/make_scale.py
+output) — and optionally a third sf10 point for the heaviest subset —
+and write SCALE_CURVE.json, which bench.py folds into BENCH_DETAIL.json.
 
 Protocol matches bench.py: noop sink (full plan executes, nothing
 collected), sf0.001 codegen warmup per query, best-of-N timing,
@@ -11,7 +12,13 @@ streaming machinery, session setup, codegen — dominates the small
 point); a ratio well above 10 means super-linear work (a pair
 explosion, an unbounded window, a driver collect) and fails the audit.
 
+A flaky rep records a per-query failure sentinel instead of aborting
+the whole audit (r4 ADVICE): the query's entry carries an "error" key
+and the remaining queries still run, so SCALE_CURVE.json is always
+written.
+
 Usage: python tools/bench_scale.py [--big /root/repo/var/sf1]
+                                   [--huge /root/repo/var/sf10]
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,29 +42,49 @@ QUERIES_TO_RUN = [
     "agg_q1", "join_three", "ann_lsh_topk",
 ]
 
+# third-decade subset: the 5 heaviest curve queries from r4 — sf10 is
+# ~60M lineitem rows, so keep the set small enough to finish in-round
+HUGE_QUERIES = [
+    "embedding_neardup_lsh", "stream_running_totals", "stream_dedup",
+    "pipeline_stats", "dedup_minhash_lsh",
+]
+
 
 def time_query(spark, fn, sf_dir: str, warm_dir: str, reps: int,
-               cache) -> float:
+               cache) -> tuple[float | None, str | None]:
+    """Best-of-`reps` noop-sink wall time, or (None, error) if every
+    rep failed. One flaky rep no longer aborts the audit (r4 ADVICE):
+    each rep is individually guarded and caches are unpersisted even
+    on the failure path."""
     try:
         fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
     cache.unpersist_all()
-    best = None
+    best, last_err = None, None
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-        cache.unpersist_all()
-    return best
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        except Exception as e:
+            last_err = f"{type(e).__name__}: {e}"
+            traceback.print_exc(limit=2, file=sys.stderr)
+        finally:
+            cache.unpersist_all()
+    return best, (None if best is not None else last_err)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/root/repo/var/sf1")
+    ap.add_argument("--huge", default=None,
+                    help="optional sf10 dir for a third curve point "
+                         "on the HUGE_QUERIES subset")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
 
     if not os.path.isdir(args.big):
@@ -71,28 +99,62 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
 
+    names = args.queries or QUERIES_TO_RUN
     curve: dict[str, dict] = {}
-    for name in QUERIES_TO_RUN:
+    for name in names:
         fn = QUERIES[name]
-        t_small = time_query(spark, fn, args.small, warm_dir, args.reps,
-                             cache)
-        t_big = time_query(spark, fn, args.big, warm_dir, args.reps,
-                           cache)
-        ratio = round(t_big / t_small, 2) if t_small > 0 else None
-        curve[name] = {"sf0.1_sec": round(t_small, 3),
-                       "sf1_sec": round(t_big, 3), "ratio": ratio}
-        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ({ratio}x)",
-              file=sys.stderr)
+        t_small, err_s = time_query(spark, fn, args.small, warm_dir,
+                                    args.reps, cache)
+        t_big, err_b = time_query(spark, fn, args.big, warm_dir,
+                                  args.reps, cache)
+        entry: dict = {}
+        if t_small is not None:
+            entry["sf0.1_sec"] = round(t_small, 3)
+        if t_big is not None:
+            entry["sf1_sec"] = round(t_big, 3)
+        if t_small and t_big:
+            entry["ratio"] = round(t_big / t_small, 2)
+        err = err_s or err_b
+        if err:
+            entry["error"] = err
+        if (args.huge and os.path.isdir(args.huge)
+                and name in HUGE_QUERIES):
+            t_huge, err_h = time_query(spark, fn, args.huge, warm_dir,
+                                       args.reps, cache)
+            if t_huge is not None:
+                entry["sf10_sec"] = round(t_huge, 3)
+                if t_big:
+                    entry["ratio_sf10_sf1"] = round(t_huge / t_big, 2)
+            elif err_h:
+                entry["error_sf10"] = err_h
+        curve[name] = entry
+        print(f"{name}: {entry}", file=sys.stderr)
 
     out = {
         "data_ratio": 10,
         "note": ("best-of-%d noop-sink timings; ratio <= ~10 is linear "
                  "on fixed cores, << 10 means fixed costs dominate the "
-                 "small point" % args.reps),
+                 "small point; sf10 entries are a third decade on the "
+                 "heaviest subset" % args.reps),
         "queries": curve,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALE_CURVE.json")
+    # merge over a prior curve so a partial re-run (e.g. --queries or
+    # the sf10 subset) refreshes its rows without dropping the rest
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f).get("queries", {})
+            for k, v in prior.items():
+                if k not in curve:
+                    out["queries"][k] = v
+                elif "sf10_sec" in v and "sf10_sec" not in curve[k]:
+                    curve[k].update({kk: vv for kk, vv in v.items()
+                                     if kk.startswith("sf10")
+                                     or kk == "ratio_sf10_sf1"})
+        except Exception:
+            pass
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"scale_curve": path}))

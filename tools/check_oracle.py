@@ -66,7 +66,7 @@ def main():
     args = ap.parse_args()
 
     from rivulus_spark import get_spark
-    from rivulus_spark.workload import ORACLE, QUERIES
+    from rivulus_spark.workload import QUERIES, oracle_sql_for
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -88,12 +88,13 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
-        if name not in ORACLE:
+        sql = oracle_sql_for(name, args.sf_dir)
+        if sql is None:
             print(f"....  {name}: no oracle (rows-only) -> {len(s_rows)} rows "
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(ORACLE[name])
+            res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:
