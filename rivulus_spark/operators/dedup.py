@@ -452,7 +452,17 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     band, so a 32-bit hash at Hamming 3 gives only 256 buckets/band —
     occupancy (and candidate pairs) grow linearly (quadratically) with
     the corpus. 60 bits -> 32k buckets/band, 128x fewer collisions,
-    and a more discriminative fingerprint."""
+    and a more discriminative fingerprint.
+
+    The per-bit votes are lane-packed (VERDICT r4): two 31-bit
+    one-counts per 64-bit sum aggregate plus one shared count(*), so
+    60 bits cost 31 aggregation slots instead of 60 conditional sums.
+    The +-1 vote for bit j is recovered as 2*ones_j - n_tokens, and
+    the sign test ``vote >= 0`` becomes ``2*ones_j >= n``. Lane
+    overflow is impossible by construction: ones_j <= n_tokens, and a
+    document is one Spark string (hard 2 GB cap) so n_tokens < 2^31;
+    partial (map-side) aggregation sums the same lanes and inherits
+    the bound."""
     from ..partitioning import spread
 
     if not 1 <= n_bits <= 60:
@@ -460,17 +470,31 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     w = (spread(df).select(F.col(id_col).alias("id"),
                            F.explode(tokens(text_col)).alias("tok"))
          .select("id", word_hash(F.col("tok")).alias("h")))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
-        for j in range(n_bits)
-    ]
-    v = w.groupBy("id").agg(*votes)
-    out = F.lit(0).cast("long")
+    # The wide expressions are built as SQL strings parsed JVM-side in
+    # ONE call each (F.expr), not as per-term Column compositions:
+    # 60 bits of Column algebra is ~400 py4j round-trips and measured
+    # ~1.1s of driver-side PLAN CONSTRUCTION per call at any data
+    # size — pure fixed cost that would also serialize every query
+    # submission on a busy 1000-executor driver.
+    lane_w = 31
+    mask = (1 << lane_w) - 1
+    n_groups = (n_bits + 1) // 2  # blocked pairs (2g, 2g+1)
+    packed = []
+    for g in range(n_groups):
+        term = f"CAST(shiftright(h, {2 * g}) & 1 AS BIGINT)"
+        if 2 * g + 1 < n_bits:
+            term += (f" + shiftleft(CAST(shiftright(h, {2 * g + 1}) & 1 "
+                     f"AS BIGINT), {lane_w})")
+        packed.append(F.expr(f"sum({term}) AS p{g}"))
+    v = w.groupBy("id").agg(F.expr("count(1) AS n"), *packed)
+    terms = []
     for j in range(n_bits):
-        out = out + F.when(F.col(f"v{j}") >= 0,
-                           F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
-    return v.select("id", out.alias(out_col))
+        g, lane = divmod(j, 2)
+        ones = (f"(p{g} & {mask})" if lane == 0
+                else f"(shiftright(p{g}, {lane_w}) & {mask})")
+        terms.append(f"IF({ones} * 2 >= n, {2 ** j}, 0)")
+    out = " + ".join(terms)
+    return v.select("id", F.expr(f"CAST({out} AS BIGINT) AS {out_col}"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
