@@ -299,13 +299,7 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     from .. import cache
     base = cache.persist(base)
     if n_planes <= _CODEGEN_PLANE_LIMIT:
-        bands = F.array(*[
-            F.struct(F.lit(j).alias("bi"),
-                     _band_value_expr(F.col("vec"), dim, width, j,
-                                      n_planes)
-                     .alias("bv"))
-            for j in range(n_bands)
-        ])
+        bands = _bands_array_expr("vec", dim, width, n_bands, n_planes)
         e = (base.select("id", F.explode(bands).alias("b"))
              .select("id", F.col("b.bi").alias("bi"),
                      F.col("b.bv").alias("bv")))
@@ -334,23 +328,41 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
 _CODEGEN_PLANE_LIMIT = 48
 
 
-def _band_value_expr(vec: Column, dim: int, width: int, band: int,
-                     n_planes: int) -> Column:
-    """Codegen'd band value: bit i = sign of plane band*width+i. Bit
-    layout identical to the packed-int64 signature's band slice, so
-    candidate sets match the historical form and the SQL oracle. When
-    n_planes is not divisible by n_bands the last band covers fewer
-    real planes — positions past n_planes stay 0, exactly as the
-    packed signature's high bits did (no phantom planes)."""
-    out = F.lit(0).cast("long")
-    for i in range(width):
-        p = band * width + i
-        if p >= n_planes:
-            break
-        plane = F.array(*[F.lit(plane_component(p, k)) for k in range(dim)])
-        out = out + F.when(dot(vec, plane) >= 0,
-                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return out
+def _plane_dot_sql(col_name: str, p: int, dim: int) -> str:
+    """Unrolled SQL dot product of a named double-array column with
+    deterministic plane ``p`` — same left-to-right summation order and
+    promotions as the ``dot()`` fold, so sign decisions (and with them
+    buckets) are bit-identical; ``repr(float)`` round-trips the exact
+    double through the SQL parser."""
+    return "(" + " + ".join(
+        f"{col_name}[{k}] * {plane_component(p, k)!r}"
+        for k in range(dim)) + ")"
+
+
+def _bands_array_expr(col_name: str, dim: int, width: int,
+                      n_bands: int, n_planes: int) -> Column:
+    """Codegen'd array<struct<bi,bv>> of band values: bit i of band j
+    = sign of plane j*width+i. Bit layout identical to the packed-int64
+    signature's band slice, so candidate sets match the historical form
+    and the SQL oracle; when n_planes is not divisible by n_bands the
+    last band covers fewer real planes — positions past n_planes stay
+    0, exactly as the packed signature's high bits did (no phantom
+    planes). Built as ONE JVM-parsed SQL string: composing ~n_planes x
+    dim literal Columns through py4j measured ~0.8s of driver-side
+    plan construction per query — fixed cost at any data size, and
+    driver-serializing at cluster scale."""
+    structs = []
+    for j in range(n_bands):
+        terms = []
+        for i in range(width):
+            p = j * width + i
+            if p >= n_planes:
+                break
+            terms.append(
+                f"IF({_plane_dot_sql(col_name, p, dim)} >= 0, {1 << i}, 0)")
+        bv = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+        structs.append(f"struct({j} AS bi, {bv} AS bv)")
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
@@ -404,10 +416,20 @@ def plane_component(p: int, i: int) -> float:
             % 1_000_000) / 1_000_000.0 - 0.5
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def hyperplane_signature(vec: str | Column, dim: int,
+                         n_planes: int = 16) -> Column:
     """Random-hyperplane LSH signature: sign pattern of dot products
     with n_planes deterministic pseudo-random hyperplanes. Cosine-close
-    vectors collide with high probability."""
+    vectors collide with high probability.
+
+    Pass the COLUMN NAME (of an array<double> column) for the fast
+    path — the whole signature parses as one JVM-side SQL expression.
+    A Column argument still works via the historical fold composition
+    (identical values, ~n_planes x dim py4j calls to build)."""
+    if isinstance(vec, str):
+        terms = [f"IF({_plane_dot_sql(vec, p, dim)} >= 0, {2 ** p}, 0)"
+                 for p in range(n_planes)]
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(plane_component(p, i)) for i in range(dim)])
@@ -626,15 +648,14 @@ def ann_cosine_lsh_multiprobe(corpus: DataFrame, queries: DataFrame,
     probe mask per query (probe signatures are distinct), so no
     dedup stage is needed."""
     c = with_norm(corpus, id_col, vec_col, "n_id", "n_vec", "n_nrm")
-    c = c.withColumn("sig", hyperplane_signature(F.col("n_vec"), dim,
-                                                 n_planes))
+    c = c.withColumn("sig", hyperplane_signature("n_vec", dim, n_planes))
     q = with_norm(queries, id_col, vec_col, "q_id", "q_vec", "q_nrm")
-    q = q.withColumn("sig", hyperplane_signature(F.col("q_vec"), dim,
-                                                 n_planes))
+    q = q.withColumn("sig", hyperplane_signature("q_vec", dim, n_planes))
     masks = probe_masks(n_planes, radius)
     probes = (q.select(
         "q_id", "q_vec", "q_nrm", "sig",
-        F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"))
+        F.explode(F.expr(
+            "array(" + ",".join(str(m) for m in masks) + ")")).alias("m"))
         .select("q_id", "q_vec", "q_nrm",
                 F.col("sig").bitwiseXOR(F.col("m")).alias("psig")))
     sim = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
@@ -656,9 +677,9 @@ def ann_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     signature, rank only within matching buckets. Trades recall for a
     bucket-local equi-join instead of a full cross join."""
     c = with_norm(corpus, id_col, vec_col, "n_id", "n_vec", "n_nrm")
-    c = c.withColumn("sig", hyperplane_signature(F.col("n_vec"), dim, n_planes))
+    c = c.withColumn("sig", hyperplane_signature("n_vec", dim, n_planes))
     q = with_norm(queries, id_col, vec_col, "q_id", "q_vec", "q_nrm")
-    q = q.withColumn("sig", hyperplane_signature(F.col("q_vec"), dim, n_planes))
+    q = q.withColumn("sig", hyperplane_signature("q_vec", dim, n_planes))
     sim = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
     pairs = (
         c.join(F.broadcast(q), (F.col("q_id") != F.col("n_id"))
