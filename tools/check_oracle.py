@@ -62,6 +62,9 @@ def compare(name, s_cols, s_rows, d_cols, d_rows) -> list[str]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--exclude", nargs="*", default=[],
+                    help="queries to skip (e.g. brute-force O(n^2) "
+                         "oracles that do not finish at sf>=1)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -76,6 +79,10 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     names = args.queries or list(QUERIES)
+    skipped = [n for n in names if n in set(args.exclude)]
+    names = [n for n in names if n not in set(args.exclude)]
+    for n in skipped:
+        print(f"SKIP  {n}: excluded by --exclude")
     failures = 0
     for name in names:
         fn = QUERIES[name]
