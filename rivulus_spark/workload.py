@@ -2634,31 +2634,41 @@ def _emb_rows(sf_dir: str) -> int:
 def _neardup_lsh_oracle(sf_dir: str = DRIVER_SF_DIR, dim: int = 64,
                         threshold: float = 0.4) -> str:
     """Relational replica of cosine_neardup_pairs_lsh: identical plane
-    literals (plane_component), band split via shift/mask, candidate
-    equi-join on (band_idx, band_value), exact rounded-sim verify.
-    LSH parameters come from adaptive_lsh_params over `sf_dir`'s row
-    count via _emb_rows — the same call the Spark query performs —
-    so both engines band identically at any comparison scale
-    (500 vectors resolve to 5 bits x 6 bands = 30 planes)."""
+    literals (plane_component), BAND-LOCAL band values (bit i of band
+    j = sign of plane j*width+i — the same layout the Spark operator
+    computes, with no 63-plane packed-signature cap, which sf>=1
+    corpora exceed under adaptive_lsh_params), candidate equi-join on
+    (band_idx, band_value), exact rounded-sim verify. LSH parameters
+    come from adaptive_lsh_params over `sf_dir`'s row count via
+    _emb_rows — the same call the Spark query performs — so both
+    engines band identically at any comparison scale (500 vectors
+    resolve to 5 bits x 6 bands = 30 planes)."""
     n_planes, n_bands = similarity.adaptive_lsh_params(_emb_rows(sf_dir))
-    assert n_planes <= 63, "packed-signature SQL form needs <= 63 planes"
     width = similarity.band_width(n_planes, n_bands)
-    mask = (1 << width) - 1
-    sig_terms = []
-    for p in range(n_planes):
+
+    def plane_dot(p):
         arr = ", ".join(repr(similarity.plane_component(p, i))
                         for i in range(dim))
-        sig_terms.append(
-            f"(CASE WHEN list_dot_product(emb, [{arr}]) >= 0 "
-            f"THEN {2 ** p} ELSE 0 END)")
-    sig = "\n         + ".join(sig_terms)
+        return f"list_dot_product(emb, [{arr}])"
+
+    band_selects = []
+    for j in range(n_bands):
+        terms = []
+        for i in range(width):
+            pl = j * width + i
+            if pl >= n_planes:
+                break
+            terms.append(f"(CASE WHEN {plane_dot(pl)} >= 0 "
+                         f"THEN {2 ** i} ELSE 0 END)")
+        bv = "\n           + ".join(terms)
+        band_selects.append(
+            f"SELECT vec_id, {j} AS j, ({bv})::BIGINT AS bv FROM e")
+    bands = "\n  UNION ALL ".join(band_selects)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-s AS (SELECT vec_id, emb,
-         {sig} AS sig
-      FROM e),
-b AS (SELECT vec_id, j, (sig >> (j * {width})::INT) & {mask} AS bv
-      FROM s, (SELECT unnest(range({n_bands})) AS j)),
+b AS (
+  {bands}
+),
 cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
          FROM b l JOIN b r ON l.j = r.j AND l.bv = r.bv
                           AND l.vec_id < r.vec_id)
@@ -2667,8 +2677,8 @@ SELECT c.id_a, c.id_b,
              / (sqrt(list_dot_product(a.emb, a.emb))
                 * sqrt(list_dot_product(z.emb, z.emb))), 6) AS sim
 FROM cand c
-JOIN s a ON a.vec_id = c.id_a
-JOIN s z ON z.vec_id = c.id_b
+JOIN e a ON a.vec_id = c.id_a
+JOIN e z ON z.vec_id = c.id_b
 WHERE round(list_dot_product(a.emb, z.emb)
             / (sqrt(list_dot_product(a.emb, a.emb))
                * sqrt(list_dot_product(z.emb, z.emb))), 6) >= {threshold}
