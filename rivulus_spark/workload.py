@@ -1593,7 +1593,11 @@ s AS (
 SELECT doc_id,
        len(lines)::BIGINT AS n_lines,
        len(kept)::BIGINT AS n_lines_kept,
-       md5(array_to_string(kept, chr(10))) AS c4_md5
+       -- coalesce: array_to_string([]) is NULL in DuckDB, but the
+       -- operator contract (concat_ws) digests the EMPTY STRING when
+       -- every line is dropped — reachable only at sf>=0.1 corpora
+       -- (found by the sf1 parity pass, r5)
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS c4_md5
 FROM s
 """)
 def q_c4_line_filter(spark, sf_dir):
