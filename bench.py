@@ -54,6 +54,7 @@ def main() -> None:
     # throughput estimator (cf. JMH)
     reps = max(1, int(os.environ.get("RIVULUS_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in QUERIES.items():
         if warm_dir is not None:
@@ -62,12 +63,12 @@ def main() -> None:
             except Exception:
                 pass
             cache.unpersist_all()
-        best = None
+        rep_times: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
+                rep_times.append(time.perf_counter() - t0)
             except Exception as e:
                 # a flaky rep (transient host load, OOM) must not mask
                 # the other reps: keep trying, and report the -1.0
@@ -75,14 +76,19 @@ def main() -> None:
                 print(f"bench: {name} rep FAILED: {e}", file=sys.stderr)
                 cache.unpersist_all()
                 continue
-            best = dt if best is None else min(best, dt)
             # each rep is timed self-contained: drop intermediates the
             # operators persisted (rivulus_spark.cache contract)
             cache.unpersist_all()
         cache.unpersist_all()
-        if best is None:
-            best = -1.0
+        best = min(rep_times) if rep_times else -1.0
         timings[name] = round(best, 3)
+        # min+max spread per query (r5 VERDICT item 6): two driver runs
+        # of the same tree disagreed by 1.29x in total, making per-query
+        # round-over-round deltas unreadable — the spread lets a reader
+        # separate a real regression (new min above the old max) from
+        # host-load noise (overlapping spreads)
+        spreads[name] = [round(min(rep_times), 3),
+                         round(max(rep_times), 3)] if rep_times else []
         if best >= 0:
             total += best
 
@@ -98,6 +104,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": timings,
+        "spread": spreads,
     }
     # fold in the committed two-point scale curve (tools/bench_scale.py
     # at sf0.1 vs sf1) so the driver's BENCH_DETAIL artifact carries the

@@ -28,6 +28,25 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """Dot product of two named double-array columns, unrolled to a
+    flat ``a[0]*b[0] + a[1]*b[1] + ...`` SQL expression. Bit-identical
+    to the ``dot()`` fold (same left-to-right summation order; the
+    fold's 0.0 seed is an IEEE no-op).
+
+    MEASURED SLOWER than the fold on verify-stage volumes — do not use
+    in hot paths. At dim=64 the 129-node expression tree exceeds what
+    whole-stage codegen keeps in one method, and the fallback
+    evaluates each GetArrayItem/Multiply node individually (r6 bisect:
+    16.6s vs 10.1s on the sf1 LSH verify; 33s when the missing
+    pre-verify distinct let it run inside a larger fused stage). The
+    fold iterates the unsafe array once in a tight interpreted loop
+    and wins despite not being codegen'd. Kept for small dims and as
+    the documented negative result."""
+    return F.expr(
+        "(" + " + ".join(f"{a}[{k}] * {b}[{k}]" for k in range(dim)) + ")")
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -411,9 +430,26 @@ def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
 def plane_component(p: int, i: int) -> float:
     """Component i of deterministic pseudo-random hyperplane p, in
     [-0.5, 0.5). Shared by the Spark operator and the SQL oracle
-    generator so both engines see bit-identical planes."""
-    return (((p * 1_000_003 + i * 7_919 + 12_345) * 2_654_435_761)
-            % 1_000_000) / 1_000_000.0 - 0.5
+    generator so both engines see bit-identical planes.
+
+    splitmix64-style avalanche of (p, i): the historical affine form
+    (``(p*1e6+3 + i*7919 + c) * knuth % 1e6``) made plane p+1 a
+    near-constant translate of plane p mod 1 — adjacent planes up to
+    |cos| = 0.9998, so band bits were correlated, effective band width
+    collapsed, and sf1 bucket occupancy hit ~400 vs the ~10 the
+    adaptive sizing targets (13.3M raw candidates for 14k true pairs,
+    the r5 +59% bench regression and the 8.27x curve point). A full
+    bit-mix keeps every (p, i) cell independent: measured max |cos|
+    between planes drops to ~0.4 at dim=64 (random-matrix range) and
+    sf1 candidates to ~1/5th."""
+    h = (p * 0x9E3779B97F4A7C15 + i * 0xC2B2AE3D27D4EB4F
+         + 0x165667B19E3779F9) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    return h / 2.0 ** 64 - 0.5
 
 
 def hyperplane_signature(vec: str | Column, dim: int,

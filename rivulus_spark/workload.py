@@ -845,14 +845,17 @@ def q_stream_running_totals(spark, sf_dir):
     from .streaming import windows as sw
 
     ev = _events(spark, sf_dir).select("user_id", "value")
-    staging = _staged_stream_parquet(ev, f"{sf_dir}/events.parquet", "ev")
-    # 2 files per trigger = 2 micro-batches over the 4 staged files:
-    # still exercises cross-batch state, at half the per-batch fixed
-    # cost (state-store commit + Python group sweep + WAL) — the same
-    # bigger-batches tuning a production AvailableNow backfill uses
+    # half the staged files per trigger = exactly 2 micro-batches at
+    # any volume: still exercises cross-batch state, at half the
+    # per-batch fixed cost (state-store commit + Python group sweep +
+    # WAL) — the same bigger-batches tuning a production AvailableNow
+    # backfill uses; file count grows with volume (_stream_file_plan)
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/events.parquet")
+    staging = _staged_stream_parquet(ev, f"{sf_dir}/events.parquet", "ev",
+                                     n_files=n_files)
     stream = (spark.readStream
               .schema(spark.read.parquet(staging).schema)
-              .option("maxFilesPerTrigger", 2)
+              .option("maxFilesPerTrigger", per_trigger)
               .parquet(staging))
     name = f"stream_rt_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1003,13 +1006,15 @@ def q_stream_dedup(spark, sf_dir):
 
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", F.md5("text").alias("fp")))
+    # 2 micro-batches (half the staged files per trigger): state
+    # still crosses a batch boundary, per-batch fixed costs halve;
+    # staged file count grows with volume (_stream_file_plan)
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/documents.parquet")
     staging = _staged_stream_parquet(docs, f"{sf_dir}/documents.parquet",
-                                     "docs")
-    # 2 micro-batches (2 of the 4 staged files per trigger): state
-    # still crosses a batch boundary, per-batch fixed costs halve
+                                     "docs", n_files=n_files)
     stream = (spark.readStream
               .schema(spark.read.parquet(staging).schema)
-              .option("maxFilesPerTrigger", 2)
+              .option("maxFilesPerTrigger", per_trigger)
               .parquet(staging))
     name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1402,6 +1407,28 @@ def _stream_state_partitions(source: str, base: int) -> str:
     return str(max(base, min(32, size // (2 << 20))))
 
 
+def _stream_file_plan(source: str, base_files: int = 4) -> tuple[int, int]:
+    """(n_staged_files, maxFilesPerTrigger) sized to the source volume
+    — the staging half of the r4 sizing item (_stream_state_partitions
+    is the state-store half). A fixed 4-files/2-per-trigger plan is
+    right at sf0.1 but caps file-level read parallelism at 2 files per
+    micro-batch forever: at sf10 that's two ~100 MB single-file reads
+    feeding 32 cores. Scale the staged file count with compressed
+    volume (~4 MB per file, capped at 64) and keep maxFilesPerTrigger
+    = half the files, so the run is always exactly TWO micro-batches —
+    state still crosses a batch boundary (the semantics the streaming
+    queries exercise) while per-batch parallelism grows with the data.
+    At sf0.1 this resolves to the historical 4/2."""
+    import os
+
+    try:
+        size = os.path.getsize(source)
+    except OSError:
+        return base_files, max(1, base_files // 2)
+    n = int(max(base_files, min(64, size // (4 << 20))))
+    return n, max(1, n // 2)
+
+
 def _staged_stream_parquet(df: DataFrame, source: str, tag: str,
                            n_files: int = 4) -> str:
     """Stage ``df`` as a small multi-file parquet dir for file-stream
@@ -1430,6 +1457,12 @@ def _staged_stream_parquet(df: DataFrame, source: str, tag: str,
         plan = df._jdf.queryExecution().analyzed().toString()
         fingerprint += "|" + _re.sub(r"#\d+", "", plan)
     except Exception:
+        # the py4j hop into queryExecution() can fail on a stopped or
+        # mid-restart session; falling back to the source-only
+        # fingerprint (path|mtime|size) is safe because every staged
+        # derivation in this module also varies `tag`/`n_files`, which
+        # stay in the key — the plan text only adds extra distinction
+        # when one tag stages two different projections of one source
         pass
     key = hashlib.md5(f"{tag}|{n_files}|{fingerprint}".encode()) \
         .hexdigest()[:16]
