@@ -63,8 +63,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--exclude", nargs="*", default=[],
-                    help="queries to skip (e.g. brute-force O(n^2) "
-                         "oracles that do not finish at sf>=1)")
+                    help="queries to skip, as name=reason or bare name "
+                         "(e.g. brute-force O(n^2) oracles that do not "
+                         "finish at sf>=1); reasons land in --json-out")
+    ap.add_argument("--json-out", default=None,
+                    help="write per-query results (pass/fail/skip + "
+                         "reason + rows + seconds) as a JSON artifact")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -78,11 +82,17 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    excludes: dict[str, str] = {}
+    for e in args.exclude:
+        n, _, reason = e.partition("=")
+        excludes[n] = reason or "excluded by --exclude"
     names = args.queries or list(QUERIES)
-    skipped = [n for n in names if n in set(args.exclude)]
-    names = [n for n in names if n not in set(args.exclude)]
+    skipped = [n for n in names if n in excludes]
+    names = [n for n in names if n not in excludes]
+    record: dict[str, dict] = {}
     for n in skipped:
-        print(f"SKIP  {n}: excluded by --exclude")
+        print(f"SKIP  {n}: {excludes[n]}")
+        record[n] = {"status": "skip", "reason": excludes[n]}
     failures = 0
     for name in names:
         fn = QUERIES[name]
@@ -94,11 +104,15 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            record[name] = {"status": "fail",
+                            "reason": f"spark error: {e}"[:400]}
             continue
         sql = oracle_sql_for(name, args.sf_dir)
         if sql is None:
             print(f"....  {name}: no oracle (rows-only) -> {len(s_rows)} rows "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "spark_rows": len(s_rows),
+                            "sec": round(time.time() - t0, 1)}
             continue
         try:
             res = con.execute(sql)
@@ -107,6 +121,8 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            record[name] = {"status": "fail",
+                            "reason": f"duckdb error: {e}"[:400]}
             continue
         problems = compare(name, s_cols, s_rows, d_cols, d_rows)
         if problems:
@@ -115,10 +131,26 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            record[name] = {"status": "fail", "spark_rows": len(s_rows),
+                            "oracle_rows": len(d_rows),
+                            "problems": problems[:4]}
         else:
             print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "pass", "rows": len(s_rows),
+                            "sec": round(time.time() - t0, 1)}
     spark.stop()
     print(f"\n{len(names) - failures}/{len(names)} queries match")
+    if args.json_out:
+        import json
+
+        n_pass = sum(1 for v in record.values() if v["status"] == "pass")
+        with open(args.json_out, "w") as f:
+            json.dump({"sf_dir": args.sf_dir,
+                       "n_pass": n_pass,
+                       "n_fail": failures,
+                       "n_skip": len(skipped),
+                       "queries": record}, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json_out}")
     sys.exit(1 if failures else 0)
 
 
