@@ -2096,7 +2096,7 @@ def q_orc_sink_roundtrip(spark, sf_dir):
 SELECT l.l_returnflag,
        count(*) AS n_items,
        round(sum(l.l_quantity), 2) AS sum_qty,
-       round(sum(o.o_totalprice), 2) AS sum_price
+       CAST(sum(o.o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY l.l_returnflag
 """)
@@ -2133,7 +2133,14 @@ def q_bucketed_join_agg(spark, sf_dir):
     return (j.groupBy("l_returnflag")
             .agg(F.count("*").alias("n_items"),
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+                 # money sums accumulate in exact DECIMAL, not double:
+                 # at sf1 the 6M-row double sum differed from DuckDB in
+                 # the 14th significant digit (summation order is
+                 # engine-specific and float addition non-associative),
+                 # flipping round(.,2) — decimal accumulation is
+                 # order-independent, then one exact cast back
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_price")))
 
 
 @_q("schema_evolution_roundtrip", """
@@ -2394,13 +2401,39 @@ def q_dedup_simhash(spark, sf_dir):
             .select(F.col("id").alias("doc_id"), "simhash"))
 
 
-@_q("dedup_simhash_pairs", f"""
-WITH s AS ({_simhash_oracle()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-""")
+def _simhash_pairs_oracle(n_bits: int = _SIMHASH_BITS,
+                          max_hamming: int = 3) -> str:
+    """Banded relational replica of dedup.simhash_pairs — SAME spec
+    strength as the historical brute-force all-pairs oracle (pigeonhole
+    banding is EXACT for Hamming <= max_hamming: at most max_hamming
+    dirty bits cannot dirty all max_hamming+1 bands, so every
+    qualifying pair shares a band), but the candidate step is an
+    equi-join DuckDB hash-joins in O(n + candidates) instead of the
+    O(n^2) nested loop that cannot finish at sf>=1 (1.25B pairs at
+    50k docs). Band widths replicate the operator's floor/floor+1
+    remainder distribution, so both engines band identically."""
+    n_bands = max_hamming + 1
+    base_w, rem = divmod(n_bits, n_bands)
+    widths = [base_w + 1 if j < rem else base_w for j in range(n_bands)]
+    starts = [sum(widths[:j]) for j in range(n_bands)]
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS bi, "
+        f"(simhash >> {starts[j]}) & {(1 << widths[j]) - 1} AS bv FROM s"
+        for j in range(n_bands))
+    return f"""
+WITH s AS ({_simhash_oracle(n_bits)}),
+b AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b,
+       bit_count(xor(a.simhash, z.simhash))::BIGINT AS hamming
+FROM b a JOIN b z ON a.bi = z.bi AND a.bv = z.bv
+                 AND a.doc_id < z.doc_id
+WHERE bit_count(xor(a.simhash, z.simhash)) <= {max_hamming}
+"""
+
+
+@_q("dedup_simhash_pairs", _simhash_pairs_oracle())
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at Hamming distance <= 3 over the 60-bit
     fingerprint, via pigeonhole banding (15-bit bands -> 32k
