@@ -2298,44 +2298,102 @@ def q_ngram_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_MINHASH_ORACLE = """
-WITH sh AS (
+#: shingle CTE body shared by the MinHash-family oracles: (doc_id, s)
+#: with s = distinct space-joined 3-gram list, replicating
+#: dedup.shingles' tokenization (trim + \s+ split)
+_SH_CTE = r"""
   SELECT doc_id,
          list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
                         for i in range(1, len(words)-1)]) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-        FROM documents)
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(list_concat(a.s, b.s))), 3) AS jacc
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-            / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.8
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM {src})
 """
 
 
-@_q("decontaminate_fuzzy", r"""
-WITH sh AS (
-  SELECT doc_id, source,
-         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                        for i in range(1, len(words)-1)]) AS s
-  FROM (SELECT doc_id, source,
-               regexp_split_to_array(trim(text), '\s+') AS words
-        FROM documents)
+def _minhash_lsh_ctes(threshold: float = 0.8,
+                      num_perm: int = dedup.NUM_PERM,
+                      rows_per_band: int = dedup.LSH_ROWS) -> str:
+    """CTE chain replicating dedup.minhash_lsh_dedup relationally,
+    assuming a prior CTE ``sh(doc_id, s)`` (see _SH_CTE). Produces
+    ``pairs(doc_a, doc_b, jacc)`` — verified near-dup pairs at
+    exact Jaccard >= threshold.
+
+    Signatures are bit-identical to minhash_signatures_arrow: the same
+    md5-60-bit-mod-P shingle hash ('0x'||substr(md5,1,15) is the SQL
+    form of word_hash), the same perm_coeffs affine maps in exact
+    BIGINT arithmetic (a*h < 2^62, no overflow on either engine), min
+    per doc over the distinct shingle set. Banding joins on the RAW
+    rows_per_band-value signature slices where the Spark operator
+    joins on xxhash64 of the slice — same candidate set unless
+    xxhash64 collides across distinct slices (~2^-64 per band pair;
+    exact verification makes even that harmless unless the colliding
+    pair is also a true near-dup). Candidates come from a hash
+    equi-join, so unlike the historical brute-force all-pairs spec
+    (O(n^2): 1.25B shingle intersections at sf1) this oracle runs at
+    any comparison scale; verification is candidate-local and exact,
+    so the spec strength — every emitted pair carries its true rounded
+    Jaccard — is unchanged."""
+    p = dedup.MINHASH_P
+    coeffs = [dedup.perm_coeffs(i) for i in range(num_perm)]
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs))
+    n_bands = num_perm // rows_per_band
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {j} AS bi, [{slots}] AS bv FROM sig".format(
+            j=j, slots=", ".join(
+                f"m{j * rows_per_band + i}" for i in range(rows_per_band)))
+        for j in range(n_bands))
+    return f"""
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(sg), 1, 15))::BIGINT % {p} AS h
+  FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
 ),
-p AS (
-  SELECT CASE WHEN a.source != 'src0' THEN a.doc_id
-              ELSE b.doc_id END AS doc_id,
-         round(len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s))), 3) AS jacc
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-   AND ((a.source != 'src0' AND b.source = 'src0')
-        OR (a.source = 'src0' AND b.source != 'src0'))
-  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.8)
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+bnd AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+  FROM bnd a JOIN bnd z ON a.bi = z.bi AND a.bv = z.bv
+                       AND a.doc_id < z.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(sa.s, sb.s))::DOUBLE
+               / len(list_distinct(list_concat(sa.s, sb.s))), 3) AS jacc
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+              / len(list_distinct(list_concat(sa.s, sb.s))), 3)
+        >= {threshold}
+)"""
+
+
+_MINHASH_ORACLE = ("WITH sh AS (" + _SH_CTE.format(src="documents")
+                   + ")," + _minhash_lsh_ctes()
+                   + "\nSELECT doc_a, doc_b, jacc FROM pairs")
+
+
+@_q("decontaminate_fuzzy",
+    "WITH sh AS (" + _SH_CTE.format(src="documents") + "),"
+    + _minhash_lsh_ctes() + """,
+x AS (
+  SELECT CASE WHEN da.source != 'src0' THEN p.doc_a
+              ELSE p.doc_b END AS doc_id,
+         p.jacc
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+  WHERE (da.source = 'src0') != (db.source = 'src0')
+)
 SELECT doc_id, count(*) AS n_eval_matches, round(max(jacc), 3) AS max_jacc
-FROM p GROUP BY doc_id
+FROM x GROUP BY doc_id
 """)
 def q_decontaminate_fuzzy(spark, sf_dir):
     """Paraphrase-level contamination (contamination.fuzzy_
@@ -2343,7 +2401,9 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     corpus; training docs near-duplicating any eval doc at Jaccard >=
     0.8 are flagged with match count + max similarity. MinHash+LSH
     cost profile (banded candidates, exact verify) — never
-    |train| x |eval|."""
+    |train| x |eval|. The oracle replicates the same banded chain
+    (_minhash_lsh_ctes) restricted to cross-source pairs, so it runs
+    at any sf (the brute-force spec was O(|train| x |eval|))."""
     from .operators import contamination
 
     docs = _t(spark, sf_dir, "documents")
@@ -2355,9 +2415,11 @@ def q_decontaminate_fuzzy(spark, sf_dir):
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (128 perms) + LSH banding (32 bands x 4 rows) + exact
-    verification at Jaccard >= 0.8. The oracle is the brute-force exact
-    computation — identical output unless LSH misses a pair (p ~ 4e-8).
-    """
+    verification at Jaccard >= 0.8. The oracle replicates the
+    signature/banding/verify chain relationally (_minhash_lsh_ctes) —
+    bit-identical signatures, band-slice candidates, exact rounded
+    Jaccard — so parity checks run at any sf (the historical
+    brute-force spec was O(n^2) and could not finish past sf0.1)."""
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
                                    threshold=0.8)
 
@@ -2448,7 +2510,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 # North star: end-to-end corpus curation (operators/pipeline.py)
 # ======================================================================
 
-_CURATE_ORACLE_BASE = r"""
+_CURATE_ORACLE_BASE = (r"""
 WITH q AS (
   SELECT doc_id, text FROM documents
   WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20
@@ -2457,17 +2519,12 @@ keep_exact AS (
   SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
 ),
 uniq AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
-sh AS (
-  SELECT doc_id,
-         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                        for i in range(1, len(words)-1)]) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-        FROM uniq)
-),
+sh AS (""" + _SH_CTE.format(src="uniq") + "),"
+    # near-dedup via the banded MinHash chain (the brute-force
+    # all-pairs losers CTE was O(n^2) and could not finish at sf>=1)
+    + _minhash_lsh_ctes() + r""",
 losers AS (
-  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.8
+  SELECT DISTINCT doc_b AS doc_id FROM pairs
 ),
 kept AS (
   SELECT doc_id,
@@ -2476,7 +2533,7 @@ kept AS (
              AS n_bpe_tokens
   FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 )
-"""
+""")
 
 
 @_q("pipeline_curate", _CURATE_ORACLE_BASE
