@@ -668,6 +668,64 @@ def cluster_survivors(df: DataFrame, clusters: DataFrame,
             .drop("__rn"))
 
 
+def minhash_estimate_audit(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           num_perm: int = NUM_PERM) -> DataFrame:
+    """Estimator-quality audit for the MinHash index: for every LSH
+    candidate pair, the signature-slot agreement estimate of Jaccard
+    next to the exact value — ``(doc_a, doc_b, n_agree, est_jacc,
+    jacc)``. This is the audit a pipeline runs before trusting the
+    estimator on a full corpus (is est_jacc calibrated at my shingle
+    sizes? how loose is it at the 0.8 decision boundary?), same role
+    as ann_recall for the ANN index.
+
+    ``est_jacc = n_agree / num_perm`` is emitted UNROUNDED: n/128 is
+    a dyadic rational, exactly representable as a double, so both
+    engines produce the identical bit pattern without the rounding
+    step (whose half-way ties round differently across engines for
+    values like 8/128 = 0.0625). ``jacc`` is the exact verified value
+    with the family's usual round-to-3 contract.
+
+    Scale shape: identical to minhash_lsh_dedup — map-only Arrow
+    signatures, banded candidates, candidate-local exact verify — plus
+    one zip_with/filter fold per candidate pair for the slot
+    agreement (128 fixed slots, O(1) per pair)."""
+    sigs = cache.persist(minhash_signatures_arrow(df, text_col, id_col,
+                                                  k, num_perm))
+    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm))
+    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
+                .union(cands.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    rows = cache.persist(shingle_rows(
+        df.join(cand_ids, id_col, "semi"), text_col, id_col, k))
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cands
+        .join(rows.alias("ra"), cands.doc_a == F.col("ra.id"))
+        .join(rows.alias("rb"), (cands.doc_b == F.col("rb.id"))
+              & (F.col("ra.s") == F.col("rb.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    withn = (cands.join(inter, ["doc_a", "doc_b"], "left")
+             .na.fill({"n_inter": 0})
+             .join(sizes.alias("na"), cands.doc_a == F.col("na.id"))
+             .join(sizes.alias("nb"), cands.doc_b == F.col("nb.id"))
+             .join(sa, "doc_a").join(sb, "doc_b"))
+    union = F.col("na.n") + F.col("nb.n") - F.col("n_inter")
+    jacc = F.when(union > 0,
+                  F.col("n_inter").cast("double") / union).otherwise(F.lit(0.0))
+    return withn.select(
+        "doc_a", "doc_b",
+        n_agree.cast("long").alias("n_agree"),
+        (n_agree.cast("double") / F.lit(float(num_perm))).alias("est_jacc"),
+        F.round(jacc, 3).alias("jacc"))
+
+
 def simhash_pairs_brute(df: DataFrame, max_hamming: int = 3,
                         text_col: str = "text",
                         id_col: str = "doc_id",

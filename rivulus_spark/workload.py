@@ -2310,29 +2310,12 @@ _SH_CTE = r"""
 """
 
 
-def _minhash_lsh_ctes(threshold: float = 0.8,
-                      num_perm: int = dedup.NUM_PERM,
-                      rows_per_band: int = dedup.LSH_ROWS) -> str:
-    """CTE chain replicating dedup.minhash_lsh_dedup relationally,
-    assuming a prior CTE ``sh(doc_id, s)`` (see _SH_CTE). Produces
-    ``pairs(doc_a, doc_b, jacc)`` — verified near-dup pairs at
-    exact Jaccard >= threshold.
-
-    Signatures are bit-identical to minhash_signatures_arrow: the same
-    md5-60-bit-mod-P shingle hash ('0x'||substr(md5,1,15) is the SQL
-    form of word_hash), the same perm_coeffs affine maps in exact
-    BIGINT arithmetic (a*h < 2^62, no overflow on either engine), min
-    per doc over the distinct shingle set. Banding joins on the RAW
-    rows_per_band-value signature slices where the Spark operator
-    joins on xxhash64 of the slice — same candidate set unless
-    xxhash64 collides across distinct slices (~2^-64 per band pair;
-    exact verification makes even that harmless unless the colliding
-    pair is also a true near-dup). Candidates come from a hash
-    equi-join, so unlike the historical brute-force all-pairs spec
-    (O(n^2): 1.25B shingle intersections at sf1) this oracle runs at
-    any comparison scale; verification is candidate-local and exact,
-    so the spec strength — every emitted pair carries its true rounded
-    Jaccard — is unchanged."""
+def _minhash_cand_ctes(num_perm: int = dedup.NUM_PERM,
+                       rows_per_band: int = dedup.LSH_ROWS) -> str:
+    """CTE chain hs/sig/bnd/cand — MinHash signatures and banded LSH
+    candidate pairs, assuming a prior ``sh(doc_id, s)`` CTE. Shared by
+    _minhash_lsh_ctes (threshold-verified pairs) and the estimator
+    audit oracle (which reads sig directly)."""
     p = dedup.MINHASH_P
     coeffs = [dedup.perm_coeffs(i) for i in range(num_perm)]
     mins = ",\n         ".join(
@@ -2361,7 +2344,33 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
   FROM bnd a JOIN bnd z ON a.bi = z.bi AND a.bv = z.bv
                        AND a.doc_id < z.doc_id
-),
+)"""
+
+
+def _minhash_lsh_ctes(threshold: float = 0.8,
+                      num_perm: int = dedup.NUM_PERM,
+                      rows_per_band: int = dedup.LSH_ROWS) -> str:
+    """CTE chain replicating dedup.minhash_lsh_dedup relationally,
+    assuming a prior CTE ``sh(doc_id, s)`` (see _SH_CTE). Produces
+    ``pairs(doc_a, doc_b, jacc)`` — verified near-dup pairs at
+    exact Jaccard >= threshold.
+
+    Signatures are bit-identical to minhash_signatures_arrow: the same
+    md5-60-bit-mod-P shingle hash ('0x'||substr(md5,1,15) is the SQL
+    form of word_hash), the same perm_coeffs affine maps in exact
+    BIGINT arithmetic (a*h < 2^62, no overflow on either engine), min
+    per doc over the distinct shingle set. Banding joins on the RAW
+    rows_per_band-value signature slices where the Spark operator
+    joins on xxhash64 of the slice — same candidate set unless
+    xxhash64 collides across distinct slices (~2^-64 per band pair;
+    exact verification makes even that harmless unless the colliding
+    pair is also a true near-dup). Candidates come from a hash
+    equi-join, so unlike the historical brute-force all-pairs spec
+    (O(n^2): 1.25B shingle intersections at sf1) this oracle runs at
+    any comparison scale; verification is candidate-local and exact,
+    so the spec strength — every emitted pair carries its true rounded
+    Jaccard — is unchanged."""
+    return _minhash_cand_ctes(num_perm, rows_per_band) + f""",
 pairs AS (
   SELECT c.doc_a, c.doc_b,
          round(len(list_intersect(sa.s, sb.s))::DOUBLE
@@ -2410,6 +2419,50 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     train = docs.filter(F.col("source") != "src0")
     ev = docs.filter(F.col("source") == "src0")
     return contamination.fuzzy_contamination(train, ev, threshold=0.8)
+
+
+def _minhash_estimate_oracle(num_perm: int = dedup.NUM_PERM) -> str:
+    """Relational replica of dedup.minhash_estimate_audit: banded
+    candidates from _minhash_cand_ctes, per-pair slot-agreement count
+    over the same 128 signature slots, exact Jaccard alongside.
+    est_jacc = n_agree/num_perm stays UNROUNDED — a dyadic rational
+    both engines represent with the identical bit pattern (rounding
+    would reintroduce engine-specific half-way ties, e.g. 8/128)."""
+    # a list literal, NOT a 128-term `+` chain: DuckDB's binder
+    # recursion cap (128) rejects the left-nested addition tree
+    agree = ",\n           ".join(
+        f"CASE WHEN a.m{i} = z.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm))
+    return ("WITH sh AS (" + _SH_CTE.format(src="documents") + "),"
+            + _minhash_cand_ctes(num_perm) + f""",
+agr AS (
+  SELECT c.doc_a, c.doc_b,
+         list_sum([{agree}])::BIGINT AS n_agree
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig z ON z.doc_id = c.doc_b
+)
+SELECT g.doc_a, g.doc_b, g.n_agree,
+       g.n_agree::DOUBLE / {num_perm} AS est_jacc,
+       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+             / len(list_distinct(list_concat(sa.s, sb.s))), 3) AS jacc
+FROM agr g
+JOIN sh sa ON sa.doc_id = g.doc_a
+JOIN sh sb ON sb.doc_id = g.doc_b
+""")
+
+
+@_q("dedup_minhash_estimate", _minhash_estimate_oracle())
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """Estimator-quality audit of the MinHash index
+    (dedup.minhash_estimate_audit): every LSH candidate pair with its
+    signature-slot-agreement Jaccard estimate next to the exact value
+    — the calibration check a pipeline runs before trusting the
+    estimator on the full corpus, same role ann_recall plays for the
+    ANN index. Oracle replicates signatures, banding, agreement count,
+    and exact verify relationally, so the audit itself is
+    parity-checked at any sf."""
+    return dedup.minhash_estimate_audit(_t(spark, sf_dir, "documents"))
 
 
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)

@@ -103,6 +103,30 @@ def test_minhash_lsh_matches_bruteforce(docs):
     assert lsh == brute
 
 
+def test_minhash_estimate_audit(docs):
+    """The estimator audit covers exactly the LSH candidate pairs,
+    est_jacc is the exact dyadic n_agree/num_perm (no rounding), and
+    a pair of identical docs estimates 1.0 with all slots agreeing."""
+    out = dedup.minhash_estimate_audit(docs).collect()
+    cand_pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs)).collect()}
+    assert {(r.doc_a, r.doc_b) for r in out} == cand_pairs
+    for r in out:
+        assert 0 <= r.n_agree <= dedup.NUM_PERM
+        assert r.est_jacc == r.n_agree / dedup.NUM_PERM
+        assert 0.0 <= r.jacc <= 1.0
+    exact = {(r.doc_a, r.doc_b): r.jacc
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01)
+             .collect()}
+    for r in out:
+        # exact jacc in the audit equals the standalone exact operator
+        if (r.doc_a, r.doc_b) in exact:
+            assert r.jacc == exact[(r.doc_a, r.doc_b)]
+        # identical texts -> full agreement
+        if r.jacc == 1.0:
+            assert r.n_agree == dedup.NUM_PERM and r.est_jacc == 1.0
+
+
 def test_minhash_arrow_signatures_match_relational(spark, docs):
     """The map-only Arrow signature pass is bit-identical to the
     relational explode+distinct+group-by form, including Java-vs-
