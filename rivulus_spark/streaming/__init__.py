@@ -9,7 +9,7 @@ Structured Streaming.
 """
 
 from .joins import interval_join
-from .stateful import running_totals, streaming_dedup
+from .stateful import running_totals, streaming_dedup, watermark_dedup
 from .windows import (
     enrich_stream,
     load_events,
@@ -30,5 +30,6 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "streaming_dedup",
+    "watermark_dedup",
     "tumbling_agg",
 ]

@@ -105,3 +105,34 @@ def running_totals(df: DataFrame, key_col: str = "user_id",
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def watermark_dedup(df: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Engine-managed streaming dedup via
+    ``dropDuplicatesWithinWatermark``: one emitted row per distinct
+    ``key_cols`` combination, with per-key state automatically evicted
+    once the event-time watermark passes — the built-in complement to
+    the custom ``streaming_dedup`` (whose applyInPandasWithState state
+    grows until an explicit TTL fires).
+
+    At 100 TB feed rates this is the preferred dedup when duplicates
+    cluster in event time (retries, at-least-once sources): state is
+    bounded by watermark delay x key arrival rate with zero TTL
+    bookkeeping, eviction happens in the JVM state store, and no
+    Python stage runs at all. The emission guarantee is exactly-once
+    only for duplicates arriving within the watermark delay of the
+    first occurrence — keys whose duplicates spread wider re-emit
+    (the documented engine trade; pick the delay from the source's
+    duplicate-lag distribution).
+
+    Callers wanting a batch-deterministic output should dedup on keys
+    whose duplicate spread is bounded below the watermark delay by
+    construction (e.g. include an event-time bucket in the key), in
+    which case the emitted key set equals batch DISTINCT regardless of
+    micro-batch boundaries — that is the oracle contract the workload
+    query uses.
+    """
+    return (df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

@@ -1033,6 +1033,63 @@ def q_stream_dedup(spark, sf_dir):
     return out.select("fp")
 
 
+@_q("stream_dedup_watermark", """
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour
+FROM events
+""")
+def q_stream_dedup_watermark(spark, sf_dir):
+    """Engine-managed streaming dedup (streaming/stateful.py
+    watermark_dedup, dropDuplicatesWithinWatermark): one row per
+    distinct (user_id, event_type, hour) over a multi-file event
+    stream, state evicted by the event-time watermark instead of a
+    custom TTL — the built-in complement to stream_dedup's
+    applyInPandasWithState operator, and the preferred form at scale
+    when duplicates cluster in event time (no Python stage, JVM state
+    store, bounded state for free). The key includes the hour bucket,
+    so in-key duplicate spread (< 1 hour) is bounded below the
+    2-hour watermark delay by construction and the emitted key set
+    equals batch DISTINCT regardless of micro-batch boundaries —
+    exactly the oracle. The replay is staged TIME-ORDERED
+    (range-partitioned on ts): with unordered replay, any batch after
+    the watermark's first advance silently drops its old rows as late
+    (measured: 3 unordered batches lose exactly the late third) —
+    the engine contract, covered by a negative test in
+    test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from .streaming import stateful
+    from .streaming import windows as sw
+
+    ev = (_events(spark, sf_dir)
+          .select("user_id", "event_type", "ts",
+                  F.date_format(F.date_trunc("hour", "ts"),
+                                "yyyy-MM-dd HH:00").alias("hour")))
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/events.parquet")
+    staging = _staged_stream_parquet(ev, f"{sf_dir}/events.parquet", "evw",
+                                     n_files=n_files, range_col="ts")
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+    name = f"stream_wmd_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8))
+    try:
+        out = sw.run_available_now(
+            stateful.watermark_dedup(
+                stream, ["user_id", "event_type", "hour"],
+                ts_col="ts", watermark="2 hours"),
+            query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("user_id", "event_type", "hour")
+
+
 @_q("sessionize", """
 WITH gaps AS (
   SELECT user_id,
@@ -1430,7 +1487,8 @@ def _stream_file_plan(source: str, base_files: int = 4) -> tuple[int, int]:
 
 
 def _staged_stream_parquet(df: DataFrame, source: str, tag: str,
-                           n_files: int = 4) -> str:
+                           n_files: int = 4,
+                           range_col: str | None = None) -> str:
     """Stage ``df`` as a small multi-file parquet dir for file-stream
     replay (maxFilesPerTrigger needs multiple files), ONCE per source
     content: the dir name is keyed on the source path + mtime + size,
@@ -1464,12 +1522,37 @@ def _staged_stream_parquet(df: DataFrame, source: str, tag: str,
         # stay in the key — the plan text only adds extra distinction
         # when one tag stages two different projections of one source
         pass
-    key = hashlib.md5(f"{tag}|{n_files}|{fingerprint}".encode()) \
+    key = hashlib.md5(
+        f"{tag}|{n_files}|{range_col}|{fingerprint}".encode()) \
         .hexdigest()[:16]
     staging = os.path.join(tempfile.gettempdir(),
                            f"rivulus_stage_{tag}_{key}")
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        # range_col: stage TIME-ORDERED files (range-partitioned, so
+        # file k+1's rows are all >= file k's max) — replaying them in
+        # path order gives a stream where no row is ever behind the
+        # watermark, whatever the batch count. Event-time-stateful
+        # consumers (dropDuplicatesWithinWatermark) NEED this: with
+        # round-robin staging every batch spans the full time range
+        # and any batch after the watermark's first advance silently
+        # drops its old rows as late (measured: 3 unordered batches
+        # lose exactly the late third). Also the realistic shape - a
+        # production topic is roughly time-ordered.
+        part = (df.repartitionByRange(n_files, F.col(range_col))
+                if range_col else df.repartition(n_files))
+        part.write.mode("overwrite").parquet(staging)
+        if range_col:
+            # FileStreamSource replays in ascending MODIFICATION time
+            # (ties arbitrary) — one write stamps every part file with
+            # the same mtime, so range order by name is not enough.
+            # Stamp strictly increasing mtimes in part-name (= range)
+            # order to pin the replay order.
+            parts = sorted(f for f in os.listdir(staging)
+                           if f.startswith("part-"))
+            base = os.stat(staging).st_mtime
+            for i, f in enumerate(parts):
+                p = os.path.join(staging, f)
+                os.utime(p, (base + i + 1, base + i + 1))
     return staging
 
 

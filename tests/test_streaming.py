@@ -149,6 +149,64 @@ def test_streaming_dedup_first_seen_wins(spark, doc_dir, tmp_path):
     assert ids <= valid
 
 
+def _wm_keyed(df):
+    return df.select(
+        "user_id", "event_type", "ts",
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:00").alias("hour"))
+
+
+def test_watermark_dedup_matches_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over keys whose in-key duplicate
+    spread is bounded below the watermark delay (hour bucket in the
+    key, 2h delay) emits exactly the batch DISTINCT key set when the
+    replay is TIME-ORDERED (range-partitioned files -> every batch's
+    rows are newer than the previous batch's max, so no row is ever
+    behind the watermark) — whatever the batch count."""
+    from rivulus_spark.streaming import watermark_dedup
+
+    import os
+
+    d = str(tmp_path / "ev_ordered")
+    load_events(spark, EVENTS).repartitionByRange(3, F.col("ts")) \
+        .write.parquet(d)
+    # FileStreamSource replays ascending modification time (ties
+    # arbitrary): stamp increasing mtimes in part-name (= time-range)
+    # order, as the workload staging does
+    for i, f in enumerate(sorted(p for p in os.listdir(d)
+                                 if p.startswith("part-"))):
+        os.utime(os.path.join(d, f), (os.stat(d).st_mtime + i + 1,) * 2)
+    stream = _wm_keyed(read_event_stream(spark, d))
+    got = run_available_now(
+        watermark_dedup(stream, ["user_id", "event_type", "hour"],
+                        ts_col="ts", watermark="2 hours"),
+        "t_wm_dedup", str(tmp_path / "ckpt"), output_mode="append")
+    batch = (_wm_keyed(spark.read.parquet(d))
+             .select("user_id", "event_type", "hour").distinct())
+    order = ["user_id", "event_type", "hour"]
+    assert (_rows(got.select(*order), *order) == _rows(batch, *order))
+
+
+def test_watermark_dedup_unordered_replay_drops_late(spark, event_dir,
+                                                     tmp_path):
+    """The documented engine trade the workload query's time-ordered
+    staging exists to avoid: with round-robin (unordered) files every
+    micro-batch spans the full time range, so once the watermark
+    advances, later batches silently drop their old rows as late and
+    keys unique to those rows are lost vs batch DISTINCT."""
+    from rivulus_spark.streaming import watermark_dedup
+
+    stream = _wm_keyed(read_event_stream(spark, event_dir))
+    got = run_available_now(
+        watermark_dedup(stream, ["user_id", "event_type", "hour"],
+                        ts_col="ts", watermark="2 hours"),
+        "t_wm_dedup_uo", str(tmp_path / "ckpt"), output_mode="append")
+    n_distinct = (_wm_keyed(spark.read.parquet(event_dir))
+                  .select("user_id", "event_type", "hour")
+                  .distinct().count())
+    assert got.count() < n_distinct
+
+
 def test_running_totals_final_state_matches_batch(spark, event_dir, tmp_path):
     from rivulus_spark.streaming import running_totals
 
