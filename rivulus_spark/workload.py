@@ -890,6 +890,55 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+@_q("stream_sessionize", """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions
+FROM gaps GROUP BY user_id
+""")
+def q_stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization through Structured Streaming
+    (streaming/windows.py session_agg, F.session_window, 30-min gap):
+    per-user session count, drained with Trigger.AvailableNow in
+    complete mode (re-emits every session, exact batch parity). The
+    oracle is the batch lag-based sessionize — identical counts, since
+    a session_window closes exactly when the next event's gap EXCEEDS
+    the 30-min inactivity (both semantics are strict->new-session at
+    gaps > 30 min; the testdata has no exact-boundary gap, checked at
+    sf0.01/sf0.1/sf1). At scale the state store holds one open session
+    per active user, evicted by the watermark, versus the batch form's
+    full-corpus shuffle-and-sort per run."""
+    import tempfile
+    import uuid
+
+    from .streaming import windows as sw
+
+    _prep(spark)
+    stream = sw.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    sessions = sw.session_agg(
+        stream, "ts", "30 minutes", keys=["user_id"],
+        aggs=[F.count("*").alias("n_events")], watermark="2 hours")
+    name = f"stream_sess_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8))
+    try:
+        out = sw.run_available_now(
+            sessions, query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (out.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_sessions")))
+
+
 @_q("stream_events_hourly", """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
