@@ -593,11 +593,17 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     the cluster checkpoint dir if executor loss must be survivable;
     convergence is one count() on the changed-label set per round."""
     # the edge lineage (often a whole near-dup pipeline) is consumed
-    # once per round — persist it or every round recomputes it
-    sym = cache.persist(
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"),
-                            F.col(a_col).alias("dst"))))
+    # once per round — localCheckpoint, NOT just persist: persist
+    # caches the DATA but keeps the logical plan, so every round's
+    # join re-ANALYZES the full upstream pipeline (banded LSH + verify
+    # = a very large plan); measured at sf1 this pinned the driver at
+    # 100% of one core for >10 min before any round finished. The
+    # checkpoint truncates the edge lineage to an O(1) scan, same as
+    # the per-round label tables below.
+    sym = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+           .union(edges.select(F.col(b_col).alias("src"),
+                               F.col(a_col).alias("dst")))
+           .localCheckpoint())
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # eager localCheckpoint: materializes AND truncates lineage, so
     # round k's plan never contains round k-1's (old checkpoint blocks

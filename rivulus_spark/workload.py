@@ -2983,18 +2983,73 @@ b AS (
 ),
 cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
          FROM b l JOIN b r ON l.j = r.j AND l.bv = r.bv
-                          AND l.vec_id < r.vec_id)
-SELECT c.id_a, c.id_b,
-       round(list_dot_product(a.emb, z.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(z.emb, z.emb))), 6) AS sim
-FROM cand c
-JOIN e a ON a.vec_id = c.id_a
-JOIN e z ON z.vec_id = c.id_b
-WHERE round(list_dot_product(a.emb, z.emb)
-            / (sqrt(list_dot_product(a.emb, a.emb))
-               * sqrt(list_dot_product(z.emb, z.emb))), 6) >= {threshold}
+                          AND l.vec_id < r.vec_id),
+lshp AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(a.emb, z.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(z.emb, z.emb))), 6) AS sim
+  FROM cand c
+  JOIN e a ON a.vec_id = c.id_a
+  JOIN e z ON z.vec_id = c.id_b
+  WHERE round(list_dot_product(a.emb, z.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(z.emb, z.emb))), 6) >= {threshold}
+)
+SELECT id_a, id_b, sim FROM lshp
 """
+
+
+def _neardup_lsh_clusters_oracle(sf_dir: str = DRIVER_SF_DIR,
+                                 dim: int = 64,
+                                 threshold: float = 0.5) -> str:
+    """Connected components over the banded-LSH cosine pair graph:
+    reuses _neardup_lsh_oracle's CTE chain up to ``lshp`` (identical
+    planes/banding/verify at the sf_dir-adaptive parameters), then the
+    same recursive reachability-closure + min-label fixpoint the text
+    dedup_clusters oracle uses."""
+    base = _neardup_lsh_oracle(sf_dir, dim, threshold)
+    tail = "SELECT id_a, id_b, sim FROM lshp"
+    body = base[:base.rindex(tail)].rstrip()
+    body = body.replace("\nWITH e AS", "\nWITH RECURSIVE e AS", 1)
+    return body + """,
+edg AS (SELECT id_a AS src, id_b AS dst FROM lshp
+        UNION SELECT id_b, id_a FROM lshp),
+reach(node, lbl) AS (
+  SELECT src, src FROM edg
+  UNION
+  SELECT edg.src, reach.lbl FROM edg JOIN reach ON edg.dst = reach.node
+)
+SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+"""
+
+
+@_q("embedding_neardup_clusters", _neardup_lsh_clusters_oracle)
+def q_embedding_neardup_clusters(spark, sf_dir):
+    """Transitive embedding near-dup clustering: the banded-LSH cosine
+    pair graph fed into the same min-label pointer-jumping connected
+    components the text dedup family uses — the step that turns a
+    pair list into the cluster structure survivorship policies need
+    (keep one vector per semantic duplicate group). Both stages are
+    the 100 TB shapes: banded equi-join candidates, then
+    O(log diameter) label rounds sized by the pair graph, never the
+    corpus.
+
+    Threshold 0.5 is the DEDUP setting for this corpus: its true
+    near-dup band tops out near cosine 0.5-0.6, so the pair graph is
+    small duplicate groups that converge in a few label rounds. The
+    0.4 retrieval setting used by embedding_neardup_lsh connects
+    near-random vectors into one giant sparse component — correct for
+    candidate generation, but clustering it is semantically
+    meaningless and its large diameter is exactly the worst case for
+    iterative label propagation (measured: non-converged after 25
+    rounds at sf1)."""
+    n_planes, n_bands = similarity.adaptive_lsh_params(_emb_rows(sf_dir))
+    pairs = similarity.cosine_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, dim=64,
+        n_planes=n_planes, n_bands=n_bands)
+    return dedup.connected_components(pairs.select("id_a", "id_b"),
+                                      a_col="id_a", b_col="id_b")
 
 
 @_q("embedding_neardup_lsh", _neardup_lsh_oracle)
