@@ -221,6 +221,27 @@ def test_dot_and_norm(spark):
     assert r.d == 11.0 and r.n == 5.0
 
 
+def test_dot_unrolled_bit_identical_to_fold(spark):
+    """The unrolled SQL dot is bit-identical to the dot() fold (same
+    left-to-right summation; the fold's 0.0 seed is an IEEE no-op) —
+    the invariant behind its docstring, which also records it as
+    measured SLOWER on verify volumes (r6 bisect) and so not used in
+    hot paths."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)],
+             [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("fold"),
+        similarity.dot_unrolled("a", "b", 16).alias("unrolled")).collect()
+    for r in out:
+        assert r.fold == r.unrolled  # exact, not approx
+
+
 def test_knn_cosine_ordering(vecs):
     out = similarity.knn_cosine(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
     rows = sorted(out.collect(), key=lambda r: r.rank)
