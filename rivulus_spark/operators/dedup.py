@@ -639,6 +639,22 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
         labels = nxt
         if changed == 0:
             break
+    else:
+        # partial labels are WRONG clusters (nodes not yet reached by
+        # their component's min id keep a higher label) — fail loudly
+        # instead of returning them. Hit only on graphs with a giant
+        # high-diameter component (measured r6: the threshold-0.4
+        # embedding pair graph — one sparse 7.8k-node blob — was still
+        # moving at round 25, while every dedup-grade graph of small
+        # duplicate groups converges in a handful of rounds). Callers
+        # clustering such graphs should raise max_iters or reconsider
+        # the threshold: a giant component usually means the pair
+        # threshold is a retrieval setting, not a dedup setting.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds ({changed} labels still changing) — the pair "
+            f"graph has a high-diameter component; raise max_iters or "
+            f"use a stricter pair threshold")
     return labels.select("node", F.col("label").alias("cluster"))
 
 

@@ -748,6 +748,16 @@ def test_connected_components_long_path_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """r6 guard: exiting the round cap with labels still moving must
+    raise, not return partial (wrong) clusters — a 12-node path with
+    max_iters=1 cannot reach the fixpoint."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iters=1)
+
+
 # ----------------------------------------------------------------------
 # contamination / packing / tf-idf / quantization
 # ----------------------------------------------------------------------
