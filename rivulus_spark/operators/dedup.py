@@ -609,7 +609,7 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     # round k's plan never contains round k-1's (old checkpoint blocks
     # are freed by the ContextCleaner once the python ref drops)
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         neigh_min = (sym.join(labels, sym.dst == labels.node)
                      .groupBy("src").agg(F.min("label").alias("nlabel")))
         # checkpointed: the pointer-jumping self-join consumes it
@@ -637,6 +637,24 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
                    .filter(F.col("n.label") != F.col("o.label"))
                    .count())
         labels = nxt
+        # localCheckpoint carries the ORIGIN plan's ESTIMATED stats
+        # into the new LogicalRDD, and Catalyst's join size estimation
+        # MULTIPLIES child sizes — through this loop's self-join the
+        # carried BigInt estimate SQUARES every round (bit length
+        # doubles), and by round ~20 the driver burns 45s+/round of
+        # BigInteger.multiply computing an astronomically large,
+        # meaningless size (r6 jstack: driver pinned in
+        # SizeInBytesOnlyStatsPlanVisitor.visitJoin via
+        # LogicalRDD.rewriteStatsAndConstraints). Rebuilding the frame
+        # over the checkpointed RDD resets leaf stats to defaults,
+        # bounding the estimate's bit length; the RDD round-trip is
+        # executor-parallel, touches only the label table, and runs
+        # every 6th round (measured: rounds back to 0.1-0.3s flat
+        # through round 24, reset cost 0.2s).
+        if (_round + 1) % 6 == 0:
+            labels = (labels.sparkSession
+                      .createDataFrame(labels.rdd, labels.schema)
+                      .localCheckpoint())
         if changed == 0:
             break
     else:

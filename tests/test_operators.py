@@ -748,6 +748,20 @@ def test_connected_components_long_path_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_connected_components_many_rounds_with_stats_reset(spark):
+    """r6 regression: a 120-node path needs well past 6 label rounds,
+    exercising the periodic stats-reset rebuild (localCheckpoint
+    otherwise carries join-MULTIPLIED size estimates whose BigInt bit
+    length doubles per round — 45s/round by round 20). Labels must
+    still reach the global fixpoint through the resets."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "doc_a long, doc_b long")
+    got = {r.node: r.cluster
+           for r in dedup.connected_components(edges, max_iters=60)
+           .collect()}
+    assert got == {i: 0 for i in range(120)}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """r6 guard: exiting the round cap with labels still moving must
     raise, not return partial (wrong) clusters — a 12-node path with
