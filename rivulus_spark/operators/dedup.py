@@ -592,6 +592,11 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     cluster swap ``localCheckpoint`` for reliable ``checkpoint()`` to
     the cluster checkpoint dir if executor loss must be survivable;
     convergence is one count() on the changed-label set per round."""
+    if max_iters < 1:
+        # the for/else non-convergence path below reports `changed`,
+        # which only exists after a completed round — validate up
+        # front so callers get the real error, not a NameError
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     # the edge lineage (often a whole near-dup pipeline) is consumed
     # once per round — localCheckpoint, NOT just persist: persist
     # caches the DATA but keeps the logical plan, so every round's

