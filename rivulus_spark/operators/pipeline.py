@@ -38,8 +38,20 @@ def curate_corpus(df: DataFrame, min_tokens: int = 20,
        ``near_threshold`` exact Jaccard; the larger id of each
        surviving pair is dropped (left anti join — no shuffle larger
        than the near-dup pair set).
-    """
-    q = df.filter(token_count(text_col) >= min_tokens)
+
+    The token budgets are computed ONCE in the head projection (fused
+    into the scan stage) and carried as two long columns, instead of
+    re-running the count regexes on the survivors after the dedup
+    joins — at sf10 those per-document regex passes were the dominant
+    pipeline_stats stage (r6 scale probe), and 16 bytes/row through
+    the id-keyed shuffles is noise next to the text column that rides
+    them anyway. The quality filter compares the precomputed column,
+    which Catalyst still collapses into the scan-side projection."""
+    base = df.select(
+        F.col(id_col), F.col(text_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        bpe_token_count(text_col).cast("long").alias("n_bpe_tokens"))
+    q = base.filter(F.col("n_tokens") >= min_tokens)
 
     keep_exact = (q.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
                   .groupBy("fp").agg(F.min(id_col).alias(id_col))
@@ -51,10 +63,7 @@ def curate_corpus(df: DataFrame, min_tokens: int = 20,
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = uniq.join(losers, id_col, "anti")
 
-    return kept.select(
-        id_col, text_col,
-        token_count(text_col).cast("long").alias("n_tokens"),
-        bpe_token_count(text_col).cast("long").alias("n_bpe_tokens"))
+    return kept.select(id_col, text_col, "n_tokens", "n_bpe_tokens")
 
 
 def corpus_stats(curated: DataFrame) -> DataFrame:

@@ -30,6 +30,17 @@ def tokens(col: str | Column) -> Column:
 
 
 def token_count(col: str | Column) -> Column:
+    """``size(split(...))`` is deliberately kept as the count form —
+    two "alloc-free" alternatives measured WORSE at sf1 (r7, same
+    session, 3-rep means): (a) ``regexp_count(t, '\\S+')`` is
+    RuntimeReplaceable to ``size(regexp_extract_all(...))`` (verified
+    in the executed plan), i.e. it still materializes every token;
+    (b) collapsing ``\\s+`` runs to single spaces and counting
+    separators (``length - length(translate)``) ran 0.87s vs split's
+    0.44s — regexp_replace's appendReplacement path costs more than
+    split's cheap UTF8String slices. The scale fix for repeated counts
+    is structural instead: compute once, carry the long (see
+    pipeline.curate_corpus)."""
     return F.size(tokens(col))
 
 
@@ -48,6 +59,9 @@ def bpe_tokens(col: str | Column) -> Column:
 
 
 def bpe_token_count(col: str | Column) -> Column:
+    """Count of BPE_PATTERN matches — ``size(bpe_tokens(...))`` is
+    also the best available form here (``regexp_count`` lowers to
+    exactly this expression; see token_count's measured note)."""
     return F.size(bpe_tokens(col))
 
 
@@ -110,7 +124,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         avg_token_len(c).alias("avg_token_len"),
         punct_ratio(c).alias("punct_ratio"),
         stopword_ratio(c).alias("stopword_ratio"),
-        (F.size(tokens(c)) < 50).alias("is_short"),
+        (token_count(c) < 50).alias("is_short"),
     )
 
 

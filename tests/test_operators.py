@@ -34,6 +34,23 @@ def test_token_count(docs):
     assert out[0] == 9 and out[4] == 1
 
 
+def test_token_count_whitespace_corners(spark):
+    """Pin token_count's Java-split semantics on the adversarial
+    whitespace corners (empty/space-only text is ONE empty field;
+    leading/trailing non-space whitespace - trim strips only 0x20 -
+    adds an extra empty field under split's limit=-1). These are the
+    corners any future reformulation of the count (see the measured
+    negative results in token_count's docstring) must reproduce."""
+    cases = {"": 1, " ": 1, "   ": 1, "a": 1, "a b": 2, " a  b ": 2,
+             "\ta b\n": 4, "\n\n": 2, "a\tb\nc": 3, "\t": 2,
+             "x \t y": 2, ".": 1, "1 23 x!": 3, "a ": 1, " a": 1}
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "id long, text string")
+    got = {r.text: r.n for r in
+           df.select("text", text.token_count("text").alias("n")).collect()}
+    assert got == cases
+
+
 def test_quality_features(docs):
     out = {r.doc_id: r for r in text.quality_features(docs).collect()}
     assert out[4].is_short is True
