@@ -2520,14 +2520,57 @@ pairs AS (
 )"""
 
 
-_MINHASH_ORACLE = ("WITH sh AS (" + _SH_CTE.format(src="documents")
-                   + ")," + _minhash_lsh_ctes()
-                   + "\nSELECT doc_a, doc_b, jacc FROM pairs")
+def _is_small_sf(sf_dir: str) -> bool:
+    """True at the driver comparison scales (<= ~500 docs), where the
+    O(n^2) brute-force oracles are trivial (<= 125k shingle-list
+    intersections)."""
+    return sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01"))
 
 
-@_q("decontaminate_fuzzy",
-    "WITH sh AS (" + _SH_CTE.format(src="documents") + "),"
-    + _minhash_lsh_ctes() + """,
+def _brute_pairs_cte(threshold: float = 0.8) -> str:
+    """Historical full-strength MinHash-family spec: EVERY pair at
+    exact Jaccard >= threshold via an all-pairs join — no banding, so
+    it independently checks LSH RECALL, not just the candidate-local
+    verification. Same ``pairs(doc_a, doc_b, jacc)`` contract as
+    _minhash_lsh_ctes; assumes a prior ``sh(doc_id, s)`` CTE."""
+    j = ("round(len(list_intersect(a.s, b.s))::DOUBLE"
+         " / len(list_distinct(list_concat(a.s, b.s))), 3)")
+    return f""",
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {j} AS jacc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {j} >= {threshold}
+)"""
+
+
+def _minhash_pairs_chain(sf_dir: str, threshold: float = 0.8) -> str:
+    """sf-CONDITIONAL oracle chain for the MinHash family (r6 VERDICT
+    item 2): text to append after ``WITH sh AS (...)`` yielding
+    ``pairs(doc_a, doc_b, jacc)``.
+
+    At the driver scales (sf0.001/sf0.01) this is the brute-force
+    all-pairs spec — a systematic banding bug that LOSES true pairs
+    fails here, restoring the independent recall check the r6 banded
+    rewrite gave up. At sf >= 0.1 the O(n^2) spec cannot finish
+    (1.25B intersections at sf1), so the banded relational replica of
+    the signature/banding chain takes over — still exact-verifying
+    every emitted pair, but recall-blind by construction (checked
+    instead at toy scale by test_operators' brute-force parity
+    test and here at every driver round)."""
+    if _is_small_sf(sf_dir):
+        return _brute_pairs_cte(threshold)
+    return "," + _minhash_lsh_ctes(threshold)
+
+
+def _minhash_lsh_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return ("WITH sh AS (" + _SH_CTE.format(src="documents") + ")"
+            + _minhash_pairs_chain(sf_dir)
+            + "\nSELECT doc_a, doc_b, jacc FROM pairs")
+
+
+def _decontaminate_fuzzy_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return ("WITH sh AS (" + _SH_CTE.format(src="documents") + ")"
+            + _minhash_pairs_chain(sf_dir) + """,
 x AS (
   SELECT CASE WHEN da.source != 'src0' THEN p.doc_a
               ELSE p.doc_b END AS doc_id,
@@ -2540,15 +2583,18 @@ x AS (
 SELECT doc_id, count(*) AS n_eval_matches, round(max(jacc), 3) AS max_jacc
 FROM x GROUP BY doc_id
 """)
+
+
+@_q("decontaminate_fuzzy", _decontaminate_fuzzy_oracle)
 def q_decontaminate_fuzzy(spark, sf_dir):
     """Paraphrase-level contamination (contamination.fuzzy_
     contamination): src0 plays the eval set, the rest the training
     corpus; training docs near-duplicating any eval doc at Jaccard >=
     0.8 are flagged with match count + max similarity. MinHash+LSH
     cost profile (banded candidates, exact verify) — never
-    |train| x |eval|. The oracle replicates the same banded chain
-    (_minhash_lsh_ctes) restricted to cross-source pairs, so it runs
-    at any sf (the brute-force spec was O(|train| x |eval|))."""
+    |train| x |eval|. Oracle is sf-conditional (_minhash_pairs_chain):
+    full brute-force spec at driver scales, banded replica past
+    them."""
     from .operators import contamination
 
     docs = _t(spark, sf_dir, "documents")
@@ -2601,14 +2647,15 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     return dedup.minhash_estimate_audit(_t(spark, sf_dir, "documents"))
 
 
-@_q("dedup_minhash_lsh", _MINHASH_ORACLE)
+@_q("dedup_minhash_lsh", _minhash_lsh_oracle)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (128 perms) + LSH banding (32 bands x 4 rows) + exact
-    verification at Jaccard >= 0.8. The oracle replicates the
-    signature/banding/verify chain relationally (_minhash_lsh_ctes) —
-    bit-identical signatures, band-slice candidates, exact rounded
-    Jaccard — so parity checks run at any sf (the historical
-    brute-force spec was O(n^2) and could not finish past sf0.1)."""
+    verification at Jaccard >= 0.8. Oracle is sf-conditional
+    (_minhash_pairs_chain): the brute-force all-pairs spec at driver
+    scales — every true pair must be RECALLED, not just verified —
+    and the banded relational replica (bit-identical signatures,
+    band-slice candidates, exact rounded Jaccard) where O(n^2) cannot
+    finish."""
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
                                    threshold=0.8)
 
@@ -2699,7 +2746,12 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 # North star: end-to-end corpus curation (operators/pipeline.py)
 # ======================================================================
 
-_CURATE_ORACLE_BASE = (r"""
+def _curate_oracle_base(sf_dir: str = DRIVER_SF_DIR) -> str:
+    """Quality -> exact-dedup -> near-dedup losers -> kept CTE chain;
+    the near-dup ``pairs`` step is sf-conditional via
+    _minhash_pairs_chain (brute-force spec at driver scales, banded
+    replica past them)."""
+    return (r"""
 WITH q AS (
   SELECT doc_id, text FROM documents
   WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20
@@ -2708,10 +2760,8 @@ keep_exact AS (
   SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
 ),
 uniq AS (SELECT q.* FROM q JOIN keep_exact USING (doc_id)),
-sh AS (""" + _SH_CTE.format(src="uniq") + "),"
-    # near-dedup via the banded MinHash chain (the brute-force
-    # all-pairs losers CTE was O(n^2) and could not finish at sf>=1)
-    + _minhash_lsh_ctes() + r""",
+sh AS (""" + _SH_CTE.format(src="uniq") + ")"
+            + _minhash_pairs_chain(sf_dir) + r""",
 losers AS (
   SELECT DISTINCT doc_b AS doc_id FROM pairs
 ),
@@ -2725,8 +2775,21 @@ kept AS (
 """)
 
 
-@_q("pipeline_curate", _CURATE_ORACLE_BASE
-    + "SELECT doc_id, n_tokens, n_bpe_tokens FROM kept")
+def _pipeline_curate_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return (_curate_oracle_base(sf_dir)
+            + "SELECT doc_id, n_tokens, n_bpe_tokens FROM kept")
+
+
+def _pipeline_stats_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return _curate_oracle_base(sf_dir) + """
+SELECT count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_bpe_tokens)::BIGINT AS total_bpe_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens
+FROM kept
+"""
+
+
+@_q("pipeline_curate", _pipeline_curate_oracle)
 def q_pipeline_curate(spark, sf_dir):
     """Full curation pipeline (quality >= 20 tokens, exact dedup,
     MinHash near-dedup at 0.8) as one lazy plan; emits the surviving
@@ -2737,12 +2800,7 @@ def q_pipeline_curate(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "n_bpe_tokens")
 
 
-@_q("pipeline_stats", _CURATE_ORACLE_BASE + """
-SELECT count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
-       sum(n_bpe_tokens)::BIGINT AS total_bpe_tokens,
-       round(avg(n_tokens), 2) AS avg_tokens
-FROM kept
-""")
+@_q("pipeline_stats", _pipeline_stats_oracle)
 def q_pipeline_stats(spark, sf_dir):
     """Training-budget summary of the curated corpus (one row)."""
     from .operators import pipeline
