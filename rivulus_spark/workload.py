@@ -3723,38 +3723,38 @@ def q_embedding_quantize(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-5 rotation (VERDICT r4 item 1): the 50 of the 65
-    # queries whose last formal driver row predates r4, so every row in
-    # CORRECTNESS_r05.json re-verifies the final r4/r5 code. The 15
-    # left for r6 are pure-relational ops unchanged since r1/r2
-    # (filter_compare, limit_topk, join_inner, join_part_promo,
-    # agg_having, array_agg_sorted, unpivot_status, distinct_op,
-    # union_op, left_join_missing, intersect_op, except_op, cube_count,
-    # scalar_subquery, in_subquery_agg) — all green in the judge's
-    # independent r4 re-run. Families whose modules changed in r4
-    # lead: expr / asof / timeseries / text / clean / pack / sample /
-    # streaming joins / sinks.
-    "expr_int_div", "asof_join_events", "events_resample",
-    "text_token_count", "text_bpe_tokens", "text_chunking",
-    "text_fingerprint", "text_repetition", "lang_id", "ngram_topk",
-    "tfidf_terms", "vocab_topk", "encode_docs",
-    "pii_scrub", "html_strip", "lexicon_filter", "c4_line_filter",
-    "gopher_quality",
-    "sequence_packing", "stratified_sample", "train_eval_split",
-    "source_quota", "token_budget_mix",
-    "stream_events_hourly", "stream_interval_join", "events_sliding",
-    "events_hourly", "sessionize", "events_json",
-    "jsonl_source_roundtrip", "partitioned_sink_roundtrip",
-    # adaptive-LSH family touched this round (oracle builders)
-    "embedding_neardup_lsh", "knn_cosine", "embedding_label_stats",
-    "embedding_quantize",
-    # remaining pre-r4 rows
-    "window_rank", "window_running", "window_range_frame",
-    "rollup_count", "doc_stats_by_source", "ngram_jaccard",
-    "dedup_survivors", "decontaminate", "decontaminate_fuzzy",
-    "pipeline_stats", "agg_salted", "join_salted",
-    "multimodal_frame_sample", "multimodal_audio_features",
-    "multimodal_binary_stats",
+    # --- round-7 rotation (VERDICT r6 item 1): (a) the 4 round-6
+    # operators that shipped without a driver row; (b) the 15
+    # r1-r3-vintage relational ops whose last formal record predates
+    # r4; (c) the queries whose ORACLES or CODE changed this round
+    # (sf-conditional brute-force MinHash oracles; curate token-budget
+    # fusion; blended-width adaptive LSH); (d) the rest of the window
+    # backfilled with r4-vintage rows, north-star operators first.
+    # The 22 remaining r4 rows (agg_q*, join variants, window_lag/
+    # ntile, multimodal image/resize, orc/evolution/shard sinks,
+    # select_project, expr_arith, pivot_status, range_join_events,
+    # mem_source_join) rotate in r8.
+    # (a) round-6 debuts
+    "stream_sessionize", "stream_dedup_watermark",
+    "dedup_minhash_estimate", "embedding_neardup_clusters",
+    # (b) r1-r3-vintage relational
+    "filter_compare", "limit_topk", "join_inner", "join_part_promo",
+    "agg_having", "array_agg_sorted", "unpivot_status", "distinct_op",
+    "union_op", "left_join_missing", "intersect_op", "except_op",
+    "cube_count", "scalar_subquery", "in_subquery_agg",
+    # (c) oracle/code changed in r7
+    "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
+    "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
+    "ann_recall",
+    # (d) r4-vintage backfill
+    "dedup_exact", "dedup_clusters", "dedup_simhash",
+    "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
+    "stream_running_totals", "text_quality", "charlm_quality",
+    "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
+    "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
+    "heavy_hitters", "column_profile", "length_histogram",
+    "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
+    "sql_entry_q6", "csv_source_roundtrip", "csv_sink_roundtrip",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
