@@ -226,16 +226,25 @@ def cosine_neardup_pairs_blocked(df: DataFrame, threshold: float,
             .filter(F.col("sim") >= threshold))
 
 
-def band_width(n_planes: int, n_bands: int) -> int:
-    """Bits per LSH band (ceil division). Shared by the Spark operator
-    and the SQL oracle generator (workload._neardup_lsh_oracle) — the
-    two MUST band identically for oracle parity, so neither hardcodes
-    the formula."""
-    return n_planes // n_bands + (1 if n_planes % n_bands else 0)
+def band_widths(n_planes: int, n_bands: int) -> list[int]:
+    """Per-band bit widths: the first ``n_planes % n_bands`` bands get
+    ``floor + 1`` bits, the rest ``floor`` — the same remainder
+    distribution simhash_pairs uses, so no band is ever empty for
+    n_planes >= n_bands. Shared by the Spark operator and the SQL
+    oracle generator (workload._neardup_lsh_oracle) — the two MUST
+    band identically for oracle parity, so neither hardcodes the
+    formula. Band j's planes start at sum(widths[:j])."""
+    if n_planes < n_bands:
+        raise ValueError(
+            f"n_planes={n_planes} < n_bands={n_bands}: a zero-bit band "
+            f"would be a constant join key whose self-join degenerates "
+            f"to the O(n^2) cross product")
+    base, rem = divmod(n_planes, n_bands)
+    return [base + 1 if j < rem else base for j in range(n_bands)]
 
 
 def adaptive_lsh_params(n_rows: int, base_width: int = 4,
-                        base_bands: int = 4, target_occupancy: int = 16,
+                        base_bands: int = 4, target_occupancy: int = 8,
                         design_sim: float = 0.9,
                         max_bands: int = 16) -> tuple[int, int]:
     """(n_planes, n_bands) sized to the corpus so candidate volume
@@ -243,34 +252,62 @@ def adaptive_lsh_params(n_rows: int, base_width: int = 4,
 
     With FIXED bits per band, expected bucket occupancy grows linearly
     with n and intra-bucket candidate pairs quadratically — measured as
-    a 22x time ratio on 10x data in the r3 scale audit. Two axes adapt:
+    a 22x time ratio on 10x rows in the r3 scale audit. Two axes adapt:
 
-    - width (bits/band) grows with log2(n) until expected occupancy
-      n/2^width falls to ~target_occupancy — the same reasoning as
-      sizing shuffle partitions to data volume. Capped at 15 (32k
-      buckets/band; int64 band values forever safe).
-    - n_bands grows to compensate the recall each extra bit costs: a
-      pair at design_sim collides per-plane with prob p = 1-acos(s)/pi,
-      per band p^width, overall 1-(1-p^width)^bands. Bands increase
-      until the miss rate at the new width is back to the base
-      (4 bits x 4 bands) design point, capped at max_bands — past the
-      cap recall decays slowly with corpus size, the standard LSH
-      trade (multiprobe is the next rung, out of scope).
+    - width (bits/band) tracks log2(n / target_occupancy)
+      FRACTIONALLY (r7, the occupancy-sawtooth fix): the integer rule
+      "smallest w with n/2^w <= target" let expected occupancy — and
+      with it candidate volume — swing 2x between width steps
+      (measured 9.8 at sf1 vs 12.2 at sf10 ⇒ 15.1x candidates on 10x
+      rows, the 12.98x sf10 curve point). Instead the fractional part
+      f of log2(n/target) is realized by giving k ≈
+      2*bands*(1 - 2^-f) of the bands one extra bit (remainder
+      distribution, band_widths), which holds the MEAN per-band
+      occupancy at exactly target_occupancy for every n: candidate
+      volume is smooth and truly linear in n, no sawtooth. Width caps
+      at 15 (32k buckets/band; int64 band values forever safe).
+    - n_bands grows to compensate the recall the extra bits cost: a
+      pair at design_sim collides per-plane with prob p =
+      1-acos(s)/pi, per band p^width_j, overall 1 - prod_j
+      (1-p^width_j). Bands increase until the miss rate at the
+      blended widths is back to the base (4 bits x 4 bands) design
+      point, capped at max_bands — past the cap recall decays slowly
+      with corpus size, the standard LSH trade (multiprobe is the
+      next rung, out of scope).
+    - target_occupancy dropped 16 -> 8 (r7): one extra bit halves
+      per-band candidates; the bands loop buys the recall back, and
+      the blended miss rate stays at or below the historical design
+      point wherever bands are under the cap.
 
     Deterministic in n_rows alone, so the SQL oracle generator derives
     bit-identical parameters from the same row count. Returns
-    (n_planes, n_bands) with n_planes = width * n_bands."""
+    (n_planes, n_bands); per-band widths follow from
+    band_widths(n_planes, n_bands)."""
     import math
 
-    width = base_width
-    while (n_rows >> width) > target_occupancy and width < 15:
-        width += 1
+    if n_rows <= (target_occupancy << base_width):
+        x = float(base_width)
+    else:
+        x = min(15.0, math.log2(n_rows / target_occupancy))
+    w = int(x)
+    f = x - w
     p = 1.0 - math.acos(design_sim) / math.pi
     target_miss = (1.0 - p ** base_width) ** base_bands
+
+    def extra_bit_bands(bands: int) -> int:
+        # k of the bands carry w+1 bits; k/bands chosen so the mean
+        # occupancy (n/2^w)*(bands-k + k/2)/bands equals the target
+        return min(bands, round(2 * bands * (1.0 - 2.0 ** -f)))
+
+    def miss(bands: int) -> float:
+        k = extra_bit_bands(bands)
+        return ((1.0 - p ** (w + 1)) ** k
+                * (1.0 - p ** w) ** (bands - k))
+
     bands = base_bands
-    while (1.0 - p ** width) ** bands > target_miss and bands < max_bands:
+    while miss(bands) > target_miss and bands < max_bands:
         bands += 1
-    return width * bands, bands
+    return w * bands + extra_bit_bands(bands), bands
 
 
 def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
@@ -300,34 +337,29 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     oracle generator, so the approximation itself is oracle-checkable.
 
     Band values are computed per band (bit i of band j = sign of plane
-    j*width+i), not packed into one int64 signature — identical buckets
-    to the historical packed form for n_planes <= 63, but with no cap
-    on total planes, which adaptive_lsh_params needs at large corpus
-    sizes. Above _CODEGEN_PLANE_LIMIT planes the per-plane codegen
+    offsets[j]+i), not packed into one int64 signature — identical
+    buckets to the historical packed form for n_planes <= 63, but with
+    no cap on total planes, which adaptive_lsh_params needs at large
+    corpus sizes. Per-band widths come from band_widths (remainder-
+    distributed floor/floor+1 — the blended layout adaptive_lsh_params
+    uses to hold mean occupancy at its target for every corpus size;
+    no band is ever empty, so no constant-key cross-join degeneration).
+    Above _CODEGEN_PLANE_LIMIT planes the per-plane codegen
     expressions are replaced by one Arrow mapInPandas stage doing a
     single (batch x dim) @ (dim x planes) matmul — same bucket keys,
     BLAS instead of an unrolled expression tree Janino would choke on.
     """
-    width = band_width(n_planes, n_bands)
-    if n_planes <= width * (n_bands - 1):
-        # a band with zero real planes would be a constant-0 join key
-        # whose self-join degenerates to the O(n^2) cross product —
-        # same guard as simhash_pairs' remainder-distributed bands
-        raise ValueError(
-            f"n_planes={n_planes} leaves band {n_planes // width} of "
-            f"{n_bands} with no real planes (width {width}); choose "
-            f"n_planes > width*(n_bands-1), e.g. a multiple of n_bands")
+    widths = band_widths(n_planes, n_bands)
     base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
     from .. import cache
     base = cache.persist(base)
     if n_planes <= _CODEGEN_PLANE_LIMIT:
-        bands = _bands_array_expr("vec", dim, width, n_bands, n_planes)
+        bands = _bands_array_expr("vec", dim, widths)
         e = (base.select("id", F.explode(bands).alias("b"))
              .select("id", F.col("b.bi").alias("bi"),
                      F.col("b.bv").alias("bv")))
     else:
-        e = _band_rows_numpy(base.select("id", "vec"), dim, width, n_bands,
-                             n_planes)
+        e = _band_rows_numpy(base.select("id", "vec"), dim, widths)
     l, r = e.alias("l"), e.alias("r")
     cands = (l.join(r, (F.col("l.bi") == F.col("r.bi"))
                     & (F.col("l.bv") == F.col("r.bv"))
@@ -361,46 +393,41 @@ def _plane_dot_sql(col_name: str, p: int, dim: int) -> str:
         for k in range(dim)) + ")"
 
 
-def _bands_array_expr(col_name: str, dim: int, width: int,
-                      n_bands: int, n_planes: int) -> Column:
+def _bands_array_expr(col_name: str, dim: int, widths: list[int]) -> Column:
     """Codegen'd array<struct<bi,bv>> of band values: bit i of band j
-    = sign of plane j*width+i. Bit layout identical to the packed-int64
-    signature's band slice, so candidate sets match the historical form
-    and the SQL oracle; when n_planes is not divisible by n_bands the
-    last band covers fewer real planes — positions past n_planes stay
-    0, exactly as the packed signature's high bits did (no phantom
-    planes). Built as ONE JVM-parsed SQL string: composing ~n_planes x
-    dim literal Columns through py4j measured ~0.8s of driver-side
-    plan construction per query — fixed cost at any data size, and
-    driver-serializing at cluster scale."""
+    = sign of plane offsets[j]+i, with per-band widths from
+    band_widths (remainder-distributed, so bands may differ by one
+    bit — the r7 blended-width layout). Built as ONE JVM-parsed SQL
+    string: composing ~n_planes x dim literal Columns through py4j
+    measured ~0.8s of driver-side plan construction per query — fixed
+    cost at any data size, and driver-serializing at cluster scale."""
     structs = []
-    for j in range(n_bands):
-        terms = []
-        for i in range(width):
-            p = j * width + i
-            if p >= n_planes:
-                break
-            terms.append(
-                f"IF({_plane_dot_sql(col_name, p, dim)} >= 0, {1 << i}, 0)")
+    off = 0
+    for j, w in enumerate(widths):
+        terms = [
+            f"IF({_plane_dot_sql(col_name, off + i, dim)} >= 0, {1 << i}, 0)"
+            for i in range(w)]
+        off += w
         bv = "CAST(" + " + ".join(terms) + " AS BIGINT)"
         structs.append(f"struct({j} AS bi, {bv} AS bv)")
     return F.expr("array(" + ", ".join(structs) + ")")
 
 
-def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
-                     n_bands: int, n_planes: int | None = None) -> DataFrame:
+def _band_rows_numpy(df_id_vec: DataFrame, dim: int,
+                     widths: list[int]) -> DataFrame:
     """(id, bi, bv) band rows via one matmul per Arrow batch — the
     large-plane-count path. Sign decisions use float64 accumulation;
     order of summation differs from the codegen fold, so a dot product
     within ~1e-12 of zero could bucket differently than the expression
     path — harmless for candidate generation (verification is exact).
-    Like _band_value_expr, bit positions past n_planes stay 0 when the
-    last band is short (n_planes not divisible by n_bands)."""
+    Band j covers planes [offsets[j], offsets[j]+widths[j]) — the same
+    blended-width layout as _bands_array_expr."""
     import numpy as np
     import pandas as pd
 
-    if n_planes is None:
-        n_planes = width * n_bands
+    n_bands = len(widths)
+    n_planes = sum(widths)
+    offsets = [sum(widths[:j]) for j in range(n_bands)]
     planes = np.array([[plane_component(p, k) for k in range(dim)]
                        for p in range(n_planes)], dtype=np.float64).T
 
@@ -412,7 +439,7 @@ def _band_rows_numpy(df_id_vec: DataFrame, dim: int, width: int,
             signs = (mat @ planes) >= 0
             bvs = np.zeros((len(pdf), n_bands), dtype=np.int64)
             for j in range(n_bands):
-                lo, hi = j * width, min((j + 1) * width, n_planes)
+                lo, hi = offsets[j], offsets[j] + widths[j]
                 w = (1 << np.arange(hi - lo, dtype=np.int64))
                 bvs[:, j] = signs[:, lo:hi] @ w
             ids = pdf["id"].to_numpy()

@@ -3015,10 +3015,12 @@ def _neardup_lsh_oracle(sf_dir: str = DRIVER_SF_DIR, dim: int = 64,
     (band_idx, band_value), exact rounded-sim verify. LSH parameters
     come from adaptive_lsh_params over `sf_dir`'s row count via
     _emb_rows — the same call the Spark query performs — so both
-    engines band identically at any comparison scale (500 vectors
-    resolve to 5 bits x 6 bands = 30 planes)."""
+    engines band identically at any comparison scale. Per-band widths
+    follow similarity.band_widths' remainder distribution (the r7
+    blended-width layout that holds mean bucket occupancy at the
+    target for every corpus size)."""
     n_planes, n_bands = similarity.adaptive_lsh_params(_emb_rows(sf_dir))
-    width = similarity.band_width(n_planes, n_bands)
+    widths = similarity.band_widths(n_planes, n_bands)
 
     def plane_dot(p):
         arr = ", ".join(repr(similarity.plane_component(p, i))
@@ -3026,14 +3028,11 @@ def _neardup_lsh_oracle(sf_dir: str = DRIVER_SF_DIR, dim: int = 64,
         return f"list_dot_product(emb, [{arr}])"
 
     band_selects = []
-    for j in range(n_bands):
-        terms = []
-        for i in range(width):
-            pl = j * width + i
-            if pl >= n_planes:
-                break
-            terms.append(f"(CASE WHEN {plane_dot(pl)} >= 0 "
-                         f"THEN {2 ** i} ELSE 0 END)")
+    off = 0
+    for j, w in enumerate(widths):
+        terms = [f"(CASE WHEN {plane_dot(off + i)} >= 0 "
+                 f"THEN {2 ** i} ELSE 0 END)" for i in range(w)]
+        off += w
         bv = "\n           + ".join(terms)
         band_selects.append(
             f"SELECT vec_id, {j} AS j, ({bv})::BIGINT AS bv FROM e")

@@ -312,21 +312,40 @@ def test_neardup_lsh_subset_of_exact(vecs):
         assert exact[(r.id_a, r.id_b)] == r.sim
 
 
-def test_adaptive_lsh_params_bounds_occupancy_and_bands():
-    """Bits/band grow with log2(n) so expected bucket occupancy stays
-    bounded (the r3 scale audit measured 22x time on 10x rows with
-    fixed bits); bands grow to hold the design recall but stay capped."""
-    prev_width = 0
-    for n in [100, 1_000, 10_000, 1_000_000, 10 ** 9]:
+def test_adaptive_lsh_params_holds_mean_occupancy():
+    """r7 blended widths: mean per-band bucket occupancy stays pinned
+    near the target for EVERY corpus size (the integer width rule let
+    it sawtooth 2x between width steps — the 12.98x sf10 curve point);
+    bands grow to hold the design recall but stay capped."""
+    import math
+
+    target = 8
+    for n in [200, 1_000, 10_000, 123_456, 1_000_000, 10 ** 9]:
         n_planes, bands = similarity.adaptive_lsh_params(n)
-        width = n_planes // bands
-        assert n_planes == width * bands
-        assert (n >> width) <= 16 or width == 15
+        widths = similarity.band_widths(n_planes, bands)
+        assert sum(widths) == n_planes
         assert 4 <= bands <= 16
-        assert width >= prev_width  # monotone in corpus size
-        prev_width = width
-    # the driver's sf0.01 point resolves to the historical setting
-    assert similarity.adaptive_lsh_params(200) == (16, 4)
+        assert all(4 <= w <= 15 for w in widths)
+        assert max(widths) - min(widths) <= 1  # remainder distribution
+        occ = sum(n / 2 ** w for w in widths) / bands
+        if min(widths) > 4 and max(widths) < 15:
+            # away from the width floor/cap the blend holds the mean
+            # occupancy within k-rounding of the target (+-1/8)
+            assert 0.8 * target <= occ <= 1.25 * target, (n, occ)
+        else:
+            assert occ <= 1.25 * target or max(widths) == 15
+    # small corpora stay at the historical base design point
+    assert similarity.adaptive_lsh_params(100) == (16, 4)
+    # smoothness across width steps: doubling the corpus (which under
+    # the integer rule flipped occupancy 2x at each power-of-2
+    # boundary) now keeps mean occupancy inside the k-rounding band —
+    # candidate volume scales linearly with n, no sawtooth
+    occs = []
+    for n in [6_000, 12_000, 24_000, 48_000, 96_000]:
+        n_planes, bands = similarity.adaptive_lsh_params(n)
+        widths = similarity.band_widths(n_planes, bands)
+        occs.append(sum(n / 2 ** w for w in widths) / bands)
+    assert max(occs) / min(occs) < 1.35, occs
 
 
 def test_lsh_numpy_band_path_matches_codegen(vecs, monkeypatch):
@@ -1357,9 +1376,10 @@ def test_ivf_assign_cells_empty_broadcast_raises(spark):
 
 
 def test_lsh_non_divisible_planes_no_phantom_bits(spark, monkeypatch):
-    """Review r4: with n_planes=10, n_bands=4 the last band covers only
-    planes 8-9 — positions past n_planes must stay 0 (as the packed
-    signature's high bits did), identically in both band paths."""
+    """With n_planes=10, n_bands=4 the remainder distribution gives
+    widths [3,3,2,2] (r7 blended layout) — both band paths (codegen
+    expressions and the numpy matmul) must realize the identical
+    layout, and no band position past its width may carry bits."""
     rows = [(i, [float(i % 5) - 2.0, float(i % 3), 1.0]) for i in range(12)]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     want = sorted((r.id_a, r.id_b) for r in

@@ -152,18 +152,25 @@ def test_distributed_rank_matches_global_window(spark, vals, n):
 @given(n=st.integers(min_value=1, max_value=10 ** 12))
 @settings(max_examples=200, deadline=None)
 def test_adaptive_lsh_params_invariants(n):
-    """For ANY corpus size: planes = width*bands, every band holds real
-    bits (no zero-plane band -> no constant-key cross join), occupancy
-    is bounded unless at the width cap, and bands stay in [4, 16]."""
+    """For ANY corpus size: every band holds real bits (no zero-plane
+    band -> no constant-key cross join), per-band widths differ by at
+    most one bit (remainder distribution), MEAN occupancy is pinned
+    near the target away from the width floor/cap (the r7 blended
+    layout — no 2x sawtooth between width steps), and bands stay in
+    [4, 16]."""
     from rivulus_spark.operators import similarity
 
     n_planes, bands = similarity.adaptive_lsh_params(n)
-    width = n_planes // bands
-    assert n_planes == width * bands
-    assert 4 <= width <= 15 and 4 <= bands <= 16
-    assert (n >> width) <= 16 or width == 15
-    # the operator-level guard accepts these parameters
-    assert n_planes > width * (bands - 1)
+    widths = similarity.band_widths(n_planes, bands)
+    assert sum(widths) == n_planes and len(widths) == bands
+    assert 4 <= bands <= 16
+    assert all(4 <= w <= 15 for w in widths)
+    assert max(widths) - min(widths) <= 1
+    occ = sum(n / 2 ** w for w in widths) / bands
+    if min(widths) > 4 and max(widths) < 15:
+        assert 0.8 * 8 <= occ <= 1.25 * 8
+    else:
+        assert occ <= 1.25 * 8 or max(widths) == 15
 
 
 @given(n=st.integers(min_value=1, max_value=10 ** 12))
