@@ -202,7 +202,9 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     each run picks up where the last stopped). ``complete`` re-emits
     the full aggregate each micro-batch (exact batch parity);
     ``append`` emits only windows the watermark has closed (what a
-    production sink would receive).
+    production sink would receive — the exact emission contract under
+    time-ordered replay is pinned by tests/test_streaming.py::
+    test_session_append_emits_watermark_closed_only).
     """
     q = (stream_df.writeStream
          .format("memory")

@@ -913,7 +913,14 @@ def q_stream_sessionize(spark, sf_dir):
     gaps > 30 min; the testdata has no exact-boundary gap, checked at
     sf0.01/sf0.1/sf1). At scale the state store holds one open session
     per active user, evicted by the watermark, versus the batch form's
-    full-corpus shuffle-and-sort per run."""
+    full-corpus shuffle-and-sort per run.
+
+    Complete mode is the AvailableNow-HARNESS shape only (append would
+    withhold sessions still open at end-of-stream, breaking batch
+    parity); the production continuous-deployment shape is append +
+    watermark eviction, whose exact emission contract — precisely the
+    sessions the final watermark closed — is pinned by
+    tests/test_streaming.py::test_session_append_emits_watermark_closed_only."""
     import tempfile
     import uuid
 
