@@ -306,6 +306,32 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
             .mapInPandas(gen, schema="id long, sig array<long>"))
 
 
+def band_hash_rows(sigs: DataFrame, id_col: str = "id",
+                   sig_col: str = "sig",
+                   rows_per_band: int = LSH_ROWS,
+                   num_perm: int = NUM_PERM) -> DataFrame:
+    """(id, bh) LSH band-hash rows of a signature table — the exploded
+    banding projection shared by the self-join dedup
+    (lsh_candidate_pairs) and the incremental index path
+    (minhash_band_index): band b's hash is xxhash64 over the band
+    index and its rows_per_band signature slots. The band index is
+    salted INTO the hash, so one equi-join column covers all bands.
+    See lsh_candidate_pairs for why these hashes need not be
+    engine-portable and why the array is built as one SQL string."""
+    if num_perm % rows_per_band:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by rows_per_band "
+            f"({rows_per_band})")
+    n_bands = num_perm // rows_per_band
+    bands = F.expr("array(" + ", ".join(
+        f"xxhash64({b}, " + ", ".join(
+            f"element_at(`{sig_col}`, {b * rows_per_band + i + 1})"
+            for i in range(rows_per_band)) + ")"
+        for b in range(n_bands)) + ")")
+    return sigs.select(F.col(id_col).alias("id"),
+                       F.explode(bands).alias("bh"))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
                         sig_col: str = "sig",
                         rows_per_band: int = LSH_ROWS,
@@ -328,18 +354,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
     construction per call (the int literal salt and 1-based
     element_at slots type-match the historical F.lit/F.element_at
     form, so band hashes are unchanged)."""
-    if num_perm % rows_per_band:
-        raise ValueError(
-            f"num_perm ({num_perm}) must be divisible by rows_per_band "
-            f"({rows_per_band})")
-    n_bands = num_perm // rows_per_band
-    bands = F.expr("array(" + ", ".join(
-        f"xxhash64({b}, " + ", ".join(
-            f"element_at(`{sig_col}`, {b * rows_per_band + i + 1})"
-            for i in range(rows_per_band)) + ")"
-        for b in range(n_bands)) + ")")
-    exploded = sigs.select(F.col(id_col).alias("id"),
-                           F.explode(bands).alias("bh"))
+    exploded = band_hash_rows(sigs, id_col, sig_col, rows_per_band,
+                              num_perm)
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(r, (F.col("l.bh") == F.col("r.bh"))
@@ -407,6 +423,104 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     jacc = F.when(union > 0,
                   F.col("n_inter").cast("double") / union).otherwise(F.lit(0.0))
     return (withn.select("doc_a", "doc_b", F.round(jacc, 3).alias("jacc"))
+            .filter(F.col("jacc") >= threshold))
+
+
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_perm: int = NUM_PERM,
+                       rows_per_band: int = LSH_ROWS) -> DataFrame:
+    """(id, bh) MinHash band-hash index of a curated corpus — the
+    persisted artifact incremental ingest dedups against
+    (minhash_lsh_dedup_incremental). 32 longs per document instead of
+    re-signing the corpus per ingest: at 100 TB this is built once,
+    written as a table BUCKETED on ``bh`` (sources/bucketed.py), and
+    every daily delta joins it with zero corpus-side shuffle — the
+    shuffle-once-join-many trade the bucketed sinks exist for."""
+    sigs = minhash_signatures_arrow(df, text_col, id_col, k, num_perm)
+    return band_hash_rows(sigs, rows_per_band=rows_per_band,
+                          num_perm=num_perm)
+
+
+def minhash_lsh_dedup_incremental(new_df: DataFrame, corpus_df: DataFrame,
+                                  index: DataFrame | None = None,
+                                  threshold: float = 0.8, k: int = 3,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  num_perm: int = NUM_PERM) -> DataFrame:
+    """Near-duplicates of a NEW ingest batch against an existing
+    corpus AND within the batch itself — the daily-ingest shape of
+    minhash_lsh_dedup: per-ingest work is proportional to the DELTA,
+    never the corpus.
+
+    Output: (doc_new, doc_match, jacc, match_in) — one row per
+    verified pair at exact Jaccard >= threshold; ``match_in`` is
+    'corpus' for matches against the existing corpus and 'batch' for
+    batch-internal pairs, where doc_match < doc_new (the earlier id
+    wins, minhash_lsh_dedup's survivor orientation). Callers admit
+    exactly the new docs with no output row (plus batch survivors).
+
+    Scale shape: the batch is signed map-only
+    (minhash_signatures_arrow, delta-sized); corpus candidates come
+    from ONE equi-join of the delta's band rows against the (id, bh)
+    band index — pass ``index`` (minhash_band_index output, built once
+    and ideally bucketed on bh) so the corpus is never re-signed;
+    batch-internal candidates are the standard banding self-join of
+    the delta. Exact verification explodes shingles ONLY for docs in
+    some candidate pair (semi-join pushed below the explode), so the
+    corpus contributes index rows and the shingle rows of its
+    candidate-matched docs — nothing else. Requires the id spaces of
+    batch and corpus to be disjoint (shingle verification unions both
+    sides keyed on id)."""
+    new_sigs = cache.persist(minhash_signatures_arrow(
+        new_df, text_col, id_col, k, num_perm))
+    new_bands = cache.persist(band_hash_rows(new_sigs, num_perm=num_perm))
+    idx = index if index is not None else minhash_band_index(
+        corpus_df, text_col, id_col, k, num_perm)
+    cross = (new_bands.alias("n")
+             .join(idx.alias("o"), F.col("n.bh") == F.col("o.bh"))
+             .select(F.col("n.id").alias("doc_new"),
+                     F.col("o.id").alias("doc_match"))
+             .distinct())
+    selfp = (new_bands.alias("a")
+             .join(new_bands.alias("b"), (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("b.id") < F.col("a.id")))
+             .select(F.col("a.id").alias("doc_new"),
+                     F.col("b.id").alias("doc_match"))
+             .distinct())
+    cands = cache.persist(
+        cross.withColumn("match_in", F.lit("corpus"))
+        .unionByName(selfp.withColumn("match_in", F.lit("batch"))))
+    new_side_ids = (cands.select(F.col("doc_new").alias(id_col))
+                    .union(cands.filter(F.col("match_in") == "batch")
+                           .select(F.col("doc_match").alias(id_col)))
+                    .distinct())
+    old_side_ids = (cands.filter(F.col("match_in") == "corpus")
+                    .select(F.col("doc_match").alias(id_col)).distinct())
+    rows = cache.persist(
+        shingle_rows(new_df.join(new_side_ids, id_col, "semi"),
+                     text_col, id_col, k)
+        .unionByName(shingle_rows(
+            corpus_df.join(old_side_ids, id_col, "semi"),
+            text_col, id_col, k)))
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cands
+        .join(rows.alias("ra"), cands.doc_new == F.col("ra.id"))
+        .join(rows.alias("rb"), (cands.doc_match == F.col("rb.id"))
+              & (F.col("ra.s") == F.col("rb.s")))
+        .groupBy("doc_new", "doc_match", "match_in")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    withn = (cands.join(inter, ["doc_new", "doc_match", "match_in"], "left")
+             .na.fill({"n_inter": 0})
+             .join(sizes.alias("na"), cands.doc_new == F.col("na.id"))
+             .join(sizes.alias("nb"), cands.doc_match == F.col("nb.id")))
+    union = F.col("na.n") + F.col("nb.n") - F.col("n_inter")
+    jacc = F.when(union > 0,
+                  F.col("n_inter").cast("double") / union).otherwise(F.lit(0.0))
+    return (withn.select("doc_new", "doc_match",
+                         F.round(jacc, 3).alias("jacc"), "match_in")
             .filter(F.col("jacc") >= threshold))
 
 

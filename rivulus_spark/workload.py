@@ -2667,6 +2667,95 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                                    threshold=0.8)
 
 
+#: the source that plays the daily ingest batch in the incremental
+#: dedup query (5% of the corpus at every sf). src7 is the source with
+#: planted near-dups of BOTH kinds at the driver scale: 4 cross-source
+#: pairs and one batch-internal pair at sf0.01, so the debut driver row
+#: exercises the corpus and batch match paths with nonzero output.
+_INC_DELTA_SRC = "src7"
+
+
+def _dedup_incremental_oracle(sf_dir: str = DRIVER_SF_DIR,
+                              threshold: float = 0.8) -> str:
+    """sf-conditional oracle for minhash_lsh_dedup_incremental. Small
+    sf: brute-force cross/self all-pairs over the delta — every true
+    (batch x corpus) and batch-internal pair must be RECALLED. At
+    sf >= 0.1: the banded replica bands ALL documents with the shared
+    _minhash_cand_ctes chain, keeps candidate pairs touching a delta
+    doc, and orients them (new side first; batch pairs keep the larger
+    id as doc_new, matching the operator's earlier-id-wins rule)."""
+    d = _INC_DELTA_SRC
+
+    def jacc(a: str, b: str) -> str:
+        return (f"round(len(list_intersect({a}.s, {b}.s))::DOUBLE"
+                f" / len(list_distinct(list_concat({a}.s, {b}.s))), 3)")
+
+    if _is_small_sf(sf_dir):
+        newd = f"(SELECT doc_id, text FROM documents WHERE source = '{d}')"
+        oldd = f"(SELECT doc_id, text FROM documents WHERE source != '{d}')"
+        return f"""
+WITH shn AS ({_SH_CTE.format(src=newd)}),
+sho AS ({_SH_CTE.format(src=oldd)}),
+pairs AS (
+  SELECT n.doc_id AS doc_new, o.doc_id AS doc_match,
+         {jacc('n', 'o')} AS jacc, 'corpus' AS match_in
+  FROM shn n CROSS JOIN sho o
+  WHERE {jacc('n', 'o')} >= {threshold}
+  UNION ALL
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_match,
+         {jacc('a', 'b')} AS jacc, 'batch' AS match_in
+  FROM shn a JOIN shn b ON b.doc_id < a.doc_id
+  WHERE {jacc('a', 'b')} >= {threshold}
+)
+SELECT doc_new, doc_match, jacc, match_in FROM pairs
+"""
+    return ("WITH sh AS (" + _SH_CTE.format(src="documents") + "),"
+            + _minhash_cand_ctes() + f""",
+cand2 AS (
+  SELECT c.doc_a, c.doc_b,
+         (da.source = '{d}') AS a_new, (db.source = '{d}') AS b_new
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+  WHERE da.source = '{d}' OR db.source = '{d}'
+),
+inc AS (
+  SELECT CASE WHEN a_new AND b_new THEN greatest(doc_a, doc_b)
+              WHEN a_new THEN doc_a ELSE doc_b END AS doc_new,
+         CASE WHEN a_new AND b_new THEN least(doc_a, doc_b)
+              WHEN a_new THEN doc_b ELSE doc_a END AS doc_match,
+         CASE WHEN a_new AND b_new THEN 'batch'
+              ELSE 'corpus' END AS match_in
+  FROM cand2
+),
+pairs AS (
+  SELECT i.doc_new, i.doc_match, {jacc('sa', 'sb')} AS jacc, i.match_in
+  FROM inc i
+  JOIN sh sa ON sa.doc_id = i.doc_new
+  JOIN sh sb ON sb.doc_id = i.doc_match
+  WHERE {jacc('sa', 'sb')} >= {threshold}
+)
+SELECT doc_new, doc_match, jacc, match_in FROM pairs
+""")
+
+
+@_q("dedup_incremental", _dedup_incremental_oracle)
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-ingest near-dedup (dedup.minhash_lsh_dedup_incremental):
+    source 'src7' plays the new batch, the rest the existing corpus.
+    The batch is signed map-only, checked against the corpus's
+    (id, bh) band index AND itself, and every candidate is verified
+    at exact Jaccard >= 0.8 — per-ingest cost proportional to the
+    delta, with the corpus contributing only index rows and the
+    shingles of candidate-matched docs. The index is built in-query
+    here; in production minhash_band_index is written once as a table
+    bucketed on bh, so the daily join has no corpus-side shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == _INC_DELTA_SRC)
+    corpus = docs.filter(F.col("source") != _INC_DELTA_SRC)
+    return dedup.minhash_lsh_dedup_incremental(new, corpus, threshold=0.8)
+
+
 #: SimHash width for the registered queries: 60 (word_hash's full
 #: width). Pigeonhole banding's bucket space is 2^(n_bits/(k+1)) per
 #: band — 32 bits at Hamming 3 caps at 256 buckets/band, so occupancy
@@ -3748,10 +3837,10 @@ _PRIORITY: list[str] = [
     "agg_having", "array_agg_sorted", "unpivot_status", "distinct_op",
     "union_op", "left_join_missing", "intersect_op", "except_op",
     "cube_count", "scalar_subquery", "in_subquery_agg",
-    # (c) oracle/code changed in r7
+    # (c) oracle/code changed or NEW in r7 (dedup_incremental debuts)
     "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
-    "ann_recall",
+    "ann_recall", "dedup_incremental",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
@@ -3760,7 +3849,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
     "heavy_hitters", "column_profile", "length_histogram",
     "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
-    "sql_entry_q6", "csv_source_roundtrip", "csv_sink_roundtrip",
+    "sql_entry_q6", "csv_source_roundtrip",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

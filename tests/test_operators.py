@@ -120,6 +120,50 @@ def test_minhash_lsh_matches_bruteforce(docs):
     assert lsh == brute
 
 
+def test_minhash_incremental_matches_full_batch(spark):
+    """r7 incremental dedup: delta-vs-(corpus index + delta self)
+    emits EXACTLY the full-corpus minhash_lsh_dedup pairs that touch a
+    delta doc, oriented new-first with the corpus/batch label —
+    corpus-internal duplicates must NOT appear. Also pins the
+    precomputed-index path (minhash_band_index) to the in-query one."""
+    corpus = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "an entirely unrelated corpus document about engines"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # corpus dup
+        (3, "another unrelated piece of corpus text entirely"),
+    ], "doc_id long, text string")
+    delta = spark.createDataFrame([
+        (10, "the quick brown fox jumps over the lazy cat"),  # ~0, ~2
+        (11, "the quick brown fox jumps over the lazy cat"),  # dup of 10
+        (12, "fresh never before seen ingest document text"),
+    ], "doc_id long, text string")
+    got = {(r.doc_new, r.doc_match): (r.jacc, r.match_in)
+           for r in dedup.minhash_lsh_dedup_incremental(
+               delta, corpus, threshold=0.5).collect()}
+    full = {(r.doc_a, r.doc_b): r.jacc
+            for r in dedup.minhash_lsh_dedup(
+                corpus.union(delta), threshold=0.5).collect()}
+    want = {}
+    for (a, b), j in full.items():
+        a_new, b_new = a >= 10, b >= 10
+        if not (a_new or b_new):
+            continue  # corpus-internal: incremental must not emit it
+        if a_new and b_new:
+            want[(max(a, b), min(a, b))] = (j, "batch")
+        else:
+            nw, old = (a, b) if a_new else (b, a)
+            want[(nw, old)] = (j, "corpus")
+    assert got == want
+    assert (0, 2) not in got and (2, 0) not in got
+    assert any(m == "corpus" for _, m in got.values())
+    assert got[(11, 10)][1] == "batch"
+    idx = dedup.minhash_band_index(corpus)
+    via_index = {(r.doc_new, r.doc_match): (r.jacc, r.match_in)
+                 for r in dedup.minhash_lsh_dedup_incremental(
+                     delta, corpus, index=idx, threshold=0.5).collect()}
+    assert via_index == got
+
+
 def test_minhash_estimate_audit(docs):
     """The estimator audit covers exactly the LSH candidate pairs,
     est_jacc is the exact dyadic n_agree/num_perm (no rounding), and
