@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
 from .text import token_count, tokens
 
 # ---------------------------------------------------------------------
@@ -218,6 +219,63 @@ def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("line_dedup_text", F.array_join(uniq, "\n"))
             .withColumn("uniq_md5",
                         F.md5(F.array_join(F.array_sort(uniq), "\n"))))
+
+
+def cross_doc_line_dedup(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_docs: int = 3) -> DataFrame:
+    """Corpus-level boilerplate line removal (the C4/RefinedWeb step
+    intra-doc dedup_lines cannot see): drop every line that appears in
+    at least ``min_docs`` DISTINCT documents — nav bars, footers,
+    cookie banners, license stubs — preserving each document's
+    remaining line order. Output: one row per input document with
+    ``n_lines``, ``n_kept``, ``clean_text`` (kept lines rejoined) and
+    ``clean_md5`` (its digest, the engine-portable observable).
+
+    Scale shape (100 TB): the exploded line stream carries
+    (id, pos, md5(line)) — fixed-width rows, the raw line text rides
+    only to the reassembly of docs that need it; the boilerplate table
+    is a distinct-doc count with map-side partials over the 16-byte
+    line hash; and ONLY AFFECTED documents (those sharing a line with
+    the boilerplate set — a semi-join) are reassembled via
+    group-and-sort. Untouched documents project straight through with
+    their original text: the reassembly shuffle is proportional to
+    boilerplate INCIDENCE, never the corpus. No windows, no Python."""
+    lines = F.split(_c(text_col), r"\n")
+    rows = (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(lines).alias("pos", "line"))
+            .withColumn("h", F.md5("line")))
+    rows = cache.persist(rows)
+    bp = (rows.groupBy("h")
+          .agg(F.countDistinct("id").alias("n_docs"))
+          .filter(F.col("n_docs") >= min_docs)
+          .select("h"))
+    bp = cache.persist(bp)
+    affected = rows.join(bp, "h", "semi").select("id").distinct()
+    arows = (rows.join(affected, "id", "semi")
+             .join(bp.withColumn("__bp", F.lit(True)), "h", "left"))
+    rebuilt = (arows.groupBy("id")
+               .agg(F.count("*").alias("n_lines"),
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__bp").isNull(),
+                               F.struct("pos", "line")))).alias("kept"))
+               .select(
+                   F.col("id").alias(id_col),
+                   F.col("n_lines").cast("long"),
+                   F.size("kept").cast("long").alias("n_kept"),
+                   F.array_join(F.transform(F.col("kept"),
+                                            lambda x: x["line"]), "\n")
+                   .alias("clean_text")))
+    untouched = (df.select(F.col(id_col), F.col(text_col))
+                 .join(affected.select(F.col("id").alias(id_col)),
+                       id_col, "anti")
+                 .select(
+                     id_col,
+                     F.size(lines).cast("long").alias("n_lines"),
+                     F.size(lines).cast("long").alias("n_kept"),
+                     F.col(text_col).alias("clean_text")))
+    return (rebuilt.unionByName(untouched)
+            .withColumn("clean_md5", F.md5("clean_text")))
 
 
 def c4_line_stats(df: DataFrame, text_col: str = "text",

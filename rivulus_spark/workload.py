@@ -1824,6 +1824,40 @@ def q_intra_doc_dedup(spark, sf_dir):
     return out.select("doc_id", "n_lines", "n_unique_lines", "uniq_md5")
 
 
+@_q("cross_doc_line_dedup", """
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(replace(text, ' value ', chr(10)),
+                                        chr(10)) AS lines
+           FROM documents),
+l AS (SELECT doc_id, unnest(lines) AS line FROM t),
+bp AS (SELECT line FROM l GROUP BY line
+       HAVING count(DISTINCT doc_id) >= 3),
+bpl AS (SELECT coalesce(list(line), []) AS bl FROM bp),
+k AS (SELECT doc_id, lines,
+             list_filter(lines, x -> NOT list_contains(bl, x)) AS kept
+      FROM t CROSS JOIN bpl)
+SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM k
+""")
+def q_cross_doc_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate line removal
+    (clean.cross_doc_line_dedup): documents get the same synthetic
+    line structure as intra_doc_dedup (' value ' -> newline), then
+    every line appearing in >= 3 distinct documents is stripped from
+    all of them, order preserved. The C4/RefinedWeb cross-document
+    step the within-doc pass cannot see; only affected docs are
+    reassembled (shuffle ∝ boilerplate incidence). The observable is
+    per-doc line counts plus the digest of the kept lines."""
+    from .operators import clean
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("t2", F.replace(F.col("text"), F.lit(" value "),
+                                        F.lit("\n"))))
+    out = clean.cross_doc_line_dedup(docs, "t2", min_docs=3)
+    return out.select("doc_id", "n_lines", "n_kept", "clean_md5")
+
+
 @_q("gopher_quality", rf"""
 WITH {_GOPHER_CTE}
 SELECT doc_id, wc::BIGINT AS wc,
@@ -3840,7 +3874,7 @@ _PRIORITY: list[str] = [
     # (c) oracle/code changed or NEW in r7 (dedup_incremental debuts)
     "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
-    "ann_recall", "dedup_incremental",
+    "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
@@ -3849,7 +3883,7 @@ _PRIORITY: list[str] = [
     "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
     "heavy_hitters", "column_profile", "length_histogram",
     "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
-    "sql_entry_q6", "csv_source_roundtrip",
+    "sql_entry_q6",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1267,6 +1267,42 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert r.line_dedup_text == "nav bar\nreal content here\nmore text"
 
 
+def test_cross_doc_line_dedup(spark):
+    """r7 corpus-level boilerplate removal: lines in >= min_docs
+    DISTINCT docs are stripped from all of them; surviving line order
+    is the original document order; untouched docs pass through with
+    their exact text; a doc made entirely of boilerplate survives as
+    an empty-text row (not a dropped one)."""
+    from rivulus_spark.operators import clean
+
+    docs = spark.createDataFrame([
+        (0, "FOOTER\nalpha beta\nFOOTER2"),
+        (1, "FOOTER\ngamma delta\nFOOTER2"),
+        (2, "FOOTER\nepsilon\nFOOTER2"),
+        (3, "unique one\nunique two"),
+        (4, "FOOTER\nFOOTER2"),
+        (5, "z later line\nFOOTER\na earlier line"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           clean.cross_doc_line_dedup(docs, min_docs=3).collect()}
+    assert len(out) == 6
+    assert (out[0].n_lines, out[0].n_kept) == (3, 1)
+    assert out[0].clean_text == "alpha beta"
+    assert out[3].n_kept == 2
+    assert out[3].clean_text == "unique one\nunique two"  # untouched
+    assert (out[4].n_lines, out[4].n_kept) == (2, 0)
+    assert out[4].clean_text == ""  # fully-boilerplate doc kept as row
+    # document order, not lexicographic: 'z' line stays before 'a' line
+    assert out[5].clean_text == "z later line\na earlier line"
+    # repeats within ONE doc don't make boilerplate (distinct-doc count)
+    solo = spark.createDataFrame(
+        [(0, "dup\ndup\ndup\nreal"), (1, "other")],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in
+         clean.cross_doc_line_dedup(solo, min_docs=3).collect()}
+    assert r[0].n_kept == 4
+
+
 def test_global_row_number_all_null_order_column(spark):
     """ADVICE r3: an entirely-null leading order column used to yield a
     null bounds array -> null bucket -> empty result. Every row must
