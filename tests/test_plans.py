@@ -279,6 +279,63 @@ def test_bucketed_join_shuffles_only_the_final_agg(spark):
     assert n_exchanges == 1, p
 
 
+def test_incremental_index_bucketed_scan_is_exchange_free(spark):
+    """The dedup_incremental 100 TB claim, asserted in the plan: a
+    band index written BUCKETED on bh (bucket count matching the join
+    parallelism — the count is chosen at write time for the table's
+    target scale) feeds the delta candidate join through its bucket
+    layout: the index side has NO exchange, the single bh shuffle is
+    the (delta-sized) new batch's. Output of the full operator must
+    equal the in-query index path."""
+    from rivulus_spark.operators import dedup
+    from rivulus_spark.sources import bucketed
+
+    corpus = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "an entirely unrelated corpus document about engines"),
+        (2, "some more corpus text that stands alone fine"),
+    ], "doc_id long, text string")
+    delta = spark.createDataFrame([
+        (10, "the quick brown fox jumps over the lazy cat"),
+        (11, "fresh never before seen ingest document text"),
+    ], "doc_id long, text string")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketed.write_bucketed(dedup.minhash_band_index(corpus),
+                            "t_inc_band_idx", ["bh"], n_buckets)
+    idx = spark.table("t_inc_band_idx")
+    # the candidate join subplan, in isolation (the full operator plan
+    # string duplicates persisted subtrees, making exchange counts
+    # meaningless there)
+    from pyspark.sql import functions as F
+
+    nb = dedup.band_hash_rows(dedup.minhash_signatures_arrow(delta))
+    cross = (nb.alias("n")
+             .join(idx.alias("o"), F.col("n.bh") == F.col("o.bh"))
+             .select(F.col("n.id").alias("doc_new"),
+                     F.col("o.id").alias("doc_match"))
+             .distinct())
+    # a toy-sized index broadcasts (also exchange-free, and what AQE
+    # picks here); the bucket layout is the at-scale path — force the
+    # shuffle-join planner to observe it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = cross._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in p, p
+    bh_exchanges = [ln for ln in p.splitlines()
+                    if "Exchange hashpartitioning(bh" in ln]
+    assert len(bh_exchanges) == 1, p  # delta side only
+    got = {(r.doc_new, r.doc_match, r.jacc, r.match_in)
+           for r in dedup.minhash_lsh_dedup_incremental(
+               delta, corpus, index=idx, threshold=0.5).collect()}
+    want = {(r.doc_new, r.doc_match, r.jacc, r.match_in)
+            for r in dedup.minhash_lsh_dedup_incremental(
+                delta, corpus, threshold=0.5).collect()}
+    assert got == want and len(got) > 0
+
+
 # ---------------------------------------------------------------------------
 # Blanket bounded-window audit (VERDICT r3 #7): every unpartitioned
 # WindowExec in EVERY workload query's plan must be justified — either

@@ -137,6 +137,17 @@ HEADLINE = {
                    "TakeOrderedAndProject(limit=max_size) below the "
                    "rank window — the distinct-token table never "
                    "single-partitions"),
+    "dedup_incremental": ("daily-ingest dedup: the delta is signed in one "
+                          "map-only Arrow pass; corpus candidates come "
+                          "from ONE equi-join of delta band rows against "
+                          "the (id, bh) band index; exact verification "
+                          "explodes shingles only for candidate-matched "
+                          "docs (semi-join below the explode)"),
+    "cross_doc_line_dedup": ("corpus boilerplate lines: distinct-doc "
+                             "count over md5 line hashes with map-side "
+                             "partials; only AFFECTED docs are "
+                             "reassembled (semi-join gate) — untouched "
+                             "docs project through unshuffled"),
 }
 
 SF = "/root/testdata/sf0.001"
