@@ -40,13 +40,18 @@ QUERIES_TO_RUN = [
     "window_ntile", "kmeans_cluster_sizes", "embedding_neardup_lsh",
     "stream_interval_join",
     "agg_q1", "join_three", "ann_lsh_topk",
+    # round-7 additions: the incremental-ingest and cross-doc
+    # boilerplate paths must hold their delta/incidence-proportional
+    # cost claims through the decades
+    "dedup_incremental", "cross_doc_line_dedup",
 ]
 
-# third-decade subset: the 5 heaviest curve queries from r4 — sf10 is
-# ~60M lineitem rows, so keep the set small enough to finish in-round
+# third-decade subset: the heaviest curve queries — sf10 is ~60M
+# lineitem rows, so keep the set small enough to finish in-round
 HUGE_QUERIES = [
     "embedding_neardup_lsh", "stream_running_totals", "stream_dedup",
     "pipeline_stats", "dedup_minhash_lsh",
+    "dedup_incremental", "cross_doc_line_dedup",
 ]
 
 
