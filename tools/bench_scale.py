@@ -150,7 +150,12 @@ def main() -> None:
     if os.path.exists(path):
         try:
             with open(path) as f:
-                prior = json.load(f).get("queries", {})
+                prior_doc = json.load(f)
+            # the hand-written analysis block documents WHY each ratio
+            # is what it is — a partial re-run must not drop it
+            if "analysis" in prior_doc:
+                out["analysis"] = prior_doc["analysis"]
+            prior = prior_doc.get("queries", {})
             for k, v in prior.items():
                 if k not in curve:
                     out["queries"][k] = v
