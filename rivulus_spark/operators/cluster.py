@@ -129,3 +129,52 @@ def kmeans_cluster_sizes(df: DataFrame, init_centroids, dim: int,
     return (ivf_assign_cells(df, pairs, id_col=id_col, vec_col=vec_col)
             .groupBy("cell")
             .agg(F.count("*").alias("n_members")))
+
+
+def semantic_dedup_pairs(df: DataFrame, centroids, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every vector to its nearest
+    centroid, then compute EXACT cosine only over pairs sharing a
+    cell. Output (id_a, id_b, cell, sim), id_a < id_b, sim rounded to
+    6 at ``sim >= threshold`` — the pair list a survivorship policy
+    (keep one representative per semantic group) consumes, same
+    contract as the LSH near-dup path.
+
+    Versus hyperplane LSH (cosine_neardup_pairs_lsh): the cell
+    structure is LEARNED (or deterministic-sample) rather than random,
+    which is the SemDeDup premise — semantic duplicates concentrate in
+    the same cluster, so within-cell comparison reaches pairs random
+    hyperplane bands can miss at equal candidate budget. The trade is
+    recall loss at cell BOUNDARIES (a pair split across cells is never
+    compared — inherent to the method).
+
+    Scale shape: assignment is the broadcast-centroids mapInPandas
+    sweep (linear, no shuffle); the pair stage is ONE equi-join on the
+    cell id; candidate volume is sum(cell_size^2)/2, so the centroid
+    COUNT is the knob — size k proportional to the corpus (e.g. the
+    stride-sampled init: k = n/stride keeps cells ~stride and
+    candidates ~(stride/2)*n, linear in n). Oversized cells are the
+    skew case: split them by raising k or running the LSH path within
+    the heavy cell. The float contract (ascending-dimension dot fold,
+    6-decimal round, min-cid tie-break) is ivf_assign_cells', so the
+    whole operator — including the approximation — is exactly
+    SQL-oracle-checkable."""
+    from .. import cache
+    from .similarity import dot
+
+    assigned = cache.persist(
+        ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
+        .withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec")))))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(dot(F.col("a.vec"), F.col("b.vec"))
+                  / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.cell").alias("cell"),
+                    sim.alias("sim"))
+            .filter(F.col("sim") >= threshold))

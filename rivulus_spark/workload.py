@@ -3725,6 +3725,49 @@ def q_kmeans_assign_sizes(spark, sf_dir):
             .groupBy("cell").agg(F.count("*").alias("n_members")))
 
 
+@_q("semantic_dedup", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 256 = 0),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, cent.cvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC,
+             cent.cid) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS sim
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id)
+SELECT id_a, id_b, cell, sim FROM p WHERE sim >= 0.45
+""")
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs
+    (cluster.semantic_dedup_pairs): every vector assigned to its
+    nearest deterministic-sample centroid (the exact
+    ivf_assign_cells float contract — same init as the kmeans
+    queries), exact cosine over within-cell pairs only, threshold 0.45 —
+    SemDeDup prunes SOFTER than the strict 0.5 dedup setting because
+    the cell structure already scopes comparisons to one semantic
+    neighborhood (and on this corpus 0.5-grade pairs can straddle a
+    cell boundary, the method's documented recall trade).
+    The stride-256 init keeps cells ~256 wide, so candidate volume is
+    ~128*n — linear in the corpus; the oracle replicates assignment
+    AND pairing exactly, so the approximation itself is
+    parity-checked."""
+    from .operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter((F.col("vec_id") % 256) == 0)
+    return cluster.semantic_dedup_pairs(emb, init, threshold=0.45)
+
+
 @_q("decontaminate", r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
            FROM documents),
@@ -3875,13 +3918,14 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
     "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
+    "semantic_dedup",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
     "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
     "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
-    "heavy_hitters", "column_profile", "length_histogram",
+    "heavy_hitters", "column_profile",
     "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
     "sql_entry_q6",
 ]

@@ -1267,6 +1267,29 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert r.line_dedup_text == "nav bar\nreal content here\nmore text"
 
 
+def test_semantic_dedup_within_cell_only(spark):
+    """SemDeDup pairs: within-cell near-dups are emitted with their
+    cell id; a near-identical pair STRADDLING a cell boundary is not
+    compared (the method's documented recall trade) — pinned with a
+    pair at cosine ~0.9996 split across the two cells."""
+    from rivulus_spark.operators import cluster
+
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    vecs = spark.createDataFrame([
+        (1, [1.0, 0.10]), (2, [1.0, 0.12]),     # cell 100 near-dups
+        (3, [0.10, 1.0]), (4, [0.12, 1.0]),     # cell 101 near-dups
+        (5, [0.71, 0.70]), (6, [0.70, 0.71]),   # ~0.9996 but split
+    ], "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b): (r.cell, r.sim) for r in
+           cluster.semantic_dedup_pairs(vecs, cents,
+                                        threshold=0.9).collect()}
+    assert set(out) == {(1, 2), (3, 4)}
+    assert out[(1, 2)][0] == 100 and out[(3, 4)][0] == 101
+    assert all(s >= 0.99 for _, s in out.values())
+
+
 def test_cross_doc_line_dedup(spark):
     """r7 corpus-level boilerplate removal: lines in >= min_docs
     DISTINCT docs are stripped from all of them; surviving line order
