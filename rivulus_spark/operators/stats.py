@@ -91,3 +91,44 @@ def percentile_clip(df: DataFrame, col: str | Column,
     return (df.crossJoin(F.broadcast(bounds))
             .where((c >= F.col("__pc_lo")) & (c <= F.col("__pc_hi")))
             .drop("__pc_lo", "__pc_hi"))
+
+
+def group_percentile_clip(df: DataFrame, col: str | Column,
+                          group_cols: list[str],
+                          p_lo: float = 0.05, p_hi: float = 0.95,
+                          exact: bool = True,
+                          accuracy: int = 10_000) -> DataFrame:
+    """Per-GROUP percentile band cut — the calibration form of
+    :func:`percentile_clip`: each group (source, language, domain)
+    gets its OWN ``[p_lo, p_hi]`` bounds. A single global band over a
+    mixed corpus clips whole sub-corpora — a verbose domain's healthy
+    median can sit above a terse domain's p95 — so per-domain quality
+    thresholds are the standard curation practice this encodes.
+
+    Scale shape: the bound table is one partial-aggregated groupBy
+    (one row per group — map-side combined percentile state), joined
+    back with a broadcast hint since group counts (domains, languages)
+    are tiny next to the corpus; drop the hint via a pre-computed
+    bounds join if a pathological group space ever outgrows broadcast.
+    ``exact=False`` swaps the per-group exact ``percentile`` for the
+    mergeable ``percentile_approx`` sketch, the 100 TB default, with
+    an identical plan shape. Null ``col`` rows are always dropped; an
+    all-null group clips to empty."""
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo <= p_hi <= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use "
+                         "percentile_clip for the global band")
+    c = _c(col)
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {accuracy}"
+    bounds = (df.select(*group_cols, c.alias("__pc_x"))
+              .groupBy(*group_cols)
+              .agg(F.expr(f"{fn}(__pc_x, array({p_lo}D, {p_hi}D){extra})")
+                   .alias("__pc_b"))
+              .select(*group_cols,
+                      F.col("__pc_b")[0].alias("__pc_lo"),
+                      F.col("__pc_b")[1].alias("__pc_hi")))
+    return (df.join(F.broadcast(bounds), group_cols)
+            .where((c >= F.col("__pc_lo")) & (c <= F.col("__pc_hi")))
+            .drop("__pc_lo", "__pc_hi"))

@@ -2428,6 +2428,36 @@ def q_percentile_clip(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("sum_chars")))
 
 
+@_q("group_percentile_clip", """
+WITH q AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo,
+                  quantile_cont(n_chars, 0.95) AS hi
+           FROM documents GROUP BY source)
+SELECT d.source, count(*) AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars,
+       min(d.n_chars)::BIGINT AS min_chars, max(d.n_chars)::BIGINT AS max_chars
+FROM documents d JOIN q ON d.source = q.source
+WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
+GROUP BY d.source
+""")
+def q_group_percentile_clip(spark, sf_dir):
+    """Per-SOURCE percentile calibration
+    (stats.group_percentile_clip): each source keeps its own
+    [p05, p95] doc-length band — the per-domain quality-threshold
+    practice a global band gets wrong on mixed corpora (a verbose
+    domain's median can exceed a terse one's p95). Exact per-group
+    interpolated percentile (= DuckDB quantile_cont per group) with a
+    broadcast bound join; the sketch form is the 100 TB default."""
+    from .operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stats.group_percentile_clip(docs, "n_chars", ["source"],
+                                       0.05, 0.95)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("n_chars").cast("long").alias("min_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars")))
+
+
 @_q("text_repetition", """
 WITH toks AS (
   SELECT doc_id,
@@ -3918,14 +3948,14 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
     "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
-    "semantic_dedup",
+    "semantic_dedup", "group_percentile_clip",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
     "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
     "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
-    "heavy_hitters", "column_profile",
+    "heavy_hitters",
     "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
     "sql_entry_q6",
 ]

@@ -1267,6 +1267,34 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert r.line_dedup_text == "nav bar\nreal content here\nmore text"
 
 
+def test_group_percentile_clip_calibrates_per_group(spark):
+    """Per-group bands: each group is clipped against ITS OWN
+    percentiles — group B's values all sit far above group A's p95,
+    yet B keeps its interior (a global band would drop every A-tail
+    and B entirely or vice versa). All-null groups clip to empty."""
+    from rivulus_spark.operators import stats
+
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("b", float(v)) for v in range(1001, 1101)]
+            + [("c", None)])
+    df = spark.createDataFrame(rows, "g string, x double")
+    kept = stats.group_percentile_clip(df, "x", ["g"], 0.05, 0.95)
+    agg = {r.g: (r.n, r.lo, r.hi) for r in
+           kept.groupBy("g").agg(F.count("*").alias("n"),
+                                 F.min("x").alias("lo"),
+                                 F.max("x").alias("hi")).collect()}
+    assert "c" not in agg
+    for g, base in (("a", 0.0), ("b", 1000.0)):
+        n, lo, hi = agg[g]
+        # p05/p95 of 1..100 interpolate to 5.95/95.05 -> keep 6..95
+        assert n == 90
+        assert lo == base + 6 and hi == base + 95
+    with pytest.raises(ValueError, match="group_cols"):
+        stats.group_percentile_clip(df, "x", [], 0.05, 0.95)
+    with pytest.raises(ValueError, match="p_lo"):
+        stats.group_percentile_clip(df, "x", ["g"], 0.9, 0.1)
+
+
 def test_semantic_dedup_within_cell_only(spark):
     """SemDeDup pairs: within-cell near-dups are emitted with their
     cell id; a near-identical pair STRADDLING a cell boundary is not
