@@ -3660,6 +3660,63 @@ def q_token_budget_mix(spark, sf_dir):
                                     "source", "n_chars", budget=100_000)
 
 
+@_q("temperature_mix", """
+WITH per AS (
+  SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT stratum, avail_tokens,
+         floor(sqrt(avail_tokens::DOUBLE))::BIGINT AS weight,
+         CASE WHEN floor(sqrt(avail_tokens::DOUBLE)) > 0
+              THEN avail_tokens::DOUBLE
+                   / floor(sqrt(avail_tokens::DOUBLE))::BIGINT
+              ELSE -1.0 END AS r
+  FROM per),
+staged AS (
+  SELECT stratum, avail_tokens, weight,
+         CASE WHEN (sum(weight) OVER ()
+                    - coalesce(sum(weight) OVER (ORDER BY r, stratum
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)) > 0
+              THEN (100000.0
+                    - coalesce(sum(avail_tokens) OVER (ORDER BY r, stratum
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0))
+                   / (sum(weight) OVER ()
+                      - coalesce(sum(weight) OVER (ORDER BY r, stratum
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0))
+         END AS cand
+  FROM w)
+SELECT stratum, avail_tokens, weight,
+       coalesce(least(avail_tokens,
+                      floor(max(cand) OVER () * weight)::BIGINT), 0)
+         AS alloc_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN floor(coalesce(least(avail_tokens,
+                                      floor(max(cand) OVER ()
+                                            * weight)::BIGINT), 0)::DOUBLE
+                       / avail_tokens * 1000000) / 1000000
+            ELSE 0.0 END AS rate
+FROM staged
+""")
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-weighted mixture plan
+    (sample.temperature_mix_plan, alpha=0.5): the same 100k budget as
+    token_budget_mix allocated with targets ∝ sqrt(avail) — the
+    multilingual-training mixture rule between proportional (alpha=1,
+    crawls dominate) and equal-share (alpha=0, the waterfill).
+    Closed relational form; integer-truncated sqrt weights keep every
+    sum exact in int64 so the water level is bit-identical across
+    engines, and the candidate-max level is property-tested against an
+    independent greedy waterline solver."""
+    from .operators import sample
+
+    return sample.temperature_mix_plan(_t(spark, sf_dir, "documents"),
+                                       "source", "n_chars",
+                                       budget=100_000, alpha=0.5)
+
+
 @_q("join_salted", """
 SELECT c_mktsegment, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_spend
@@ -3948,14 +4005,13 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
     "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
-    "semantic_dedup", "group_percentile_clip",
+    "semantic_dedup", "group_percentile_clip", "temperature_mix",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
     "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
     "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
-    "heavy_hitters",
     "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
     "sql_entry_q6",
 ]

@@ -791,6 +791,63 @@ def test_token_budget_waterfill_properties(spark):
                for r in full.values())
 
 
+def test_temperature_mix_matches_greedy_waterline(spark):
+    """temperature_mix_plan's closed-form water level must equal an
+    INDEPENDENT greedy waterline solver (iterate strata in exact
+    avail/w exhaustion order; a stratum is capped iff the remaining
+    budget over the remaining weight mass exceeds its ratio) on
+    randomized instances, including the weight-step ratio inversions
+    flooring introduces; endpoints reduce correctly (alpha=0 ==
+    equal-share waterfill, alpha=1 == proportional)."""
+    import math
+    import random
+
+    from rivulus_spark.operators import sample
+
+    def greedy(avails, budget, alpha):
+        ws = {s: (int(math.floor(math.sqrt(a))) if alpha == 0.5
+                  else a if alpha == 1.0
+                  else (1 if a > 0 else 0) if alpha == 0.0
+                  else int(math.floor(a ** alpha)))
+              for s, a in avails.items()}
+        order = sorted(avails, key=lambda s: (
+            avails[s] / ws[s] if ws[s] else -1.0, s))
+        rem_b, rem_w = float(budget), sum(ws.values())
+        alloc = {}
+        for s in order:
+            a, w = avails[s], ws[s]
+            if w == 0 or (rem_w and a <= rem_b / rem_w * w):
+                alloc[s] = a if w else 0
+                rem_b -= alloc[s]
+                rem_w -= w
+            else:
+                lam = rem_b / rem_w
+                alloc[s] = min(a, int(math.floor(lam * w)))
+        return alloc, ws
+
+    rng = random.Random(11)
+    for trial in range(6):
+        k = rng.randint(2, 9)
+        avails = {f"s{i}": rng.choice([0, rng.randint(1, 40),
+                                       rng.randint(50, 5000),
+                                       rng.randint(10_000, 10**6)])
+                  for i in range(k)}
+        budget = rng.randint(1, sum(avails.values()) + 100)
+        alpha = rng.choice([0.0, 0.5, 1.0])
+        rows = [(i, s, a) for i, (s, a) in enumerate(avails.items())]
+        df = spark.createDataFrame(rows, "id long, src string, toks long")
+        got = {r.stratum: r.alloc_tokens for r in
+               sample.temperature_mix_plan(df, "src", "toks", budget,
+                                           alpha=alpha).collect()}
+        want, ws = greedy(avails, budget, alpha)
+        assert got == want, (trial, alpha, budget, avails, ws, got, want)
+        assert sum(got.values()) <= budget or budget >= sum(avails.values())
+    with pytest.raises(ValueError, match="alpha"):
+        sample.temperature_mix_plan(
+            spark.createDataFrame([(1, "a", 5)], "id long, src string, toks long"),
+            "src", "toks", 10, alpha=1.5)
+
+
 def test_exact_dup_edges_chain_not_clique(spark):
     """A group of 3 identical texts emits 2 chain edges (not 3 clique
     edges); unique texts emit none; components are still recovered."""
