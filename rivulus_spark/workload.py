@@ -3660,6 +3660,51 @@ def q_token_budget_mix(spark, sf_dir):
                                     "source", "n_chars", budget=100_000)
 
 
+@_q("dataset_diff", """
+WITH oldd AS (SELECT doc_id, text, source FROM documents),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+              ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000000, text, source
+  FROM documents WHERE doc_id % 23 = 0),
+o AS (SELECT doc_id, md5(text) AS fp, source FROM oldd),
+n AS (SELECT doc_id, md5(text) AS fp, source FROM newd),
+j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp != n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(n.source, o.source) AS source
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+SELECT source, status, count(*) AS n_docs FROM j GROUP BY source, status
+""")
+def q_dataset_diff(spark, sf_dir):
+    """Release-audit snapshot diff (snapshot.diff_report): the corpus
+    vs a synthetic next release that drops every 17th doc, revises
+    every 13th, and re-ingests every 23rd under a new id — per
+    (source, status) counts of added/removed/changed/unchanged. The
+    diff reduces both snapshots to (id, md5, source) at the scan, so
+    the full-outer join shuffles fingerprints and ids, never text."""
+    from .operators import snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "source")
+    new = (docs.filter(F.col("doc_id") % 17 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 13 == 0,
+                          F.concat(F.col("text"), F.lit(" [rev2]")))
+                   .otherwise(F.col("text")).alias("text"),
+                   "source")
+           .unionByName(
+               docs.filter(F.col("doc_id") % 23 == 0)
+               .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                       "text", "source")))
+    return snapshot.diff_report(old, new, by=["source"])
+
+
 @_q("temperature_mix", """
 WITH per AS (
   SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens
@@ -4006,12 +4051,13 @@ _PRIORITY: list[str] = [
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
     "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
     "semantic_dedup", "group_percentile_clip", "temperature_mix",
+    "dataset_diff",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
     "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
-    "ann_ivf_topk", "sketch_quantiles", "approx_distinct_sketch",
+    "ann_ivf_topk", "sketch_quantiles",
     "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
     "sql_entry_q6",
 ]

@@ -791,6 +791,33 @@ def test_token_budget_waterfill_properties(spark):
                for r in full.values())
 
 
+def test_dataset_diff_statuses_and_carry(spark):
+    """Per-doc snapshot diff: added/removed/changed/unchanged are
+    classified from the fingerprint full-outer join; carry columns
+    come from the NEW side, falling back to the old side for removed
+    docs. Composite fingerprints (Column arg) flag a metadata-only
+    change the text fingerprint misses."""
+    from rivulus_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        "doc_id long, text string, source string")
+    new = spark.createDataFrame(
+        [(2, "b2", "s1"), (3, "c", "s9"), (4, "d", "s3")],
+        "doc_id long, text string, source string")
+    d = {r.doc_id: (r.status, r.source) for r in
+         snapshot.dataset_diff(old, new, carry_cols=["source"]).collect()}
+    assert d == {1: ("removed", "s1"), 2: ("changed", "s1"),
+                 3: ("unchanged", "s9"), 4: ("added", "s3")}
+    comp = {r.doc_id: r.status for r in snapshot.dataset_diff(
+        old, new,
+        fingerprint=F.concat_ws("|", "text", "source")).collect()}
+    assert comp[3] == "changed"  # source flip caught by composite fp
+    rep = {(r.source, r.status): r.n_docs for r in
+           snapshot.diff_report(old, new, by=["source"]).collect()}
+    assert rep[("s1", "removed")] == 1 and rep[("s3", "added")] == 1
+
+
 def test_temperature_mix_matches_greedy_waterline(spark):
     """temperature_mix_plan's closed-form water level must equal an
     INDEPENDENT greedy waterline solver (iterate strata in exact
