@@ -422,6 +422,7 @@ _WINDOW_JUSTIFICATION = {
     "heavy_hitters": "topk",
     "encode_docs": "topk",
     "token_budget_mix": "krow:source|stratum",
+    "temperature_mix": "krow:source|stratum",
     "window_ntile": "size_gated",
 }
 
