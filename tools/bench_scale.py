@@ -43,7 +43,8 @@ QUERIES_TO_RUN = [
     # round-7 additions: the incremental-ingest and cross-doc
     # boilerplate paths must hold their delta/incidence-proportional
     # cost claims through the decades
-    "dedup_incremental", "cross_doc_line_dedup",
+    "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
+    "dataset_diff",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -51,7 +52,7 @@ QUERIES_TO_RUN = [
 HUGE_QUERIES = [
     "embedding_neardup_lsh", "stream_running_totals", "stream_dedup",
     "pipeline_stats", "dedup_minhash_lsh",
-    "dedup_incremental", "cross_doc_line_dedup",
+    "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
 ]
 
 
