@@ -152,29 +152,69 @@ def semantic_dedup_pairs(df: DataFrame, centroids, threshold: float,
     compared — inherent to the method).
 
     Scale shape: assignment is the broadcast-centroids mapInPandas
-    sweep (linear, no shuffle); the pair stage is ONE equi-join on the
-    cell id; candidate volume is sum(cell_size^2)/2, so the centroid
-    COUNT is the knob — size k proportional to the corpus (e.g. the
-    stride-sampled init: k = n/stride keeps cells ~stride and
-    candidates ~(stride/2)*n, linear in n). Oversized cells are the
-    skew case: split them by raising k or running the LSH path within
-    the heavy cell. The float contract (ascending-dimension dot fold,
-    6-decimal round, min-cid tie-break) is ivf_assign_cells', so the
-    whole operator — including the approximation — is exactly
-    SQL-oracle-checkable."""
-    from .. import cache
-    from .similarity import dot
+    sweep (linear, no shuffle); the pair stage is ONE applyInPandas
+    grouped on the cell id — each cell computes its full pair-sim
+    matrix as a numpy sweep with SEQUENTIAL-dimension accumulation
+    (the ivf_assign_cells trick: bit-identical to the ascending dot
+    fold, so the SQL oracle stays exact, while running ~100x faster
+    than evaluating the interpreted fold per pair — the r7 measured
+    gap on 2.5M sf1 pairs). Candidate volume is sum(cell_size^2)/2, so
+    the centroid COUNT is the knob — size k proportional to the corpus
+    (stride-sampled init: k = n/stride keeps cells ~stride and
+    candidates ~(stride/2)*n, linear in n); memory per task is
+    row-blocked (BLOCK x cell_size sims at a time), so even a
+    pathological heavy cell streams instead of materializing n_cell^2.
+    The float contract (ascending-dimension accumulation, 6-decimal
+    round-half-away-from-zero, min-cid tie-break) is
+    ivf_assign_cells', so the whole operator — including the
+    approximation — is exactly SQL-oracle-checkable."""
 
-    assigned = cache.persist(
-        ivf_assign_cells(df, centroids, id_col=id_col, vec_col=vec_col)
-        .withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec")))))
-    a, b = assigned.alias("a"), assigned.alias("b")
-    sim = F.round(dot(F.col("a.vec"), F.col("b.vec"))
-                  / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a.cell").alias("cell"),
-                    sim.alias("sim"))
-            .filter(F.col("sim") >= threshold))
+    def gen(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cell": [],
+                                 "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64",
+                 "cell": "int64", "sim": "float64"})
+        X = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf["vec"]])
+        dim = X.shape[1]
+        nrm = np.zeros(n)
+        for d in range(dim):                    # sequential fold
+            nrm = nrm + X[:, d] * X[:, d]
+        nrm = np.sqrt(nrm)
+        cell = int(key[0])
+        out_a, out_b, out_s = [], [], []
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            S = np.zeros((hi - lo, n))
+            for d in range(dim):                # sequential fold
+                S = S + X[lo:hi, d:d + 1] * X[None, :, d]
+            sim = S / (nrm[lo:hi, None] * nrm[None, :])
+            r6 = np.copysign(
+                np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
+            # upper triangle by sorted-id position: a before b
+            ii, jj = np.nonzero(r6 >= threshold)
+            keep = (ii + lo) < jj
+            out_a.append(ids[ii[keep] + lo])
+            out_b.append(ids[jj[keep]])
+            out_s.append(r6[ii[keep], jj[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        s = np.concatenate(out_s) if out_s else np.array([])
+        return pd.DataFrame({"id_a": a, "id_b": b,
+                             "cell": np.full(len(a), cell,
+                                             dtype=np.int64),
+                             "sim": s})
+
+    assigned = ivf_assign_cells(df, centroids, id_col=id_col,
+                                vec_col=vec_col)
+    return (assigned.groupBy("cell")
+            .applyInPandas(gen,
+                           "id_a long, id_b long, cell long, sim double"))
