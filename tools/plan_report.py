@@ -148,6 +148,24 @@ HEADLINE = {
                              "partials; only AFFECTED docs are "
                              "reassembled (semi-join gate) — untouched "
                              "docs project through unshuffled"),
+    "semantic_dedup": ("SemDeDup: broadcast centroid assignment (one "
+                       "Arrow pass), within-cell pairs from ONE "
+                       "equi-join on cell id, exact cosine as a "
+                       "grouped numpy sweep per cell — candidate "
+                       "volume linear in corpus by construction"),
+    "dataset_diff": ("snapshot diff: 16-byte MD5 fingerprints "
+                     "full-outer-joined on id — text columns pruned "
+                     "before the exchange, classification is a "
+                     "codegen CASE over null-sides"),
+    "temperature_mix": ("temperature-weighted allocation: k-row "
+                        "stratum table aggregates map-side, weights "
+                        "computed driver-free in a k-row window, "
+                        "broadcast back into the per-stratum "
+                        "group-limit"),
+    "group_percentile_clip": ("per-group calibration: approx "
+                              "percentiles partial-aggregate per "
+                              "group, k-row bounds table broadcasts "
+                              "back — raw rows never shuffle"),
 }
 
 SF = "/root/testdata/sf0.001"
