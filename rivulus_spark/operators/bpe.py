@@ -1,0 +1,157 @@
+"""Distributed BPE merge training — the tokenizer-fit step of a
+training-data pipeline, as an iterative algorithm on the WORD table,
+never the corpus.
+
+Reference scope: the reference engine (CleConor/rivulus) has no
+tokenizer training; this extends the LLM-pipeline family
+(``text.bpe_ish_tokens`` counts with a FIXED pattern; this op LEARNS
+the merge table that such a tokenizer would use).
+
+Scale design — why this survives 100 TB:
+
+- **The corpus is touched exactly once.** :func:`word_freqs` is one
+  partial-aggregated shuffle of ``(word, count)`` rows; by Heaps' law
+  the distinct-word table is orders of magnitude smaller than the
+  corpus (and it, not the corpus, is what BPE iterates on — the same
+  collapse the classic Sennrich et al. 2016 implementation does with
+  a driver-side dict, here kept distributed).
+- **Each merge round is vocab-sized and fully JVM-side.** Pair
+  counting is ``zip_with`` adjacent slices → explode → partial-agg
+  (map-side combine collapses each partition to its distinct pairs);
+  the global argmax is a 1-row ``TakeOrderedAndProject`` — no global
+  sort, no window. Applying the winning merge is a codegen
+  ``aggregate`` (fold) over each word's symbol array — the fold IS
+  greedy left-to-right non-overlapping BPE merging, with no Python
+  anywhere in the loop.
+- **The only driver barrier is 1 row per round** (the winning pair) —
+  the same justified k-row barrier as k-means centroids
+  (``cluster.py``) and the CC convergence check (``dedup.py``).
+- **Plan growth is truncated per round** via ``localCheckpoint`` on
+  the vocab table, the lesson from the CC lineage fix
+  (``dedup.py:593-676``): without it round ``k`` re-analyzes ``k``
+  nested aggregates.
+
+Determinism: ties on pair count break by lexicographically smallest
+``(lhs, rhs)`` — binary UTF8 order, identical in Spark, DuckDB, and
+Python for this corpus's ASCII tokens — so the merge table is exact
+and the workload query carries a full VALUES oracle computed by an
+independent single-threaded reference implementation
+(``workload._bpe_train_oracle``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, IntegerType, StringType,
+                               StructField, StructType)
+
+from .text import tokens
+
+MERGE_SCHEMA = StructType([
+    StructField("merge_rank", IntegerType(), False),
+    StructField("lhs", StringType(), False),
+    StructField("rhs", StringType(), False),
+    StructField("pair_count", LongType(), False),
+])
+
+
+def word_freqs(df: DataFrame, col: str = "text",
+               min_len: int = 2) -> DataFrame:
+    """ONE corpus pass: whitespace tokens (same ``text.tokens``
+    contract as the counting queries) → ``(word, freq)``. Words
+    shorter than ``min_len`` carry no pairs and are dropped before
+    the shuffle."""
+    w = df.select(F.explode(tokens(col)).alias("word"))
+    return (w.filter(F.length("word") >= min_len)
+             .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _adjacent_pairs(syms):
+    """Struct array of adjacent symbol pairs: zip_with of the two
+    off-by-one slices (length n-1 each)."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    return F.zip_with(
+        F.slice(c, 1, F.size(c) - 1),
+        F.slice(c, 2, F.size(c) - 1),
+        lambda l, r: F.struct(l.alias("lhs"), r.alias("rhs")))
+
+
+def _apply_merge(syms, lhs: str, rhs: str):
+    """Greedy left-to-right non-overlapping merge of (lhs, rhs) as a
+    codegen fold: seed the accumulator with the first symbol, then for
+    each next symbol either fuse it into the accumulator's last
+    element (when that element is exactly ``lhs`` and the incoming
+    symbol is exactly ``rhs``) or append. Overlaps resolve leftmost
+    ("aaa" + (a,a) → [aa, a]) because a fused element becomes
+    ``lhs+rhs`` and no longer equals ``lhs`` (BPE symbols are atomic
+    strings compared whole, so a second fuse cannot re-match)."""
+    c = F.col(syms) if isinstance(syms, str) else syms
+    merged = F.lit(lhs + rhs)
+    return F.aggregate(
+        F.slice(c, 2, F.size(c) - 1),
+        F.slice(c, 1, 1),
+        lambda acc, s: F.when(
+            (F.element_at(acc, -1) == F.lit(lhs)) & (s == F.lit(rhs)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """One merge round's counting plan over a ``(freq, syms)`` vocab
+    table: adjacent-pair explode → partial-aggregated sum. Map-side
+    combine collapses each partition to its distinct pairs before the
+    (pair)-keyed shuffle; the caller's global argmax is a 1-row
+    ``TakeOrderedAndProject`` on top (plan-asserted in
+    ``tests/test_plans.py``)."""
+    return (vocab
+            .filter(F.size("syms") >= 2)
+            .select("freq", F.explode(_adjacent_pairs("syms")).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count")))
+
+
+def train_merges(words: DataFrame, n_merges: int,
+                 min_count: int = 1) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a ``(word, freq)`` table.
+
+    Returns the merge table ``(merge_rank, lhs, rhs, pair_count)`` —
+    at most ``n_merges`` rows; fewer if no remaining pair reaches
+    ``min_count`` (then training has genuinely converged, not
+    failed — unlike CC's round cap this early-out is a correct
+    result, so it returns rather than raises).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = words.sparkSession
+    # regexp_extract_all('.') chars, not split on a zero-width
+    # pattern: Spark's split(limit=-1) keeps the trailing empty
+    # string a zero-width end-of-input match produces
+    vocab = words.select(
+        "freq",
+        F.regexp_extract_all("word", F.lit("."), 0).alias("syms"))
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (pair_counts(vocab)
+                .filter(F.col("pair_count") >= min_count)
+                .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                .limit(1)  # TakeOrderedAndProject: the 1-row barrier
+                .collect())
+        if not best:
+            break
+        row = best[0]
+        merges.append((rank, row["lhs"], row["rhs"], row["pair_count"]))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge("syms", row["lhs"], row["rhs"]))
+        # truncate lineage so round k doesn't re-analyze k folds
+        vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def train_merges_from_docs(df: DataFrame, n_merges: int,
+                           col: str = "text",
+                           min_count: int = 1) -> DataFrame:
+    """End-to-end: corpus → word table → merge table."""
+    return train_merges(word_freqs(df, col), n_merges,
+                        min_count=min_count)

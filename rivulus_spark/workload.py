@@ -1494,6 +1494,76 @@ def q_text_chunking(spark, sf_dir):
                                     max_tokens=32, overlap=8)
 
 
+def _bpe_train_oracle(sf_dir: str = DRIVER_SF_DIR,
+                      n_merges: int = 8) -> str:
+    """Independent reference implementation of BPE merge training,
+    emitted as a VALUES literal: a single-threaded dict-based trainer
+    (the classic Sennrich et al. shape) over the same whitespace
+    tokens, sharing NOTHING with the Spark implementation but the
+    spec — greedy leftmost non-overlapping merging, ties broken by
+    lexicographically smallest (lhs, rhs). The merge table is exact
+    (integer counts, deterministic tie-break), so the driver's
+    hash-match compares full spec strength at every sf the builder
+    can afford; it reads only the vocab-collapsed word table, so it
+    stays cheap through sf1 (Heaps' law — same collapse the operator
+    itself relies on)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT word, count(*) FROM (SELECT unnest(regexp_split_to_array("
+        f"trim(text), '\\s+')) AS word FROM '{sf_dir}/documents.parquet')"
+        " WHERE len(word) >= 2 GROUP BY word").fetchall()
+    con.close()
+    freqs = dict(rows)
+    syms = {w: list(w) for w in freqs}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        (lhs, rhs), count = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, lhs, rhs, count))
+        fused = lhs + rhs
+        for w, s in syms.items():
+            out = [s[0]]
+            for tok in s[1:]:
+                if out[-1] == lhs and tok == rhs:
+                    out[-1] = fused
+                else:
+                    out.append(tok)
+            syms[w] = out
+    values = ",\n".join(
+        "(%d, '%s', '%s', %d)"
+        % (rk, l.replace("'", "''"), r.replace("'", "''"), c)
+        for rk, l, r, c in merges)
+    return (f"SELECT * FROM (VALUES {values}) "
+            "AS t(merge_rank, lhs, rhs, pair_count)")
+
+
+@_q("bpe_train_merges", _bpe_train_oracle)
+def q_bpe_train_merges(spark, sf_dir):
+    """Tokenizer fit: learn the first 8 BPE merges from the corpus
+    (operators/bpe.train_merges_from_docs). ONE corpus pass collapses
+    to the (word, freq) table; every merge round is vocab-sized and
+    fully JVM-side (zip_with pair explode → partial-agg →
+    TakeOrdered(1); the merge application is a codegen aggregate
+    fold), with a 1-row driver barrier per round — the k-means
+    centroid pattern. The oracle is an independent single-threaded
+    reference trainer emitted as a VALUES literal (exact integer
+    counts, deterministic tie-break)."""
+    from .operators import bpe
+
+    return bpe.train_merges_from_docs(
+        _t(spark, sf_dir, "documents"), n_merges=8)
+
+
 #: deterministic PII suffix appended to the synthetic documents so the
 #: scrub/count operators have real matches to find (same expression on
 #: both engines)

@@ -1678,3 +1678,47 @@ def test_kmeans_train_pairs_accepts_pair_list_init(spark):
     # the two parity classes are linearly separable: centroids converge
     # onto the class means
     assert pairs[0][1] == [1.0, 0.0] and pairs[1][1] == [0.0, 1.0]
+
+
+def test_bpe_train_merges_hand_checked(spark):
+    """Classic Sennrich-style fixture, merges hand-computed: round 1
+    ties (e,s) vs (s,t) at 9 and must break to the lexicographically
+    smaller (e,s); round 3 ties (l,o) vs (o,w) at 7 -> (l,o)."""
+    from rivulus_spark.operators import bpe
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in bpe.train_merges_from_docs(df, n_merges=4)
+           .orderBy("merge_rank").collect()]
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9),
+                   (3, "l", "o", 7), (4, "lo", "w", 7)]
+
+
+def test_bpe_merge_is_greedy_leftmost_nonoverlapping(spark):
+    """'aaaa' x2: round 1 counts THREE (a,a) positions per word (6
+    total) but greedy leftmost merging yields [aa, aa], so round 2
+    sees exactly one (aa, aa) pair per word — the overlap contract
+    the fold implements."""
+    from rivulus_spark.operators import bpe
+
+    words = spark.createDataFrame([("aaaa", 2)], "word string, freq long")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in bpe.train_merges(words, n_merges=3)
+           .orderBy("merge_rank").collect()]
+    # round 3: nothing left to merge -> early-converged 2-row table
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_bpe_word_collapsed_to_single_symbol_is_inert(spark):
+    """A word fully fused into one symbol must survive later rounds
+    (slice/aggregate on a 1-element array) and contribute no pairs."""
+    from rivulus_spark.operators import bpe
+
+    words = spark.createDataFrame([("ab", 10), ("abab", 1)],
+                                  "word string, freq long")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in bpe.train_merges(words, n_merges=3)
+           .orderBy("merge_rank").collect()]
+    assert got == [(1, "a", "b", 12), (2, "ab", "ab", 1)]

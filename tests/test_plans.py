@@ -456,3 +456,29 @@ def test_every_unpartitioned_window_is_bounded(spark, name):
                 for f in os.listdir(SF))
             assert total <= 64 << 20, (
                 "size-gated window but input exceeds the gate")
+
+
+def test_bpe_round_plan_is_partial_agg_plus_one_row_topk(spark):
+    """One BPE merge round: the pair-count plan must partial-aggregate
+    map-side (each partition collapses to its distinct pairs before
+    the shuffle) and the global argmax must lower to
+    TakeOrderedAndProject(limit=1) — never a global sort. The merge
+    application itself is a codegen fold, so the round plan carries no
+    Python stage."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = bpe.word_freqs(docs).select(
+        "freq", F.regexp_extract_all(
+            "word", F.lit("."), 0).alias("syms"))
+    rnd = (bpe.pair_counts(vocab)
+           .orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1))
+    p = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=1" in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final
+    assert "EvalPython" not in p, p
+    applied = vocab.withColumn("syms", bpe._apply_merge("syms", "a", "b"))
+    pa = applied._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in pa, pa
