@@ -142,10 +142,13 @@ def train_merges(words: DataFrame, n_merges: int,
             break
         row = best[0]
         merges.append((rank, row["lhs"], row["rhs"], row["pair_count"]))
-        vocab = vocab.withColumn(
-            "syms", _apply_merge("syms", row["lhs"], row["rhs"]))
-        # truncate lineage so round k doesn't re-analyze k folds
-        vocab = vocab.localCheckpoint(eager=True)
+        if rank < n_merges:
+            vocab = vocab.withColumn(
+                "syms", _apply_merge("syms", row["lhs"], row["rhs"]))
+            # truncate lineage so round k doesn't re-analyze k folds
+            # (final round: the post-merge vocab is never read again,
+            # so both the fold and its checkpoint job are skipped)
+            vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
