@@ -45,6 +45,8 @@ QUERIES_TO_RUN = [
     # cost claims through the decades
     "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
     "dataset_diff",
+    # vocab-bound by design (Heaps' law): the curve should be ~flat
+    "bpe_train_merges",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -53,6 +55,7 @@ HUGE_QUERIES = [
     "embedding_neardup_lsh", "stream_running_totals", "stream_dedup",
     "pipeline_stats", "dedup_minhash_lsh",
     "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
+    "bpe_train_merges",
 ]
 
 

@@ -166,6 +166,12 @@ HEADLINE = {
                               "percentiles partial-aggregate per "
                               "group, k-row bounds table broadcasts "
                               "back — raw rows never shuffle"),
+    "bpe_train_merges": ("tokenizer fit: ONE corpus pass collapses "
+                         "to the word table; every merge round is "
+                         "vocab-sized JVM-only (pair explode → "
+                         "partial agg → TakeOrdered(1); codegen "
+                         "fold applies the merge) — final result "
+                         "is the k-row merge table"),
 }
 
 SF = "/root/testdata/sf0.001"
