@@ -1,0 +1,137 @@
+"""Distributed Bloom filter build + map-side membership prefilter.
+
+The scale problem this solves: a semi-join ("keep corpus rows whose key
+appears in set S") normally either broadcasts S as an exact join hash
+map or shuffles both sides. At 100 TB the interesting S (every distinct
+eval-set shingle across a benchmark suite, a blocklist of URL hashes,
+yesterday's document fingerprints) can hold 10^8-10^9 keys — too big to
+broadcast exactly, and shuffling the corpus side on the key is the cost
+we're trying to avoid. A Bloom filter over S at ~10 bits/key is 10-50x
+smaller than the exact hash relation (1.2 GB for 10^9 keys at 1% false
+positives), ships once per executor, and turns the semi-join into a
+map-side filter whose output is |true matches| + fpp·|corpus| rows —
+THAT remnant is what the exact verification join shuffles. Bloom
+filters have no false negatives, so prefilter + exact verify is exactly
+equal to the unfiltered join (the workload oracle for the bloom-backed
+query is the plain join SQL, unchanged).
+
+Spark's own runtime bloom-filter rewrite (`bloom_filter_agg` /
+`might_contain`) implements the same idea for shuffle-join pruning but
+is not registered for user queries, so this module builds the filter
+relationally:
+
+- **Build** (distributed): each key row expands to ``num_hashes`` bit
+  positions (JVM-side ``xxhash64(key, seed_j) mod m``), positions pack
+  into (word_index, bit) and a ``bit_or`` aggregation over at most
+  m/64 word rows produces the filter — map-side partial OR means the
+  shuffle carries at most m/64 rows per task regardless of |S|. The
+  collect at the end fetches the *filter* (m bits), never S.
+- **Probe** (map-side): the packed int64 word array is broadcast
+  (once per executor, torrent fan-out); the corpus side computes the
+  same ``num_hashes`` positions JVM-side and an Arrow-batched
+  ``mapInPandas`` stage does the vectorized bit gathers in numpy —
+  no shuffle, no per-row Python.
+
+Positions are computed by the JVM ``xxhash64`` in BOTH build and probe
+(the Python stage only indexes the bit array), so there is no
+cross-language hash reimplementation to drift.
+
+The reference engine has no membership-filter surface (its join is the
+hash equi-join in src/physical_plan/joins.rs); this is a north-star
+scale operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per key at build time; ~9.6 bits/key with the matching optimal
+#: hash count gives ~1% false positives (classic Bloom dimensioning)
+BITS_PER_KEY = 10
+#: k = ln(2) * m/n rounded; for m/n = 10 the optimum is 7
+NUM_HASHES = 7
+
+
+def _positions(key: Column, m_bits: int, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` bit positions in [0, m_bits) for a key —
+    JVM-side xxhash64 of (key, seed_j), identical in build and probe."""
+    return F.array(*[
+        F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
+        for j in range(num_hashes)
+    ])
+
+
+def bloom_dims(expected_keys: int,
+               bits_per_key: int = BITS_PER_KEY) -> tuple[int, int]:
+    """(m_bits, num_hashes) for an expected key count. m is rounded up
+    to a multiple of 64 (whole int64 words); k = ln2 · m/n."""
+    n = max(1, expected_keys)
+    m = ((n * bits_per_key + 63) // 64) * 64
+    k = max(1, round(math.log(2) * m / n))
+    return m, k
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
+                num_hashes: int = NUM_HASHES) -> np.ndarray:
+    """Build the packed bit array (int64 words, little-endian bit order
+    within each word) over every row of ``keys[key_col]`` — distributed
+    expand + bit_or; only the m/64-word filter reaches the driver.
+
+    Callers dimension ``m_bits`` via :func:`bloom_dims` from a key
+    count they already know (or pay one count job). Duplicate keys are
+    harmless (OR is idempotent), so pre-distincting the build side is
+    an optimization, not a requirement."""
+    n_words = m_bits // 64
+    pos = keys.select(
+        F.explode(_positions(F.col(key_col), m_bits, num_hashes))
+        .alias("p"))
+    words = (pos
+             .select((F.col("p") / 64).cast("long").alias("w"),
+                     # SQL shiftleft: the Python wrapper only takes a
+                     # literal int shift amount
+                     F.expr("shiftleft(1L, cast(p % 64 AS int))")
+                     .alias("b"))
+             .groupBy("w")
+             .agg(F.bit_or("b").alias("bits"))
+             .collect())
+    arr = np.zeros(n_words, dtype=np.int64)
+    for row in words:
+        arr[row.w] = row.bits
+    return arr
+
+
+def bloom_prefilter(df: DataFrame, key_col: str, bits: np.ndarray,
+                    m_bits: int,
+                    num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` the filter might contain —
+    a superset of the true members (no false negatives), tighter by
+    1/fpp than ``df``. Schema is unchanged.
+
+    The bit array broadcasts once per executor; the probe positions
+    are computed JVM-side and the Python stage is a vectorized numpy
+    gather over the Arrow batch (no per-row work, no shuffle)."""
+    assert m_bits == len(bits) * 64
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bits)
+    probed = df.withColumn(
+        "__pos", _positions(F.col(key_col), m_bits, num_hashes))
+    out_schema = df.schema
+
+    def probe(batches):
+        arr = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.drop(columns="__pos")
+                continue
+            pos = np.vstack(pdf["__pos"].to_numpy())  # (rows, k) int64
+            hit = np.ones(len(pdf), dtype=bool)
+            for j in range(pos.shape[1]):
+                p = pos[:, j]
+                hit &= ((arr[p >> 6] >> (p & 63)) & 1).astype(bool)
+            yield pdf.loc[hit].drop(columns="__pos")
+
+    return probed.mapInPandas(probe, schema=out_schema)

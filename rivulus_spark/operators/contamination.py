@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
 from .dedup import shingle_rows, word_hash
 
 
@@ -44,6 +45,46 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
           .select(F.col("id").alias("e_id"),
                   word_hash(F.col("s")).alias("h")))
     return (tr.join(ev, "h")
+            .groupBy("t_id")
+            .agg(F.countDistinct("h").alias("n_shared_ngrams"),
+                 F.countDistinct("e_id").alias("n_eval_docs"))
+            .select(F.col("t_id").alias(id_col),
+                    "n_shared_ngrams", "n_eval_docs"))
+
+
+def bloom_contamination_report(train: DataFrame, eval_df: DataFrame,
+                               k: int = 3, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """:func:`contamination_report` with a Bloom prefilter on the
+    training side — identical output (Bloom filters have no false
+    negatives; the exact join removes the false positives), different
+    cost shape at scale.
+
+    When to use which: ``contamination_report`` relies on AQE
+    broadcasting the eval shingle relation, which works while the eval
+    set is small. A benchmark *suite* (every distinct shingle of every
+    eval set a lab decontaminates against, 10^8-10^9 keys) is beyond
+    exact-broadcast range; there the Bloom filter (~10 bits/key, built
+    distributed — see operators.bloom) ships instead, the corpus
+    shingle stream shrinks map-side by ~1/fpp, and the exact verify
+    join shuffles only the remnant. The eval shingle table persists
+    because it feeds both the filter build and the verify join."""
+    from .bloom import bloom_build, bloom_dims, bloom_prefilter
+
+    ev = cache.persist(
+        shingle_rows(eval_df, text_col, id_col, k)
+        .select(F.col("id").alias("e_id"),
+                word_hash(F.col("s")).alias("h")))
+    # row count (not distinct) upper-bounds the key count: oversizing
+    # only lowers the false-positive rate, and it avoids a second
+    # aggregation over the eval shingles
+    m_bits, n_hash = bloom_dims(ev.count())
+    bits = bloom_build(ev.select("h"), "h", m_bits, n_hash)
+    tr = (shingle_rows(train, text_col, id_col, k)
+          .select(F.col("id").alias("t_id"),
+                  word_hash(F.col("s")).alias("h")))
+    survivors = bloom_prefilter(tr, "h", bits, m_bits, n_hash)
+    return (survivors.join(ev, "h")
             .groupBy("t_id")
             .agg(F.countDistinct("h").alias("n_shared_ngrams"),
                  F.countDistinct("e_id").alias("n_eval_docs"))

@@ -4002,6 +4002,42 @@ def q_decontaminate(spark, sf_dir):
     return contamination.contamination_report(train, ev, k=3)
 
 
+@_q("decontaminate_bloom", r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+           FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                               for i in range(1, len(words)-1)])) AS s
+  FROM w
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+tr AS (SELECT * FROM h WHERE doc_id % 50 <> 0),
+ev AS (SELECT * FROM h WHERE doc_id % 50 = 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.h)::BIGINT AS n_shared_ngrams,
+       count(DISTINCT ev.doc_id)::BIGINT AS n_eval_docs
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""")
+def q_decontaminate_bloom(spark, sf_dir):
+    """The decontamination pass routed through the distributed Bloom
+    prefilter (operators.bloom): same exact output as `decontaminate`
+    — and deliberately the same oracle SQL, a plain join, because
+    bloom-prefilter + exact-verify must be indistinguishable from the
+    unfiltered join — but the corpus shingle stream is cut map-side by
+    a ~10-bit/key filter instead of relying on an exact broadcast of
+    the eval relation, the shape that survives benchmark-suite-sized
+    eval sets (10^8+ distinct shingles) at 100 TB."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination.bloom_contamination_report(train, ev, k=3)
+
+
 @_q("sequence_packing", r"""
 WITH t AS (
   SELECT source AS part, doc_id,
@@ -4104,10 +4140,12 @@ _PRIORITY: list[str] = [
     # (sf-conditional brute-force MinHash oracles; curate token-budget
     # fusion; blended-width adaptive LSH); (d) the rest of the window
     # backfilled with r4-vintage rows, north-star operators first.
-    # The 22 remaining r4 rows (agg_q*, join variants, window_lag/
+    # The remaining r4 rows (agg_q*, join variants, window_lag/
     # ntile, multimodal image/resize, orc/evolution/shard sinks,
     # select_project, expr_arith, pivot_status, range_join_events,
-    # mem_source_join) rotate in r8.
+    # mem_source_join, bucketed_join_agg, sql_entry_q6 — the last two
+    # bumped for the r7 debuts bpe_train_merges/decontaminate_bloom)
+    # rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4121,15 +4159,14 @@ _PRIORITY: list[str] = [
     "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
     "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
     "semantic_dedup", "group_percentile_clip", "temperature_mix",
-    "dataset_diff",
+    "dataset_diff", "bpe_train_merges", "decontaminate_bloom",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
     "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
     "ann_ivf_topk", "sketch_quantiles",
-    "percentile_clip", "pipeline_curate_v2", "bucketed_join_agg",
-    "sql_entry_q6",
+    "percentile_clip", "pipeline_curate_v2",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

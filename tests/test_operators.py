@@ -1722,3 +1722,42 @@ def test_bpe_word_collapsed_to_single_symbol_is_inert(spark):
            for r in bpe.train_merges(words, n_merges=3)
            .orderBy("merge_rank").collect()]
     assert got == [(1, "a", "b", 12), (2, "ab", "ab", 1)]
+
+
+# ----------------------------------------------------------------------
+# bloom membership prefilter
+# ----------------------------------------------------------------------
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """Every built key must survive the probe (the exactness of
+    bloom-prefilter + verify-join rests entirely on this), and the
+    filter must actually filter: at 10 bits/key the non-member pass
+    rate should be far below 1 (we assert < 20% for slack)."""
+    from rivulus_spark.operators.bloom import (bloom_build, bloom_dims,
+                                               bloom_prefilter)
+
+    members = spark.range(0, 500).select(
+        (F.col("id") * 7919 + 13).alias("h"))
+    m_bits, k = bloom_dims(500)
+    bits = bloom_build(members, "h", m_bits, k)
+    kept = bloom_prefilter(members, "h", bits, m_bits, k)
+    assert kept.count() == 500  # no false negatives, ever
+
+    outsiders = spark.range(10_000, 14_000).select(F.col("id").alias("h"))
+    n_fp = bloom_prefilter(outsiders, "h", bits, m_bits, k).count()
+    assert n_fp < 800, f"false-positive rate {n_fp/4000:.2%} is not a filter"
+
+
+def test_bloom_contamination_matches_exact_report(docs, spark):
+    """bloom_contamination_report must be row-identical to the plain
+    contamination_report — the Bloom stage is a prefilter, never a
+    semantic change."""
+    from rivulus_spark.operators import contamination
+
+    train = docs.filter(F.col("doc_id") != 2)
+    ev = docs.filter(F.col("doc_id") == 2)
+    exact = sorted(map(tuple, contamination.contamination_report(
+        train, ev, k=3).collect()))
+    bloom = sorted(map(tuple, contamination.bloom_contamination_report(
+        train, ev, k=3).collect()))
+    assert bloom == exact and len(bloom) > 0

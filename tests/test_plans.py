@@ -117,6 +117,16 @@ def test_decontaminate_is_hashed_equi_join(spark):
     assert "EvalPython" not in p
 
 
+def test_decontaminate_bloom_probe_is_mapside_arrow(spark):
+    # the Bloom probe must be an Arrow MapInPandas stage on the train
+    # side (vectorized bit gather, no per-row Python), feeding a hashed
+    # equi-join — never a cartesian/nested-loop, never row-at-a-time
+    p = plan(spark, "decontaminate_bloom")
+    assert "MapInPandas" in p
+    assert "EvalPython" not in p  # no row-at-a-time Python UDF stage
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
 def test_sequence_packing_single_stream_shuffle(spark):
     # one hash exchange keys the per-stream running sum; no Python,
     # no nested loop, no global single-partition window
