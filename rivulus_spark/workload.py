@@ -2454,6 +2454,33 @@ def q_shard_export_manifest(spark, sf_dir):
     return shards.shard_manifest(spark, path)
 
 
+@_q("global_shuffle_layout", """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+         - 1 AS rn
+  FROM documents)
+SELECT doc_id, (rn % 8)::BIGINT AS shard_id,
+       (rn // 8)::BIGINT AS pos_in_shard
+FROM r
+""")
+def q_global_shuffle_layout(spark, sf_dir):
+    """Deterministic epoch shuffle: every document's (shard, position)
+    under the seed-42 MD5 permutation, striped across 8 shards — the
+    reproducible global shuffle a pre-training loader materializes
+    once per epoch. Unlike ORDER BY rand() it is cluster- and
+    retry-invariant and independently auditable (the oracle replays
+    the identical permutation); the rank comes from the two-pass
+    distributed ranking (operators/rank.py), never a single-partition
+    window."""
+    from .operators import sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (sample.global_shuffle(docs, "doc_id", n_shards=8, seed="42")
+            .select("doc_id", "shard_id", "pos_in_shard"))
+
+
 @_q("length_histogram", """
 WITH b AS (
   SELECT least(greatest(floor(n_chars / 250.0), 0), 19)::BIGINT AS bin

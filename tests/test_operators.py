@@ -1761,3 +1761,35 @@ def test_bloom_contamination_matches_exact_report(docs, spark):
     bloom = sorted(map(tuple, contamination.bloom_contamination_report(
         train, ev, k=3).collect()))
     assert bloom == exact and len(bloom) > 0
+
+
+# ----------------------------------------------------------------------
+# deterministic global shuffle
+# ----------------------------------------------------------------------
+
+def test_global_shuffle_distributed_path_matches_reference(spark):
+    """In-memory input has no file-size estimate, forcing the two-pass
+    distributed rank — the 100 TB path. Its permutation must equal an
+    independent Python replay of the spec (md5('seed|key') order),
+    shards must be balanced to within one row, and a different seed
+    must yield a different permutation."""
+    import hashlib
+    from collections import Counter
+
+    from rivulus_spark.operators import sample
+
+    df = spark.range(0, 257).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: (r.shard_id, r.pos_in_shard)
+           for r in sample.global_shuffle(df, "doc_id", n_shards=4,
+                                          seed="s").collect()}
+    order = sorted(range(257),
+                   key=lambda i: (hashlib.md5(f"s|{i}".encode()).hexdigest(),
+                                  i))
+    ref = {doc: (rn % 4, rn // 4) for rn, doc in enumerate(order)}
+    assert got == ref
+    sizes = Counter(v[0] for v in got.values()).values()
+    assert max(sizes) - min(sizes) <= 1
+    reseeded = {r.doc_id: (r.shard_id, r.pos_in_shard)
+                for r in sample.global_shuffle(df, "doc_id", n_shards=4,
+                                               seed="t").collect()}
+    assert reseeded != got and set(reseeded) == set(got)

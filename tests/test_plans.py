@@ -434,6 +434,7 @@ _WINDOW_JUSTIFICATION = {
     "token_budget_mix": "krow:source|stratum",
     "temperature_mix": "krow:source|stratum",
     "window_ntile": "size_gated",
+    "global_shuffle_layout": "size_gated",
 }
 
 
