@@ -158,3 +158,56 @@ def train_merges_from_docs(df: DataFrame, n_merges: int,
     """End-to-end: corpus → word table → merge table."""
     return train_merges(word_freqs(df, col), n_merges,
                         min_count=min_count)
+
+
+def apply_merges(vocab: DataFrame, merges: list[tuple[str, str]],
+                 syms_col: str = "syms",
+                 checkpoint_every: int = 16) -> DataFrame:
+    """Apply a learned merge list IN RANK ORDER to a symbol-array
+    column — Sennrich-style encoding: merge ``rank 1`` everywhere,
+    then rank 2, ... Each merge is the same greedy-leftmost codegen
+    fold training uses (``_apply_merge``), so encode and train cannot
+    disagree on merge semantics. Projection collapse would otherwise
+    nest all k folds into ONE expression, whose analysis cost grows
+    quadratically; a ``localCheckpoint`` every ``checkpoint_every``
+    merges bounds the expression depth (the vocab table being
+    checkpointed is Heaps-law small)."""
+    out = vocab
+    for i, (lhs, rhs) in enumerate(merges):
+        out = out.withColumn(syms_col, _apply_merge(syms_col, lhs, rhs))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def encode_docs_with_merges(df: DataFrame, merge_table: DataFrame,
+                            col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Tokenize-and-encode the corpus with a trained merge table:
+    ``(id, n_tokens, n_pieces)`` per document — the fit→encode loop
+    closed (train_merges learns the table; this spends it).
+
+    Scale shape mirrors training's Heaps-law collapse: the merges are
+    applied to the DISTINCT-word table (vocab-sized, never the
+    corpus), producing a ``(word, n_pieces)`` lookup the corpus token
+    stream then hash-joins (AQE broadcasts it when it fits). The
+    corpus is touched twice (distinct words + token stream), both
+    scans JVM-only; the merge table itself is a k-row driver barrier,
+    same as the k-means centroid collect.
+
+    Documents with no tokens produce no row (explode semantics);
+    the synthetic corpus has none."""
+    merges = [(r["lhs"], r["rhs"]) for r in
+              merge_table.orderBy("merge_rank").collect()]
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(col)).alias("word"))
+    vocab = toks.select("word").distinct().withColumn(
+        "syms", F.regexp_extract_all("word", F.lit("."), 0))
+    pieces = (apply_merges(vocab, merges)
+              .select("word", F.size("syms").cast("long")
+                      .alias("__wp")))
+    return (toks.join(pieces, "word")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("__wp").alias("n_pieces"))
+            .select(F.col("id").alias(id_col), "n_tokens", "n_pieces"))

@@ -1494,17 +1494,14 @@ def q_text_chunking(spark, sf_dir):
                                     max_tokens=32, overlap=8)
 
 
-def _bpe_train_oracle(sf_dir: str = DRIVER_SF_DIR,
-                      n_merges: int = 8) -> str:
-    """Independent reference implementation of BPE merge training,
-    emitted as a VALUES literal: a single-threaded dict-based trainer
-    (the classic Sennrich et al. shape) over the same whitespace
-    tokens, sharing NOTHING with the Spark implementation but the
-    spec — greedy leftmost non-overlapping merging, ties broken by
-    lexicographically smallest (lhs, rhs). The merge table is exact
-    (integer counts, deterministic tie-break), so the driver's
-    hash-match compares full spec strength at every sf the builder
-    can afford; it reads only the vocab-collapsed word table, so it
+def _bpe_reference_merges(sf_dir: str,
+                          n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Independent reference implementation of BPE merge training: a
+    single-threaded dict-based trainer (the classic Sennrich et al.
+    shape) over the same whitespace tokens, sharing NOTHING with the
+    Spark implementation but the spec — greedy leftmost
+    non-overlapping merging, ties broken by lexicographically smallest
+    (lhs, rhs). It reads only the vocab-collapsed word table, so it
     stays cheap through sf1 (Heaps' law — same collapse the operator
     itself relies on)."""
     import duckdb
@@ -1539,12 +1536,78 @@ def _bpe_train_oracle(sf_dir: str = DRIVER_SF_DIR,
                 else:
                     out.append(tok)
             syms[w] = out
+    return merges
+
+
+def _bpe_apply_reference(word: str,
+                         merges: list[tuple[str, str]]) -> list[str]:
+    """Reference Sennrich encode of one word: each learned merge
+    applied greedy-leftmost, in rank order."""
+    s = list(word)
+    for lhs, rhs in merges:
+        if len(s) < 2:
+            break
+        out = [s[0]]
+        for tok in s[1:]:
+            if out[-1] == lhs and tok == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(tok)
+        s = out
+    return s
+
+
+def _bpe_train_oracle(sf_dir: str = DRIVER_SF_DIR,
+                      n_merges: int = 8) -> str:
+    """Reference merge table as a VALUES literal. The table is exact
+    (integer counts, deterministic tie-break), so the driver's
+    hash-match compares full spec strength at every sf the builder
+    can afford."""
+    merges = _bpe_reference_merges(sf_dir, n_merges)
     values = ",\n".join(
         "(%d, '%s', '%s', %d)"
         % (rk, l.replace("'", "''"), r.replace("'", "''"), c)
         for rk, l, r, c in merges)
     return (f"SELECT * FROM (VALUES {values}) "
             "AS t(merge_rank, lhs, rhs, pair_count)")
+
+
+def _bpe_encode_oracle(sf_dir: str = DRIVER_SF_DIR,
+                       n_merges: int = 8) -> str:
+    """Per-document encode counts from the SAME independent reference
+    (train with the reference trainer, encode each distinct word with
+    the reference encoder, sum per document), emitted as a VALUES
+    literal — the full train→encode loop checked end to end against
+    an implementation that shares no code with the engine. Documents
+    with no tokens would emit no row (explode semantics on the Spark
+    side); the synthetic corpus has none."""
+    import re
+
+    import duckdb
+
+    merges = [(l, r) for _, l, r, _ in
+              _bpe_reference_merges(sf_dir, n_merges)]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    wp: dict[str, int] = {}
+    out = []
+    for doc_id, text in docs:
+        words = re.split(r"\s+", text.strip())
+        if not words or words == [""]:
+            continue
+        n_pieces = 0
+        for w in words:
+            if w not in wp:
+                wp[w] = len(_bpe_apply_reference(w, merges))
+            n_pieces += wp[w]
+        out.append((doc_id, len(words), n_pieces))
+    values = ",\n".join("(%d, %d, %d)" % row for row in out)
+    return (f"SELECT doc_id, n_tokens::BIGINT AS n_tokens, "
+            f"n_pieces::BIGINT AS n_pieces FROM (VALUES {values}) "
+            "AS t(doc_id, n_tokens, n_pieces)")
 
 
 @_q("bpe_train_merges", _bpe_train_oracle)
@@ -1562,6 +1625,22 @@ def q_bpe_train_merges(spark, sf_dir):
 
     return bpe.train_merges_from_docs(
         _t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@_q("bpe_encode_corpus", _bpe_encode_oracle)
+def q_bpe_encode_corpus(spark, sf_dir):
+    """The tokenizer loop closed: train 8 BPE merges, then encode the
+    corpus with them — per-document whitespace-token and BPE-piece
+    counts. The merges apply to the DISTINCT-word table (vocab-sized,
+    Heaps' law — never per token), then the token stream joins the
+    (word, n_pieces) lookup; every stage is JVM-side, the merge list
+    is a k-row driver barrier. Oracle: the independent reference
+    trainer+encoder materialized per document."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_merges_from_docs(docs, n_merges=8)
+    return bpe.encode_docs_with_merges(docs, merges)
 
 
 #: deterministic PII suffix appended to the synthetic documents so the
@@ -4170,9 +4249,10 @@ _PRIORITY: list[str] = [
     # The remaining r4 rows (agg_q*, join variants, window_lag/
     # ntile, multimodal image/resize, orc/evolution/shard sinks,
     # select_project, expr_arith, pivot_status, range_join_events,
-    # mem_source_join, bucketed_join_agg, sql_entry_q6 — the last two
-    # bumped for the r7 debuts bpe_train_merges/decontaminate_bloom)
-    # rotate in r8.
+    # mem_source_join, bucketed_join_agg, sql_entry_q6,
+    # percentile_clip, pipeline_curate_v2 — the last four bumped for
+    # the r7 debuts bpe_train_merges/decontaminate_bloom/
+    # bpe_encode_corpus/global_shuffle_layout) rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4187,13 +4267,13 @@ _PRIORITY: list[str] = [
     "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
     "semantic_dedup", "group_percentile_clip", "temperature_mix",
     "dataset_diff", "bpe_train_merges", "decontaminate_bloom",
+    "bpe_encode_corpus", "global_shuffle_layout",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
     "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
     "ann_ivf_topk", "sketch_quantiles",
-    "percentile_clip", "pipeline_curate_v2",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1793,3 +1793,36 @@ def test_global_shuffle_distributed_path_matches_reference(spark):
                 for r in sample.global_shuffle(df, "doc_id", n_shards=4,
                                                seed="t").collect()}
     assert reseeded != got and set(reseeded) == set(got)
+
+
+def test_bpe_apply_merges_rank_order_and_overlap(spark):
+    """Encode semantics: merges apply in rank order, greedy leftmost
+    within each ('aaab' + (a,a) -> [aa,a,b], and the later (aa,b)
+    merge finds no adjacent (aa,b) pair afterwards); single-symbol
+    words are inert. checkpoint_every=1 exercises the lineage
+    truncation between every merge."""
+    from rivulus_spark.operators import bpe
+
+    vocab = spark.createDataFrame([("aaab",), ("ab",), ("x",)],
+                                  "word string").withColumn(
+        "syms", F.regexp_extract_all("word", F.lit("."), 0))
+    got = {r.word: list(r.syms)
+           for r in bpe.apply_merges(vocab, [("a", "a"), ("a", "b")],
+                                     checkpoint_every=1).collect()}
+    assert got == {"aaab": ["aa", "ab"], "ab": ["ab"], "x": ["x"]}
+
+
+def test_bpe_encode_docs_matches_reference(spark):
+    """encode_docs_with_merges over a toy corpus equals a hand
+    encode: train on the corpus, then per-doc token/piece counts."""
+    from rivulus_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "ab cd cd"), (2, "x")],
+        "doc_id long, text string")
+    merges = bpe.train_merges_from_docs(docs, n_merges=2)
+    got = {(r.doc_id, r.n_tokens, r.n_pieces)
+           for r in bpe.encode_docs_with_merges(docs, merges).collect()}
+    # merges: (a,b) count 5 -> ab; then (c,d) count 3 beats (ab,ab)
+    # count 2. encode: abab->[ab,ab], ab->[ab], cd->[cd], x->[x]
+    assert got == {(0, 3, 5), (1, 3, 3), (2, 1, 1)}
