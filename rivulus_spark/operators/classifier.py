@@ -1,0 +1,114 @@
+"""Model-in-the-loop curation: distributed logistic-regression
+training and corpus filtering.
+
+The classic pipeline component this implements: train a small linear
+quality/domain classifier on cheap per-document features, then score
+the whole corpus and keep what passes — the CCNet / GPT-3-style
+"quality filter" step, where the model is fit ON the corpus it then
+curates. The reference engine has no model surface at all; this is a
+north-star operator built to the repo's exactness discipline: every
+arithmetic step is chosen so an independent single-threaded
+implementation reproduces the weights to ~1e-12, making the trained
+model itself oracle-checkable (floored to 6 decimals).
+
+Scale design — why this survives 100 TB:
+
+- **Features are JVM projections** (`text.quality_features`: counts
+  and floor-truncated ratios — one codegen scan, no shuffle).
+- **Full-batch gradient descent, one aggregation per iteration.** The
+  gradient of logistic loss is sum((sigmoid(w·x) - y) · x) — d+1
+  partial-aggregated sums over the persisted standardized feature
+  table. Each iteration is ONE whole-stage-codegen agg job whose
+  result is d+1 doubles: the same k-row driver barrier as k-means
+  centroids (cluster.py) and BPE's per-round argmax (bpe.py). No
+  Python workers anywhere — the sigmoid is `F.exp` inside codegen,
+  re-parameterized each round with the current weights as literals.
+- **Standardization is one extra stats pass** (mean/stddev_pop per
+  feature, a 1-row agg) that bounds z = w·x so fixed-step GD
+  converges without line search; weights are reported in standardized
+  space (the oracle replays the identical recipe).
+- **Iteration count is fixed** (not convergence-tested) so the job
+  count is known and the result deterministic.
+
+Determinism note: partial-sum order differs across partitionings, so
+weights drift at the last-ulp level between runs/engines; outputs are
+floor-truncated to 6 decimals (floor, not round — the repo-wide
+cross-engine convention), far above the ~1e-12 drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import cache
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_fit(
+    df: DataFrame, feature_cols: list[str], label_col: str,
+    n_iters: int = 20, lr: float = 1.0,
+) -> tuple[dict[str, float], list[float], list[float]]:
+    """Fit logistic regression by full-batch gradient descent; returns
+    ``({"intercept": w0, feature: w_i, ...}, means, stds)`` with
+    weights in STANDARDIZED feature space (z-scored with population
+    stddev — the means/stds are what :func:`logreg_score` needs to
+    apply them). ``label_col`` must be boolean/0-1. ``lr`` is the
+    step on the MEAN gradient.
+
+    One stats job + ``n_iters`` aggregation jobs, each collecting
+    d+1 doubles — nothing row-sized ever reaches the driver."""
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    d = len(feature_cols)
+    feats = cache.persist(df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y")))
+    stats = feats.agg(
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feature_cols)],
+        *[F.stddev_pop(c).alias(f"s{i}")
+          for i, c in enumerate(feature_cols)],
+        F.count("*").alias("n")).first()
+    means = [stats[f"m{i}"] for i in range(d)]
+    # constant features carry no signal; std=1 keeps them harmlessly 0
+    stds = [stats[f"s{i}"] or 1.0 for i in range(d)]
+    stds = [s if s > 0.0 else 1.0 for s in stds]
+    n = stats["n"]
+    if n == 0:
+        raise ValueError("cannot fit on an empty DataFrame")
+
+    def zscore(i: int) -> Column:
+        return (F.col(feature_cols[i]) - F.lit(means[i])) / F.lit(stds[i])
+
+    w = [0.0] * (d + 1)  # [intercept, w_1..w_d]
+    for _ in range(n_iters):
+        z = F.lit(w[0])
+        for i in range(d):
+            z = z + F.lit(w[i + 1]) * zscore(i)
+        r = _sigmoid(z) - F.col("__y")
+        g = feats.agg(
+            F.sum(r).alias("g0"),
+            *[F.sum(r * zscore(i)).alias(f"g{i + 1}")
+              for i in range(d)]).first()
+        for j in range(d + 1):
+            w[j] -= lr * g[f"g{j}"] / n
+    out = {"intercept": w[0]}
+    for i, c in enumerate(feature_cols):
+        out[c] = w[i + 1]
+    return out, means, stds
+
+
+def logreg_score(df: DataFrame, feature_cols: list[str],
+                 weights: dict[str, float], means: list[float],
+                 stds: list[float],
+                 score_col: str = "score") -> DataFrame:
+    """Append the fitted probability — a pure codegen projection (the
+    corpus-scoring pass is a scan, exactly like the feature pass)."""
+    z = F.lit(weights["intercept"])
+    for i, c in enumerate(feature_cols):
+        z = z + F.lit(weights[c]) * (
+            (F.col(c) - F.lit(means[i])) / F.lit(stds[i]))
+    return df.withColumn(score_col, _sigmoid(z))

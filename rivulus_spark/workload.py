@@ -1643,6 +1643,160 @@ def q_bpe_encode_corpus(spark, sf_dir):
     return bpe.encode_docs_with_merges(docs, merges)
 
 
+#: classifier feature columns (order matters: weights/means/stds align)
+_CLF_FEATURES = ["n_tokens", "avg_token_len", "punct_ratio",
+                 "stopword_ratio"]
+# 12 GD rounds: accuracy is flat past ~8 on this signal, and each
+# round is one whole aggregation job — the iteration count IS the
+# query's fixed cost, so it's sized to convergence, not habit
+_CLF_ITERS = 12
+_CLF_LR = 1.0
+
+#: DuckDB replica of text.quality_features' floored feature exprs —
+#: copied from the text_quality oracle so classifier inputs are
+#: bit-identical across engines (floors are cross-engine exact)
+_CLF_FEATURE_SQL = """
+SELECT source, length(text) > 300 AS label,
+       len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS n_tokens,
+       floor(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+             / len(regexp_split_to_array(trim(text), '\\s+')) * 100) / 100
+           AS avg_token_len,
+       floor(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+             / length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1000)
+           / 1000 AS punct_ratio,
+       floor(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 w -> list_contains(['the','a','of','and','to','is','in','it'],
+                                    w)))::DOUBLE
+             / len(regexp_split_to_array(trim(text), '\\s+')) * 1000) / 1000
+           AS stopword_ratio
+FROM '{sf_dir}/documents.parquet'
+"""
+
+
+def _clf_reference_fit(sf_dir: str):
+    """Independent single-threaded reference of the classifier fit:
+    features via DuckDB (bit-identical floored exprs), z-score with
+    population std, full-batch GD in numpy — shares nothing with the
+    Spark implementation but the spec. Returns (w, means, stds, X, y,
+    langs) so the score oracle can reuse the fit."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(_CLF_FEATURE_SQL.format(sf_dir=sf_dir)).fetchall()
+    con.close()
+    sources = [r[0] for r in rows]
+    X = np.array([r[2:] for r in rows], dtype=np.float64)
+    y = np.array([1.0 if r[1] else 0.0 for r in rows])
+    means = X.mean(axis=0)
+    stds = X.std(axis=0)
+    stds[stds == 0.0] = 1.0
+    Xs = (X - means) / stds
+    n, d = Xs.shape
+    w = np.zeros(d + 1)
+    for _ in range(_CLF_ITERS):
+        z = w[0] + Xs @ w[1:]
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        w[0] -= _CLF_LR * r.sum() / n
+        w[1:] -= _CLF_LR * (Xs.T @ r) / n
+    return w, means, stds, Xs, y, sources
+
+
+def _floor6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000) / 1_000_000
+
+
+def _clf_weights_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    w = _clf_reference_fit(sf_dir)[0]
+    names = ["intercept"] + _CLF_FEATURES
+    values = ",\n".join("('%s', %r)" % (nm, _floor6(wi))
+                        for nm, wi in zip(names, w))
+    return (f"SELECT feature, weight::DOUBLE AS weight "
+            f"FROM (VALUES {values}) AS t(feature, weight)")
+
+
+def _clf_filter_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    import numpy as np
+
+    w, _, _, Xs, _, sources = _clf_reference_fit(sf_dir)
+    p = 1.0 / (1.0 + np.exp(-(w[0] + Xs @ w[1:])))
+    agg: dict[str, list[int]] = {}
+    for src, keep in zip(sources, p >= 0.5):
+        a = agg.setdefault(src, [0, 0])
+        a[0] += 1
+        a[1] += int(keep)
+    values = ",\n".join("('%s', %d, %d)" % (src, a[0], a[1])
+                        for src, a in sorted(agg.items()))
+    return (f"SELECT source, n_docs::BIGINT AS n_docs, "
+            f"n_kept::BIGINT AS n_kept FROM (VALUES {values}) "
+            "AS t(source, n_docs, n_kept)")
+
+
+def _clf_features_frame(spark, sf_dir):
+    """Features + distillation label. The label is an out-of-feature
+    signal (raw char length > 300 — the stand-in for an expensive
+    labeler: a big model's quality judgment, a human rating) that the
+    cheap token statistics must RECONSTRUCT; the synthetic corpus has
+    no real language/quality signal (every lang shares one vocabulary),
+    so a semantic label would be unlearnable noise. n_chars_actual is
+    deliberately NOT a feature."""
+    docs = _t(spark, sf_dir, "documents")
+    return (text_ops.quality_features(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .withColumn("n_tokens", F.col("n_tokens").cast("double"))
+            .withColumn("label", F.col("n_chars_actual") > 300))
+
+
+@_q("quality_classifier_weights", _clf_weights_oracle)
+def q_quality_classifier_weights(spark, sf_dir):
+    """Model-in-the-loop curation, fit step: train a logistic
+    regression reconstructing an out-of-feature target (see
+    _clf_features_frame) from the per-doc quality features
+    (operators/classifier.py — full-batch GD, one codegen aggregation
+    per iteration, d+1 doubles per driver barrier, zero Python
+    stages). Output: the learned weights in standardized space,
+    floor-truncated to 6 decimals — the trained MODEL itself is the
+    oracle-checked observable, against an independent numpy
+    reference."""
+    from .operators import classifier
+
+    feats = _clf_features_frame(spark, sf_dir)
+    w, _, _ = classifier.logreg_fit(feats, _CLF_FEATURES, "label",
+                                    n_iters=_CLF_ITERS, lr=_CLF_LR)
+    names = ["intercept"] + _CLF_FEATURES
+    rows = [(nm, w[nm if nm != "intercept" else "intercept"])
+            for nm in names]
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select(
+        "feature",
+        (F.floor(F.col("weight") * 1_000_000) / 1_000_000)
+        .alias("weight"))
+
+
+@_q("quality_classifier_filter", _clf_filter_oracle)
+def q_quality_classifier_filter(spark, sf_dir):
+    """Model-in-the-loop curation, apply step: fit the classifier,
+    score every document (pure codegen projection — the corpus never
+    shuffles), and report per-source keep counts at threshold 0.5 — the
+    quality-filter funnel a curation pipeline reports. Train + apply
+    in one query is the real shape: the filter is fit on the corpus
+    it curates."""
+    from .operators import classifier
+
+    feats = _clf_features_frame(spark, sf_dir)
+    w, means, stds = classifier.logreg_fit(
+        feats, _CLF_FEATURES, "label", n_iters=_CLF_ITERS, lr=_CLF_LR)
+    scored = classifier.logreg_score(feats, _CLF_FEATURES, w, means,
+                                     stds)
+    return (scored.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("score") >= 0.5).cast("long"))
+                 .alias("n_kept")))
+
+
 #: deterministic PII suffix appended to the synthetic documents so the
 #: scrub/count operators have real matches to find (same expression on
 #: both engines)
@@ -4250,9 +4404,10 @@ _PRIORITY: list[str] = [
     # ntile, multimodal image/resize, orc/evolution/shard sinks,
     # select_project, expr_arith, pivot_status, range_join_events,
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
-    # percentile_clip, pipeline_curate_v2 — the last four bumped for
-    # the r7 debuts bpe_train_merges/decontaminate_bloom/
-    # bpe_encode_corpus/global_shuffle_layout) rotate in r8.
+    # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
+    # sketch_quantiles — the last six bumped for the six r7 debuts,
+    # which take the window per the debut-with-a-driver-row rule)
+    # rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4268,12 +4423,13 @@ _PRIORITY: list[str] = [
     "semantic_dedup", "group_percentile_clip", "temperature_mix",
     "dataset_diff", "bpe_train_merges", "decontaminate_bloom",
     "bpe_encode_corpus", "global_shuffle_layout",
+    "quality_classifier_weights", "quality_classifier_filter",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
-    "intra_doc_dedup", "kmeans_cluster_sizes", "kmeans_assign_sizes",
-    "ann_ivf_topk", "sketch_quantiles",
+    "intra_doc_dedup", "kmeans_cluster_sizes",
+    "ann_ivf_topk",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

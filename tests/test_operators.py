@@ -1826,3 +1826,60 @@ def test_bpe_encode_docs_matches_reference(spark):
     # merges: (a,b) count 5 -> ab; then (c,d) count 3 beats (ab,ab)
     # count 2. encode: abab->[ab,ab], ab->[ab], cd->[cd], x->[x]
     assert got == {(0, 3, 5), (1, 3, 3), (2, 1, 1)}
+
+
+# ----------------------------------------------------------------------
+# logistic-regression quality classifier
+# ----------------------------------------------------------------------
+
+def test_logreg_fit_matches_numpy_reference(spark):
+    """Distributed full-batch GD must track an independent numpy
+    replica to ~1e-9 (the partial-sum drift budget the floored-6
+    oracle relies on), and the fitted scores must separate a
+    separable toy set."""
+    import numpy as np
+
+    from rivulus_spark.operators import classifier
+
+    rows = [(float(i), float((i * 7) % 5), i >= 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y boolean")
+    w, means, stds = classifier.logreg_fit(df, ["x1", "x2"], "y",
+                                           n_iters=15, lr=1.0)
+
+    X = np.array([[r[0], r[1]] for r in rows])
+    y = np.array([1.0 if r[2] else 0.0 for r in rows])
+    m, s = X.mean(0), X.std(0)
+    Xs = (X - m) / s
+    ref = np.zeros(3)
+    for _ in range(15):
+        p = 1 / (1 + np.exp(-(ref[0] + Xs @ ref[1:])))
+        r = p - y
+        ref[0] -= r.sum() / 20
+        ref[1:] -= (Xs.T @ r) / 20
+    assert abs(w["intercept"] - ref[0]) < 1e-9
+    assert abs(w["x1"] - ref[1]) < 1e-9 and abs(w["x2"] - ref[2]) < 1e-9
+
+    scored = classifier.logreg_score(df, ["x1", "x2"], w, list(m),
+                                     list(s))
+    got = {r.x1: r.score for r in scored.collect()}
+    assert min(got[float(i)] for i in range(10, 20)) > \
+        max(got[float(i)] for i in range(10))
+
+
+def test_logreg_fit_constant_feature_and_empty_input(spark):
+    """A zero-variance feature must not divide by zero (std
+    coalesces to 1, weight stays 0 — the standardized column is
+    identically 0); an empty input must raise, not return NaNs."""
+    import pytest as _pytest
+
+    from rivulus_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0, True), (2.0, 5.0, False), (3.0, 5.0, True)],
+        "x1 double, c double, y boolean")
+    w, _, _ = classifier.logreg_fit(df, ["x1", "c"], "y", n_iters=3)
+    assert w["c"] == 0.0 and all(map(math.isfinite, w.values()))
+
+    with _pytest.raises(Exception):
+        classifier.logreg_fit(df.filter("x1 > 99"), ["x1"], "y",
+                              n_iters=1)

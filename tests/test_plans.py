@@ -49,7 +49,7 @@ def test_topk_avoids_global_sort(spark):
 
 @pytest.mark.parametrize("name", [
     "dedup_simhash", "dedup_exact", "text_quality", "knn_cosine",
-    "multimodal_binary_stats",
+    "multimodal_binary_stats", "quality_classifier_filter",
 ])
 def test_jvm_only_operators_have_no_python_stage(spark, name):
     p = plan(spark, name)
