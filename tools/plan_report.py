@@ -172,6 +172,28 @@ HEADLINE = {
                          "partial agg → TakeOrdered(1); codegen "
                          "fold applies the merge) — final result "
                          "is the k-row merge table"),
+    "decontaminate_bloom": ("bloom-prefiltered decontamination: the "
+                            "probe is a map-side Arrow MapInPandas "
+                            "bit-gather (positions hashed JVM-side), "
+                            "so the verify equi-join shuffles only "
+                            "the ~1% survivor remnant, never the "
+                            "corpus shingle stream"),
+    "bpe_encode_corpus": ("tokenizer apply: merges fold over the "
+                          "DISTINCT-word table (Heaps-law small), "
+                          "then the token stream hash-joins the "
+                          "(word, n_pieces) lookup — all JVM, no "
+                          "per-token merge work"),
+    "global_shuffle_layout": ("deterministic epoch shuffle: global "
+                              "position via the two-pass distributed "
+                              "rank on the digest's numeric prefix "
+                              "(size-gated single window only under "
+                              "the 64 MB input gate); shard/pos are "
+                              "row-local arithmetic"),
+    "quality_classifier_filter": ("model-in-the-loop filter: scoring "
+                                  "is a pure codegen projection with "
+                                  "trained weights as literals; the "
+                                  "only shuffle is the k-row "
+                                  "per-source keep-count agg"),
 }
 
 SF = "/root/testdata/sf0.001"
