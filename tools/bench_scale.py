@@ -47,6 +47,13 @@ QUERIES_TO_RUN = [
     "dataset_diff",
     # vocab-bound by design (Heaps' law): the curve should be ~flat
     "bpe_train_merges",
+    # r7 second wave: bloom probe must stay map-side-proportional,
+    # encode is vocab-bound + one token-stream join, the shuffle
+    # layout is the two-pass rank, the classifier is
+    # iteration-job-bound (expected ~flat)
+    "decontaminate_bloom", "bpe_encode_corpus",
+    "global_shuffle_layout", "quality_classifier_weights",
+    "quality_classifier_filter",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -56,6 +63,7 @@ HUGE_QUERIES = [
     "pipeline_stats", "dedup_minhash_lsh",
     "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
     "bpe_train_merges",
+    "decontaminate_bloom", "bpe_encode_corpus", "global_shuffle_layout",
 ]
 
 
