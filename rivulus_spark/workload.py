@@ -1797,6 +1797,48 @@ def q_quality_classifier_filter(spark, sf_dir):
                  .alias("n_kept")))
 
 
+def _pca_oracle(sf_dir: str = DRIVER_SF_DIR, k: int = 16) -> str:
+    """Independent numpy reference for the PCA spectrum: embeddings
+    read directly from parquet (pyarrow), population covariance and
+    eigvalsh computed in one shot — no Spark, no batching, no
+    distributed moment accumulation. Floor-6 on both sides absorbs
+    the ~1e-12 partial-sum drift (Weyl: eigenvalues move at most the
+    matrix drift)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+    X = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    eig = np.linalg.eigvalsh(cov)[::-1]
+    tot = eig.sum()
+    rows = [(i + 1, np.floor(eig[i] * 1e6) / 1e6,
+             np.floor(eig[i] / tot * 1e6) / 1e6)
+            for i in range(min(k, len(eig)))]
+    values = ",\n".join("(%d, %r, %r)" % r for r in rows)
+    return (f"SELECT component::BIGINT AS component, "
+            f"eigenvalue::DOUBLE AS eigenvalue, "
+            f"explained_frac::DOUBLE AS explained_frac "
+            f"FROM (VALUES {values}) "
+            "AS t(component, eigenvalue, explained_frac)")
+
+
+@_q("embedding_pca_spectrum", _pca_oracle)
+def q_embedding_pca_spectrum(spark, sf_dir):
+    """Embedding spectrum analysis (operators/pca.py): top-16
+    principal eigenvalues + explained-variance fractions of the
+    corpus embedding covariance — the effective-dimensionality audit
+    that sizes IVF/LSH bit budgets and quantization error floors. One
+    corpus pass: numpy X^T X per Arrow batch, slot-keyed moment sums,
+    64x64 eigendecomposition as the driver's k-row barrier."""
+    from .operators import pca
+
+    return (pca.pca_spectrum(_t(spark, sf_dir, "embeddings"), k=16)
+            .select(F.col("component").cast("long").alias("component"),
+                    "eigenvalue", "explained_frac"))
+
+
 #: deterministic PII suffix appended to the synthetic documents so the
 #: scrub/count operators have real matches to find (same expression on
 #: both engines)
@@ -4405,9 +4447,9 @@ _PRIORITY: list[str] = [
     # select_project, expr_arith, pivot_status, range_join_events,
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
-    # sketch_quantiles — the last six bumped for the six r7 debuts,
-    # which take the window per the debut-with-a-driver-row rule)
-    # rotate in r8.
+    # sketch_quantiles, kmeans_cluster_sizes — bumped for the seven
+    # r7 debuts, which take the window per the
+    # debut-with-a-driver-row rule) rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4424,11 +4466,12 @@ _PRIORITY: list[str] = [
     "dataset_diff", "bpe_train_merges", "decontaminate_bloom",
     "bpe_encode_corpus", "global_shuffle_layout",
     "quality_classifier_weights", "quality_classifier_filter",
+    "embedding_pca_spectrum",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "text_quality", "charlm_quality",
-    "intra_doc_dedup", "kmeans_cluster_sizes",
+    "intra_doc_dedup",
     "ann_ivf_topk",
 ]
 

@@ -1883,3 +1883,30 @@ def test_logreg_fit_constant_feature_and_empty_input(spark):
     with _pytest.raises(Exception):
         classifier.logreg_fit(df.filter("x1 > 99"), ["x1"], "y",
                               n_iters=1)
+
+
+# ----------------------------------------------------------------------
+# embedding PCA spectrum
+# ----------------------------------------------------------------------
+
+def test_pca_spectrum_matches_numpy_and_is_batch_invariant(spark):
+    """Distributed moment accumulation must reproduce numpy's
+    covariance spectrum regardless of partitioning (1 vs 8 partitions
+    exercise different batch splits), and explained fractions must
+    sum to ~1 over all components."""
+    import numpy as np
+
+    from rivulus_spark.operators import pca
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(300, 6)) @ np.diag([5, 3, 2, 1, 0.5, 0.1])
+    rows = [(i, [float(v) for v in X[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ref = np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True))[::-1]
+    for parts in (1, 8):
+        got = (pca.pca_spectrum(df.repartition(parts), k=6)
+               .orderBy("component").collect())
+        for i, r in enumerate(got):
+            assert abs(r.eigenvalue - np.floor(ref[i] * 1e6) / 1e6) < 1e-9
+        assert abs(sum(r.explained_frac for r in got) - 1.0) < 1e-4
