@@ -901,3 +901,82 @@ def simhash_pairs_brute(df: DataFrame, max_hamming: int = 3,
                 ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ----------------------------------------------------------------------
+# repeated-substring spans (Lee et al. 2022-style substring dedup)
+# ----------------------------------------------------------------------
+
+def positioned_shingle_rows(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = 8) -> DataFrame:
+    """(id, pos, h) — the k-gram shingle HASH starting at each token
+    position. Same codegen posexplode + lead-window construction as
+    :func:`shingle_rows`, but positions are kept (span detection needs
+    them) and rows are NOT distinct-ed (a gram repeated within one doc
+    is a repeat we must count)."""
+    from ..partitioning import spread
+
+    w = Window.partitionBy("id").orderBy("pos")
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w)
+                              for i in range(1, k)]
+    return (toks.select("id", "pos",
+                        F.concat_ws(" ", *parts).alias("s"),
+                        parts[-1].isNotNull().alias("__full"))
+            .filter(F.col("__full"))
+            .select("id", "pos", word_hash(F.col("s")).alias("h")))
+
+
+def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Merged token spans covered by a k-gram that occurs at least
+    ``min_repeats`` times in the CORPUS (across or within documents)
+    — the exact-substring dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    whose suffix-array pass this re-expresses relationally at the
+    k-gram granularity Spark can shuffle. Output: ``(doc_id,
+    span_start, span_end, n_repeated_grams)`` with ``span_end``
+    inclusive and positions 0-based token indices; downstream policy
+    (cut the span, drop the doc) is the caller's.
+
+    Scale shape: position rows are 24-byte ``(h, id, pos)`` triples;
+    repeat detection is one partial-aggregated count on the 60-bit
+    hash (never gram text); the positions that survive the semi-join
+    are proportional to REPEATED content, and the interval merge is
+    two doc-partitioned windows over only those rows (classic
+    island detection: a gram opens a new island iff it starts past
+    the running max end of its predecessors). A corpus-hot gram
+    ("click here to subscribe") fans its own occurrences out, which
+    is the same incidence-proportional cost the cross-doc line
+    dedup pays — never corpus x corpus.
+
+    The k-gram relaxation vs a true suffix array: repeats SHORTER
+    than k tokens are not flagged (by construction, same as the
+    paper's 50-token threshold), and a repeat of length >= k is
+    flagged over its full extent (every window inside it repeats)."""
+    spans = positioned_shingle_rows(df, text_col, id_col, k)
+    hot = (spans.groupBy("h")
+           .agg(F.count("*").alias("n"))
+           .filter(F.col("n") >= min_repeats)
+           .select("h"))
+    marked = spans.join(hot, "h").select(
+        "id", "pos", (F.col("pos") + (k - 1)).alias("end"))
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (marked
+               .withColumn("new_island",
+                           F.when(prev_max_end.isNull() |
+                                  (F.col("pos") > prev_max_end + 1),
+                                  1).otherwise(0))
+               .withColumn("island", F.sum("new_island").over(w)))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"),
+                 F.count("*").alias("n_repeated_grams"))
+            .select(F.col("id").alias(id_col), "span_start",
+                    "span_end", "n_repeated_grams"))

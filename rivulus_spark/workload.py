@@ -1797,6 +1797,56 @@ def q_quality_classifier_filter(spark, sf_dir):
                  .alias("n_kept")))
 
 
+@_q("repeated_span_dedup", r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest([{'pos': i-1,
+                      's': words[i] || ' ' || words[i+1] || ' ' ||
+                           words[i+2] || ' ' || words[i+3] || ' ' ||
+                           words[i+4] || ' ' || words[i+5] || ' ' ||
+                           words[i+6] || ' ' || words[i+7]}
+                     for i in range(1, len(words)-6)]) AS u
+      FROM w),
+p AS (SELECT doc_id, u.pos AS pos,
+             ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
+      FROM g),
+hot AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos, pos + 7 AS e FROM p JOIN hot USING (h)),
+isl AS (SELECT doc_id, pos, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        + 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM m),
+isl2 AS (SELECT doc_id, pos, e,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS island
+         FROM isl)
+SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_repeated_grams
+FROM isl2 GROUP BY doc_id, island
+""")
+def q_repeated_span_dedup(spark, sf_dir):
+    """Exact repeated-substring spans (operators/dedup.repeated_spans):
+    merged token intervals covered by an 8-gram occurring >= 2 times
+    anywhere in the corpus — the Lee et al. 2022 substring-dedup
+    signal, re-expressed relationally (positioned shingle hashes ->
+    partial-agg repeat count -> semi-join -> doc-partitioned island
+    merge). Cost tracks REPEATED content, never corpus x corpus."""
+    from .operators import dedup as dd
+
+    out = dd.repeated_spans(_t(spark, sf_dir, "documents"), k=8,
+                            min_repeats=2)
+    return out.select("doc_id",
+                      F.col("span_start").cast("long").alias("span_start"),
+                      F.col("span_end").cast("long").alias("span_end"),
+                      "n_repeated_grams")
+
+
 def _pca_oracle(sf_dir: str = DRIVER_SF_DIR, k: int = 16) -> str:
     """Independent numpy reference for the PCA spectrum: embeddings
     read directly from parquet (pyarrow), population covariance and
@@ -4447,8 +4497,8 @@ _PRIORITY: list[str] = [
     # select_project, expr_arith, pivot_status, range_join_events,
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
-    # sketch_quantiles, kmeans_cluster_sizes — bumped for the seven
-    # r7 debuts, which take the window per the
+    # sketch_quantiles, kmeans_cluster_sizes, text_quality — bumped
+    # for the eight r7 debuts, which take the window per the
     # debut-with-a-driver-row rule) rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
@@ -4466,11 +4516,11 @@ _PRIORITY: list[str] = [
     "dataset_diff", "bpe_train_merges", "decontaminate_bloom",
     "bpe_encode_corpus", "global_shuffle_layout",
     "quality_classifier_weights", "quality_classifier_filter",
-    "embedding_pca_spectrum",
+    "embedding_pca_spectrum", "repeated_span_dedup",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
-    "stream_running_totals", "text_quality", "charlm_quality",
+    "stream_running_totals", "charlm_quality",
     "intra_doc_dedup",
     "ann_ivf_topk",
 ]

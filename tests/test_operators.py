@@ -1910,3 +1910,23 @@ def test_pca_spectrum_matches_numpy_and_is_batch_invariant(spark):
         for i, r in enumerate(got):
             assert abs(r.eigenvalue - np.floor(ref[i] * 1e6) / 1e6) < 1e-9
         assert abs(sum(r.explained_frac for r in got) - 1.0) < 1e-4
+
+
+def test_repeated_spans_merge_adjacency_and_gap(spark):
+    """Hand-checked island semantics: overlapping grams merge,
+    back-to-back coverage merges, a 1-token unrepeated gap splits,
+    intra-doc repeats count toward min_repeats."""
+    docs = spark.createDataFrame([
+        # docs 0 and 1 share tokens a b c d (one 3-gram window at 0-2
+        # and 1-3 -> overlap-merged span 0..3 in both)
+        (0, "a b c d x y z"),
+        (1, "a b c d q r s"),
+        # doc 2 repeats "p q r" twice within itself with a gap:
+        # positions 0-2 and 4-6 -> two islands (token 3 unrepeated)
+        (2, "p q r u p q r"),
+    ], "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_repeated_grams)
+           for r in dedup.repeated_spans(docs, k=3, min_repeats=2)
+           .collect()}
+    assert got == {(0, 0, 3, 2), (1, 0, 3, 2),
+                   (2, 0, 2, 1), (2, 4, 6, 1)}
