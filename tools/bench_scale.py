@@ -54,6 +54,10 @@ QUERIES_TO_RUN = [
     "decontaminate_bloom", "bpe_encode_corpus",
     "global_shuffle_layout", "quality_classifier_weights",
     "quality_classifier_filter",
+    # incidence-proportional by design (positions of repeated grams)
+    "repeated_span_dedup",
+    # one-pass moment accumulation: linear scan, k-row barrier
+    "embedding_pca_spectrum",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -64,6 +68,7 @@ HUGE_QUERIES = [
     "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
     "bpe_train_merges",
     "decontaminate_bloom", "bpe_encode_corpus", "global_shuffle_layout",
+    "repeated_span_dedup", "embedding_pca_spectrum",
 ]
 
 
