@@ -194,6 +194,16 @@ HEADLINE = {
                                   "trained weights as literals; the "
                                   "only shuffle is the k-row "
                                   "per-source keep-count agg"),
+    "repeated_span_dedup": ("substring dedup: repeat detection is a "
+                            "partial-agg count on the 60-bit gram "
+                            "hash; the island-merge windows are "
+                            "doc-partitioned and run over only the "
+                            "repeated positions"),
+    "embedding_pca_spectrum": ("one-pass covariance: numpy X^T X per "
+                               "Arrow batch, packed moment arrays "
+                               "reduced by a slot-keyed sum — only "
+                               "the 2145-double moment vector reaches "
+                               "the driver eigendecomposition"),
 }
 
 SF = "/root/testdata/sf0.001"
