@@ -980,3 +980,50 @@ def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
                  F.count("*").alias("n_repeated_grams"))
             .select(F.col("id").alias(id_col), "span_start",
                     "span_end", "n_repeated_grams"))
+
+
+def group_jaccard_matrix(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text", k: int = 3,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact pairwise Jaccard similarity between the k-gram shingle
+    SETS of each group (source, snapshot, crawl) — the corpus-level
+    overlap audit that decides which sources to merge, down-weight,
+    or drop before any per-document dedup runs. Output:
+    ``(group_a, group_b, n_common, jaccard)`` for every unordered
+    group pair with at least one shared shingle; ``jaccard`` is
+    floor-truncated to 6 decimals (cross-engine convention).
+
+    Scale shape: documents collapse to DISTINCT ``(group, h)`` rows
+    (partial-aggregated — each partition emits its distinct pairs
+    before the 24-byte shuffle); the intersection is a self-join on
+    the 60-bit hash whose fan-out per shingle is bounded by the
+    GROUP count (≤ g² pairs per hash, g ~ tens), never the corpus;
+    set sizes are one tiny aggregate broadcast back into the final
+    k²-row join. Nothing document- or text-sized survives past the
+    first projection."""
+    # shingle per DOCUMENT (shingle_rows' lead-window must never cross
+    # doc boundaries), then map doc -> group; the id-keyed join input
+    # is already id-partitioned by the shingle window's exchange
+    doc_sh = (shingle_rows(df, text_col, id_col, k)
+              .select("id", word_hash(F.col("s")).alias("h")))
+    groups = df.select(F.col(id_col).alias("id"),
+                       F.col(group_col).alias("g"))
+    sh = doc_sh.join(groups, "id").select("g", "h").distinct()
+    sizes = sh.groupBy("g").agg(F.count("*").alias("n"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"),
+                   (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("group_a"),
+                      F.col("b.g").alias("group_b"))
+             .agg(F.count("*").alias("n_common")))
+    ja = (inter
+          .join(sizes.select(F.col("g").alias("group_a"),
+                             F.col("n").alias("na")), "group_a")
+          .join(sizes.select(F.col("g").alias("group_b"),
+                             F.col("n").alias("nb")), "group_b"))
+    jacc = (F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")))
+    return ja.select("group_a", "group_b", "n_common",
+                     (F.floor(jacc * 1_000_000) / 1_000_000)
+                     .alias("jaccard"))

@@ -1847,6 +1847,44 @@ def q_repeated_span_dedup(spark, sf_dir):
                       "n_repeated_grams")
 
 
+@_q("source_similarity_matrix", r"""
+WITH w AS (SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS words
+           FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (SELECT source,
+               unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
+                                     || words[i+2]
+                                     for i in range(1, len(words)-1)])) AS s
+        FROM w)),
+sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         count(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT group_a, group_b, n_common::BIGINT AS n_common,
+       floor(n_common::DOUBLE / (za.n + zb.n - n_common) * 1000000)
+           / 1000000 AS jaccard
+FROM inter
+JOIN sz za ON za.source = group_a
+JOIN sz zb ON zb.source = group_b
+""")
+def q_source_similarity_matrix(spark, sf_dir):
+    """Source-level overlap audit (operators/dedup.group_jaccard_matrix):
+    exact pairwise Jaccard between each source's 3-gram shingle set —
+    which sources are re-crawls/mirrors of each other, decided BEFORE
+    per-document dedup spends anything. Documents collapse to distinct
+    (source, hash) rows; the intersection self-join fans out at most
+    g² per shingle (g = #groups), never corpus-sized."""
+    from .operators import dedup as dd
+
+    return dd.group_jaccard_matrix(_t(spark, sf_dir, "documents"),
+                                   group_col="source", k=3)
+
+
 def _pca_oracle(sf_dir: str = DRIVER_SF_DIR, k: int = 16) -> str:
     """Independent numpy reference for the PCA spectrum: embeddings
     read directly from parquet (pyarrow), population covariance and
@@ -4497,9 +4535,9 @@ _PRIORITY: list[str] = [
     # select_project, expr_arith, pivot_status, range_join_events,
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
-    # sketch_quantiles, kmeans_cluster_sizes, text_quality — bumped
-    # for the eight r7 debuts, which take the window per the
-    # debut-with-a-driver-row rule) rotate in r8.
+    # sketch_quantiles, kmeans_cluster_sizes, text_quality,
+    # intra_doc_dedup — bumped for the nine r7 debuts, which take the
+    # window per the debut-with-a-driver-row rule) rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4517,11 +4555,11 @@ _PRIORITY: list[str] = [
     "bpe_encode_corpus", "global_shuffle_layout",
     "quality_classifier_weights", "quality_classifier_filter",
     "embedding_pca_spectrum", "repeated_span_dedup",
+    "source_similarity_matrix",
     # (d) r4-vintage backfill
     "dedup_exact", "dedup_clusters", "dedup_simhash",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "charlm_quality",
-    "intra_doc_dedup",
     "ann_ivf_topk",
 ]
 

@@ -1930,3 +1930,20 @@ def test_repeated_spans_merge_adjacency_and_gap(spark):
            .collect()}
     assert got == {(0, 0, 3, 2), (1, 0, 3, 2),
                    (2, 0, 2, 1), (2, 4, 6, 1)}
+
+
+def test_group_jaccard_matrix_hand_case(spark):
+    """Exact group-set Jaccard on a hand corpus: group A = {g1,g2,g3}
+    (two docs, one shared shingle set), group B = {g2,g3,g4}, so
+    J = 2/4; shingles must NOT cross document boundaries (doc 2's
+    tail + doc 3's head would fabricate grams)."""
+    docs = spark.createDataFrame([
+        (0, "A", "a b c d"),      # grams: abc, bcd
+        (1, "A", "x y z"),        # gram: xyz
+        (2, "B", "b c d"),        # gram: bcd
+        (3, "B", "x y z w"),      # grams: xyz, yzw
+    ], "doc_id long, source string, text string")
+    got = [(r.group_a, r.group_b, r.n_common, r.jaccard)
+           for r in dedup.group_jaccard_matrix(docs).collect()]
+    # A = {abc, bcd, xyz}, B = {bcd, xyz, yzw} -> common 2, union 4
+    assert got == [("A", "B", 2, 0.5)]
