@@ -56,6 +56,8 @@ QUERIES_TO_RUN = [
     "quality_classifier_filter",
     # incidence-proportional by design (positions of repeated grams)
     "repeated_span_dedup",
+    # groups^2-bounded self-join fan-out on the shingle hash
+    "source_similarity_matrix",
     # one-pass moment accumulation: linear scan, k-row barrier
     "embedding_pca_spectrum",
 ]
@@ -69,6 +71,7 @@ HUGE_QUERIES = [
     "bpe_train_merges",
     "decontaminate_bloom", "bpe_encode_corpus", "global_shuffle_layout",
     "repeated_span_dedup", "embedding_pca_spectrum",
+    "source_similarity_matrix",
 ]
 
 
