@@ -199,6 +199,11 @@ HEADLINE = {
                             "hash; the island-merge windows are "
                             "doc-partitioned and run over only the "
                             "repeated positions"),
+    "source_similarity_matrix": ("source-overlap audit: distinct "
+                                 "(source, hash) rows partial-agg "
+                                 "before the 24-byte shuffle; the "
+                                 "intersection self-join fans out "
+                                 "at most groups^2 per shingle"),
     "embedding_pca_spectrum": ("one-pass covariance: numpy X^T X per "
                                "Arrow batch, packed moment arrays "
                                "reduced by a slot-keyed sum — only "
