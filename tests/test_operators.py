@@ -1947,3 +1947,25 @@ def test_group_jaccard_matrix_hand_case(spark):
            for r in dedup.group_jaccard_matrix(docs).collect()]
     # A = {abc, bcd, xyz}, B = {bcd, xyz, yzw} -> common 2, union 4
     assert got == [("A", "B", 2, 0.5)]
+
+
+def test_new_operators_empty_and_short_inputs(spark):
+    """Degenerate inputs must produce empty (not wrong, not crashed)
+    results: an empty eval set for the bloom report, docs shorter
+    than k for span detection, and a single group for the similarity
+    matrix."""
+    from rivulus_spark.operators import contamination
+
+    docs = spark.createDataFrame(
+        [(0, "A", "a b c"), (1, "A", "a b c")],
+        "doc_id long, source string, text string")
+    empty = docs.filter("doc_id < 0")
+
+    rep = contamination.bloom_contamination_report(docs, empty, k=3)
+    assert rep.count() == 0
+
+    short = docs.select("doc_id", "text")  # 3 tokens < k=5
+    assert dedup.repeated_spans(short, k=5, min_repeats=2).count() == 0
+
+    # one group: no pairs
+    assert dedup.group_jaccard_matrix(docs).count() == 0

@@ -127,6 +127,23 @@ def test_decontaminate_bloom_probe_is_mapside_arrow(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
+def test_repeated_spans_no_cartesian_no_python(spark):
+    # repeat detection must be a hash-keyed agg + semi-join; the
+    # island-merge windows are doc-partitioned (blanket audit covers
+    # unpartitioned windows separately)
+    p = plan(spark, "repeated_span_dedup")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_source_similarity_is_hash_equi_join(spark):
+    # the intersection self-join must be a hash equi-join on the
+    # shingle hash (fan-out bounded by groups^2), all JVM
+    p = plan(spark, "source_similarity_matrix")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+
+
 def test_sequence_packing_single_stream_shuffle(spark):
     # one hash exchange keys the per-stream running sum; no Python,
     # no nested loop, no global single-partition window
