@@ -132,3 +132,34 @@ def group_percentile_clip(df: DataFrame, col: str | Column,
     return (df.join(F.broadcast(bounds), group_cols)
             .where((c >= F.col("__pc_lo")) & (c <= F.col("__pc_hi")))
             .drop("__pc_lo", "__pc_hi"))
+
+
+def rate_anomalies(df, ts_col: str = "ts", group_col: str = "event_type",
+                   z_threshold: float = 3.0):
+    """Per-group hourly-rate anomaly flags: hours whose event count
+    sits more than ``z_threshold`` population-z-scores from the
+    group's own mean hourly rate — the volume-anomaly telemetry a
+    pipeline runs on every ingest (a crawler stuck in a loop, a
+    source gone dark, a bot burst).
+
+    Scale shape: the corpus-sized stage is ONE partial-aggregated
+    groupBy (group, hour) — everything after runs on the tiny hourly
+    table (groups x hours rows): per-group mean/stddev is a second
+    k-row aggregate broadcast back into the final filter. z is
+    floor-truncated to 3 decimals (the hourly table's float sums are
+    order-dependent at the last ulp; 1e-3 buckets absorb that)."""
+    from pyspark.sql import functions as F
+
+    hours = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.date_format(F.date_trunc("hour", F.col(ts_col)),
+                                      "yyyy-MM-dd HH:00").alias("hour"))
+             .agg(F.count("*").alias("n_events")))
+    stats = (hours.groupBy("grp")
+             .agg(F.avg("n_events").alias("mu"),
+                  F.stddev_pop("n_events").alias("sigma")))
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (hours.join(stats, "grp")
+            .filter((F.col("sigma") > 0)
+                    & (F.abs(z) > F.lit(z_threshold)))
+            .select(F.col("grp").alias(group_col), "hour", "n_events",
+                    (F.floor(z * 1000) / 1000).alias("z_score")))

@@ -1847,6 +1847,30 @@ def q_repeated_span_dedup(spark, sf_dir):
                       "n_repeated_grams")
 
 
+@_q("event_rate_anomalies", """
+WITH h AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, hour),
+s AS (SELECT event_type, avg(n_events) AS mu,
+             stddev_pop(n_events) AS sigma
+      FROM h GROUP BY event_type)
+SELECT h.event_type, hour, n_events,
+       floor((n_events - mu) / sigma * 1000) / 1000 AS z_score
+FROM h JOIN s ON h.event_type = s.event_type
+WHERE sigma > 0 AND abs((n_events - mu) / sigma) > 3.0
+""")
+def q_event_rate_anomalies(spark, sf_dir):
+    """Ingest-volume anomaly telemetry (operators/stats.rate_anomalies):
+    hours whose per-type event count is > 3 population-z from that
+    type's mean hourly rate. One corpus-sized partial agg; everything
+    downstream runs on the tiny (type, hour) table."""
+    from .operators import stats as stats_ops
+
+    return stats_ops.rate_anomalies(_events(spark, sf_dir))
+
+
 @_q("source_similarity_matrix", r"""
 WITH w AS (SELECT doc_id, source,
                   regexp_split_to_array(trim(text), '\s+') AS words
@@ -4536,8 +4560,9 @@ _PRIORITY: list[str] = [
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
     # sketch_quantiles, kmeans_cluster_sizes, text_quality,
-    # intra_doc_dedup — bumped for the nine r7 debuts, which take the
-    # window per the debut-with-a-driver-row rule) rotate in r8.
+    # intra_doc_dedup, dedup_simhash — bumped for the ten r7 debuts,
+    # which take the window per the debut-with-a-driver-row rule)
+    # rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4555,9 +4580,9 @@ _PRIORITY: list[str] = [
     "bpe_encode_corpus", "global_shuffle_layout",
     "quality_classifier_weights", "quality_classifier_filter",
     "embedding_pca_spectrum", "repeated_span_dedup",
-    "source_similarity_matrix",
+    "source_similarity_matrix", "event_rate_anomalies",
     # (d) r4-vintage backfill
-    "dedup_exact", "dedup_clusters", "dedup_simhash",
+    "dedup_exact", "dedup_clusters",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "charlm_quality",
     "ann_ivf_topk",

@@ -1969,3 +1969,28 @@ def test_new_operators_empty_and_short_inputs(spark):
 
     # one group: no pairs
     assert dedup.group_jaccard_matrix(docs).count() == 0
+
+
+def test_rate_anomalies_flags_burst_hour(spark):
+    """A hand burst: type A has 1 event/hour for 11 hours plus one
+    100-event hour -> only the burst hour flags; type B is constant
+    -> sigma 0 rows never divide by zero, never flag."""
+    import datetime
+
+    from rivulus_spark.operators import stats as stats_ops
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(12):
+        rows.append((eid, base + datetime.timedelta(hours=h), "A")); eid += 1
+        rows.append((eid, base + datetime.timedelta(hours=h), "B")); eid += 1
+    for i in range(99):
+        rows.append((eid, base + datetime.timedelta(hours=5, minutes=i % 60,
+                                                    seconds=i // 60), "A"))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "event_type string")
+    got = [(r.event_type, r.hour, r.n_events)
+           for r in stats_ops.rate_anomalies(df).collect()]
+    assert got == [("A", "2026-01-01 05:00", 100)]
