@@ -66,3 +66,75 @@ def diff_report(old: DataFrame, new: DataFrame,
     d = dataset_diff(old, new, id_col, fingerprint, carry_cols=by or [])
     return (d.groupBy(*(by or []), "status")
             .agg(F.count("*").alias("n_docs")))
+
+
+def datacard(df: DataFrame, group_col: str = "source",
+             text_col: str = "text", lang_col: str = "lang",
+             id_col: str = "doc_id", short_tokens: int = 50) -> DataFrame:
+    """Per-group release datasheet — the one-table summary a corpus
+    ships with: document and token volume, exact-duplicate share,
+    short-doc share, mean stopword ratio, and language-mix entropy.
+    Every number is the value a datasheet-for-datasets audit quotes
+    before sign-off.
+
+    Scale shape: two corpus-sized partial aggregates (the per-doc
+    feature projection folded into one group-by; the duplicate-share
+    pass groups the 16-byte content fingerprint, then its per-group
+    rollup joins back on the tiny group table) and one k-row language
+    histogram for the entropy — nothing document-sized crosses a
+    shuffle twice. Ratios floor-truncate (3 decimals) per the
+    cross-engine convention; entropy in nats.
+    """
+    from .text import stopword_ratio, token_count
+
+    g = F.col(group_col).alias("grp")
+    base = (df.select(
+        g, F.col(lang_col).alias("lang"),
+        token_count(text_col).alias("n_tok"),
+        stopword_ratio(text_col).alias("stop_r"),
+        F.md5(F.col(text_col)).alias("fp")))
+
+    # mean of the floored per-doc ratios, accumulated EXACTLY: each
+    # stop_r is k/1000, so round(stop_r*1000) recovers the integer k
+    # and integer sums are order-independent — the mean is then ONE
+    # identical IEEE division on both engines (a float avg's partial
+    # sums could flip the floor at an exact k/1000 boundary)
+    per_group = (base.groupBy("grp")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("n_tok").alias("total_tokens"),
+                      F.sum(F.round(F.col("stop_r") * 1000).cast("long"))
+                      .alias("stop_milli"),
+                      F.sum((F.col("n_tok") < short_tokens).cast("long"))
+                      .alias("n_short")))
+
+    # duplicate share: docs whose exact content appears >= 2 times in
+    # the WHOLE corpus (cross-group mirrors count — that is the audit
+    # question), attributed to each group they appear in
+    fp_counts = (base.groupBy("fp")
+                 .agg(F.count("*").alias("n_fp")))
+    dups = (base.join(fp_counts, "fp")
+            .filter(F.col("n_fp") >= 2)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n_dup")))
+
+    lang_hist = (base.groupBy("grp", "lang")
+                 .agg(F.count("*").alias("n")))
+    tot = lang_hist.groupBy("grp").agg(F.sum("n").alias("nt"))
+    ent = (lang_hist.join(tot, "grp")
+           .select("grp", (F.col("n") / F.col("nt")).alias("p"))
+           .groupBy("grp")
+           .agg((-F.sum(F.col("p") * F.log("p"))).alias("lang_entropy")))
+
+    f3 = lambda c: (F.floor(c * 1000) / 1000)  # noqa: E731
+    return (per_group
+            .join(dups, "grp", "left")
+            .join(ent, "grp")
+            .select(F.col("grp").alias(group_col),
+                    "n_docs", "total_tokens",
+                    f3(F.coalesce(F.col("n_dup"), F.lit(0))
+                       / F.col("n_docs")).alias("dup_frac"),
+                    f3(F.col("n_short") / F.col("n_docs"))
+                    .alias("short_frac"),
+                    (F.floor(F.col("stop_milli") / F.col("n_docs"))
+                     / 1000).alias("mean_stopword_ratio"),
+                    f3(F.col("lang_entropy")).alias("lang_entropy")))

@@ -1847,6 +1847,50 @@ def q_repeated_span_dedup(spark, sf_dir):
                       "n_repeated_grams")
 
 
+@_q("corpus_datacard", r"""
+WITH base AS (
+  SELECT source AS grp, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               w -> list_contains(['the','a','of','and','to','is','in','it'],
+                                  w)))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\s+')) * 1000)
+             AS stop_m,
+         md5(text) AS fp
+  FROM documents),
+pg AS (SELECT grp, count(*) AS n_docs,
+              sum(n_tok)::BIGINT AS total_tokens,
+              sum(stop_m) AS stop_milli,
+              sum(CASE WHEN n_tok < 50 THEN 1 ELSE 0 END) AS n_short
+       FROM base GROUP BY grp),
+fpc AS (SELECT fp, count(*) AS n_fp FROM base GROUP BY fp),
+dups AS (SELECT grp, count(*) AS n_dup
+         FROM base JOIN fpc USING (fp) WHERE n_fp >= 2 GROUP BY grp),
+lh AS (SELECT grp, lang, count(*) AS n FROM base GROUP BY grp, lang),
+tot AS (SELECT grp, sum(n) AS nt FROM lh GROUP BY grp),
+ent AS (SELECT lh.grp,
+               -sum((n::DOUBLE / nt) * ln(n::DOUBLE / nt)) AS lang_entropy
+        FROM lh JOIN tot ON lh.grp = tot.grp GROUP BY lh.grp)
+SELECT pg.grp AS source, n_docs::BIGINT AS n_docs, total_tokens,
+       floor(coalesce(n_dup, 0)::DOUBLE / n_docs * 1000) / 1000 AS dup_frac,
+       floor(n_short::DOUBLE / n_docs * 1000) / 1000 AS short_frac,
+       floor(stop_milli::DOUBLE / n_docs) / 1000 AS mean_stopword_ratio,
+       floor(lang_entropy * 1000) / 1000 AS lang_entropy
+FROM pg LEFT JOIN dups ON pg.grp = dups.grp
+JOIN ent ON pg.grp = ent.grp
+""")
+def q_corpus_datacard(spark, sf_dir):
+    """Per-source release datasheet (operators/snapshot.datacard):
+    volume, exact-duplicate share (corpus-wide fingerprints, so
+    cross-source mirrors count), short-doc share, mean stopword
+    ratio (exact integer accumulation), language-mix entropy — the
+    one table a datasheet-for-datasets audit quotes at sign-off."""
+    from .operators import snapshot
+
+    return (snapshot.datacard(_t(spark, sf_dir, "documents"))
+            .withColumn("n_docs", F.col("n_docs").cast("long")))
+
+
 @_q("event_rate_anomalies", """
 WITH h AS (
   SELECT event_type,
@@ -4560,9 +4604,9 @@ _PRIORITY: list[str] = [
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
     # sketch_quantiles, kmeans_cluster_sizes, text_quality,
-    # intra_doc_dedup, dedup_simhash — bumped for the ten r7 debuts,
-    # which take the window per the debut-with-a-driver-row rule)
-    # rotate in r8.
+    # intra_doc_dedup, dedup_simhash, dedup_clusters — bumped for the
+    # twelve r7 debuts, which take the window per the
+    # debut-with-a-driver-row rule) rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4581,8 +4625,9 @@ _PRIORITY: list[str] = [
     "quality_classifier_weights", "quality_classifier_filter",
     "embedding_pca_spectrum", "repeated_span_dedup",
     "source_similarity_matrix", "event_rate_anomalies",
+    "corpus_datacard",
     # (d) r4-vintage backfill
-    "dedup_exact", "dedup_clusters",
+    "dedup_exact",
     "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
     "stream_running_totals", "charlm_quality",
     "ann_ivf_topk",

@@ -1994,3 +1994,27 @@ def test_rate_anomalies_flags_burst_hour(spark):
     got = [(r.event_type, r.hour, r.n_events)
            for r in stats_ops.rate_anomalies(df).collect()]
     assert got == [("A", "2026-01-01 05:00", 100)]
+
+
+def test_datacard_hand_corpus(spark):
+    """Hand-checked datasheet: duplicate share counts corpus-wide
+    fingerprints (the cross-group mirror lands in BOTH groups'
+    dup_frac), shorts and entropy are per group."""
+    import math as m
+
+    from rivulus_spark.operators import snapshot
+
+    docs = spark.createDataFrame([
+        (0, "A", "en", "x y z"),
+        (1, "A", "fr", "same mirrored text here padding five"),
+        (2, "B", "en", "same mirrored text here padding five"),
+        (3, "B", "en", "p q r s"),
+    ], "doc_id long, source string, lang string, text string")
+    got = {r.source: r for r in snapshot.datacard(docs).collect()}
+    assert got["A"].n_docs == 2 and got["B"].n_docs == 2
+    assert got["A"].dup_frac == 0.5 and got["B"].dup_frac == 0.5
+    assert got["A"].short_frac == 1.0  # all docs < 50 tokens
+    # A: langs en/fr 1-1 -> entropy ln 2; B: en only -> 0
+    assert got["A"].lang_entropy == m.floor(m.log(2) * 1000) / 1000
+    assert got["B"].lang_entropy == 0.0
+    assert got["A"].total_tokens == 9 and got["B"].total_tokens == 10
