@@ -43,10 +43,13 @@ def _dim(df: DataFrame, vec_col: str) -> int:
     return row["d"]
 
 
-def moment_vector(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
-    """Packed ``[n, sum_0..d-1, upper-triangular XX]`` over the corpus
-    — one pass, one numpy matmul per Arrow batch, slot-keyed sums."""
-    d = _dim(df, vec_col)
+def moment_frame(df: DataFrame, vec_col: str = "embedding",
+                 d: int | None = None) -> DataFrame:
+    """The pre-collect moment plan: ``(slot, v)`` rows of the packed
+    ``[n, sum_0..d-1, upper-triangular XX]`` reduction — exposed so
+    plan tests can assert the Arrow-map + slot-agg shape."""
+    if d is None:
+        d = _dim(df, vec_col)
     iu = np.triu_indices(d)
 
     def part(batches):
@@ -60,11 +63,17 @@ def moment_vector(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
             packed = np.concatenate(([float(len(X))], X.sum(axis=0), xx))
             yield pd.DataFrame({"m": [packed.tolist()]})
 
-    slots = (df.select(vec_col)
-             .mapInPandas(part, schema="m array<double>")
-             .select(F.posexplode("m").alias("slot", "v"))
-             .groupBy("slot").agg(F.sum("v").alias("v"))
-             .collect())
+    return (df.select(vec_col)
+            .mapInPandas(part, schema="m array<double>")
+            .select(F.posexplode("m").alias("slot", "v"))
+            .groupBy("slot").agg(F.sum("v").alias("v")))
+
+
+def moment_vector(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
+    """Packed ``[n, sum_0..d-1, upper-triangular XX]`` over the corpus
+    — one pass, one numpy matmul per Arrow batch, slot-keyed sums."""
+    d = _dim(df, vec_col)
+    slots = moment_frame(df, vec_col, d).collect()
     out = np.zeros(1 + d + d * (d + 1) // 2)
     for r in slots:
         out[r["slot"]] = r["v"]

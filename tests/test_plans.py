@@ -50,6 +50,7 @@ def test_topk_avoids_global_sort(spark):
 @pytest.mark.parametrize("name", [
     "dedup_simhash", "dedup_exact", "text_quality", "knn_cosine",
     "multimodal_binary_stats", "quality_classifier_filter",
+    "event_rate_anomalies", "corpus_datacard",
 ])
 def test_jvm_only_operators_have_no_python_stage(spark, name):
     p = plan(spark, name)
@@ -125,6 +126,29 @@ def test_decontaminate_bloom_probe_is_mapside_arrow(spark):
     assert "MapInPandas" in p
     assert "EvalPython" not in p  # no row-at-a-time Python UDF stage
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_bpe_encode_joins_folded_vocab_broadcast_jvm_only(spark):
+    # the merge folds run over the distinct-word table, which then
+    # broadcasts into the token-stream join — no Python anywhere
+    p = plan(spark, "bpe_encode_corpus")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pca_moments_are_arrow_map_no_cartesian(spark):
+    # the spectrum query collects the moment vector eagerly (its
+    # final plan is a LocalTableScan), so assert on the pre-collect
+    # moment stage: one MapInPandas pass + slot-keyed partial agg
+    from rivulus_spark.operators import pca
+
+    df = spark.read.parquet(SF + "/embeddings.parquet")
+    p = (pca.moment_frame(df)._jdf.queryExecution().executedPlan()
+         .toString())
+    assert "MapInPandas" in p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final slot sums
 
 
 def test_repeated_spans_no_cartesian_no_python(spark):
