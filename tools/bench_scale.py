@@ -58,6 +58,8 @@ QUERIES_TO_RUN = [
     "repeated_span_dedup",
     # groups^2-bounded self-join fan-out on the shingle hash
     "source_similarity_matrix",
+    # one corpus-sized partial agg each; k-row rollups after
+    "event_rate_anomalies", "corpus_datacard",
     # one-pass moment accumulation: linear scan, k-row barrier
     "embedding_pca_spectrum",
 ]
@@ -71,7 +73,7 @@ HUGE_QUERIES = [
     "bpe_train_merges",
     "decontaminate_bloom", "bpe_encode_corpus", "global_shuffle_layout",
     "repeated_span_dedup", "embedding_pca_spectrum",
-    "source_similarity_matrix",
+    "source_similarity_matrix", "corpus_datacard",
 ]
 
 
