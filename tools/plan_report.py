@@ -204,6 +204,13 @@ HEADLINE = {
                                  "before the 24-byte shuffle; the "
                                  "intersection self-join fans out "
                                  "at most groups^2 per shingle"),
+    "event_rate_anomalies": ("volume telemetry: one partial-agg "
+                             "(type, hour) rollup; stats + filter "
+                             "run on the tiny hourly table"),
+    "corpus_datacard": ("release datasheet: per-doc metrics fold "
+                        "into two corpus-sized partial aggregates; "
+                        "dup share joins the 16-byte fingerprint "
+                        "counts back on the k-row group table"),
     "embedding_pca_spectrum": ("one-pass covariance: numpy X^T X per "
                                "Arrow batch, packed moment arrays "
                                "reduced by a slot-keyed sum — only "
