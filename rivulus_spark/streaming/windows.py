@@ -221,3 +221,36 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     finally:
         q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def run_available_now_to_files(stream_df: DataFrame, path: str,
+                               checkpoint_dir: str,
+                               partition_by: str | None = None,
+                               timeout_s: int = 120) -> None:
+    """Drain the backlog into an exactly-once parquet FILE sink —
+    the production landing shape (the memory sink of
+    :func:`run_available_now` is the test harness shape). The file
+    sink commits each micro-batch atomically through the checkpoint's
+    write-ahead manifest, so a crashed-and-rerun drain with the SAME
+    checkpoint never duplicates files — that manifest, not the
+    parquet directory listing, is the sink's source of truth (a
+    fresh checkpoint over an old directory double-counts; callers
+    use a fresh sink+checkpoint pair per logical run).
+    ``partition_by`` lands hive-partitioned output, the layout the
+    read side prunes on."""
+    w = (stream_df.writeStream
+         .format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True))
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    q = w.start()
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"file-sink drain to {path!r} did not finish within "
+                f"{timeout_s}s")
+    finally:
+        q.stop()

@@ -2228,6 +2228,105 @@ _GOPHER_PASS = ("(wc >= 30 AND wc <= 100000)"
                 " AND (n_stops >= 2)")
 
 
+#: the structural Gopher flags (no stopword rule: the synthetic
+#: vocabulary contains almost none of the Gopher stopword list, so
+#: flag_stops rejects the WHOLE corpus — fine for the flag-audit
+#: query, vacuous for a filter)
+_GOPHER_PASS_STRUCTURAL = ("(wc >= 30 AND wc <= 100000)"
+                           " AND (nonspace::DOUBLE / wc >= 3.0"
+                           "      AND nonspace::DOUBLE / wc <= 10.0)"
+                           " AND (n_sym::DOUBLE / wc <= 0.1)"
+                           " AND (n_alpha::DOUBLE / wc >= 0.8)")
+
+
+@_q("stream_curate_sink", lambda sf_dir: rf"""
+WITH {_GOPHER_CTE},
+kept AS (
+  SELECT doc_id, source,
+         text || {_PII_SUFFIX_SQL} AS t
+  FROM g WHERE {_GOPHER_PASS_STRUCTURAL}),
+scrub AS (
+  SELECT source,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+               '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+               '<IP>', 'g'),
+             '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+           '\b\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}\b', '<PHONE>', 'g') AS s
+  FROM kept)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(('0x' || substr(md5(s), 1, 15))::BIGINT % 1000003)::BIGINT
+           AS scrub_sig
+FROM scrub GROUP BY source
+""")
+def q_stream_curate_sink(spark, sf_dir):
+    """End-to-end STREAMING curation into a production file sink:
+    documents stream in (multi-file AvailableNow replay), the Gopher
+    gate and PII scrub run as per-batch codegen projections, and the
+    survivors land in a source-partitioned parquet sink committed
+    exactly-once through the checkpoint manifest
+    (streaming/windows.run_available_now_to_files) — the continuous-
+    ingest deployment shape, where each drain picks up the backlog and
+    appends atomically. The query then reads the sink BACK (proving
+    the landed layout, not the in-flight frame) and reports per-source
+    doc counts + an order-independent content signature; the oracle is
+    the batch gate+scrub over the same corpus, which exactly-once
+    semantics must equal."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators import clean
+    from .operators.text import word_hash
+    from .streaming import windows as sw
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/documents.parquet")
+    staging = _staged_stream_parquet(docs, f"{sf_dir}/documents.parquet",
+                                     "curate", n_files=n_files)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+    gated = (clean.gopher_quality(stream, min_words=30)
+             # structural flags only — the stopword rule rejects the
+             # entire synthetic corpus (see _GOPHER_PASS_STRUCTURAL)
+             .filter("flag_wc AND flag_mean_wl AND flag_symbols "
+                     "AND flag_alpha")
+             .withColumn("t", F.concat(
+                 F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".7 ssn 123-45-6789 tel 555-867-5309"))))
+    scrubbed = gated.select("doc_id", "source",
+                            clean.pii_scrub("t").alias("scrubbed"))
+    # fresh sink+checkpoint pair per run: the checkpoint manifest is
+    # the exactly-once source of truth, so reusing a sink dir under a
+    # NEW checkpoint would double-count (see the runner's docstring)
+    run_id = uuid.uuid4().hex[:12]
+    sink = tempfile.mkdtemp(prefix=f"rivulus_curate_sink_{run_id}_")
+    shutil.rmtree(sink)
+    sw.run_available_now_to_files(
+        scrubbed, sink,
+        tempfile.mkdtemp(prefix=f"rivulus_ckpt_curate_{run_id}_"),
+        partition_by="source")
+    # explicit schema: a gate that keeps nothing leaves a files-less
+    # sink (only _spark_metadata), where inference would error — an
+    # empty curated release is a valid result, not a crash
+    back = spark.read.schema(scrubbed.schema).parquet(sink)
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(word_hash(F.col("scrubbed")) % 1_000_003)
+                 .alias("scrub_sig")))
+
+
 @_q("lexicon_filter", r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\b(error|fail|slow)\b'))::BIGINT
@@ -4604,9 +4703,10 @@ _PRIORITY: list[str] = [
     # mem_source_join, bucketed_join_agg, sql_entry_q6,
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
     # sketch_quantiles, kmeans_cluster_sizes, text_quality,
-    # intra_doc_dedup, dedup_simhash, dedup_clusters — bumped for the
-    # twelve r7 debuts, which take the window per the
-    # debut-with-a-driver-row rule) rotate in r8.
+    # intra_doc_dedup, dedup_simhash, dedup_clusters,
+    # embedding_neardup — bumped for the thirteen r7 debuts, which
+    # take the window per the debut-with-a-driver-row rule) rotate
+    # in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4625,10 +4725,10 @@ _PRIORITY: list[str] = [
     "quality_classifier_weights", "quality_classifier_filter",
     "embedding_pca_spectrum", "repeated_span_dedup",
     "source_similarity_matrix", "event_rate_anomalies",
-    "corpus_datacard",
+    "corpus_datacard", "stream_curate_sink",
     # (d) r4-vintage backfill
     "dedup_exact",
-    "dedup_simhash_pairs", "embedding_neardup", "stream_dedup",
+    "dedup_simhash_pairs", "stream_dedup",
     "stream_running_totals", "charlm_quality",
     "ann_ivf_topk",
 ]

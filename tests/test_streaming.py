@@ -362,3 +362,38 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
                             output_mode="append")
     stream = {(r.event_id, r.user_id, r.value_r) for r in got.collect()}
     assert stream == batch and len(batch) > 0
+
+
+def test_file_sink_drain_is_exactly_once_on_resume(spark, tmp_path):
+    """run_available_now_to_files: (a) the drained file sink equals
+    the batch result; (b) re-draining with the SAME checkpoint and no
+    new input appends NOTHING (the checkpoint manifest, not the
+    directory listing, is the source of truth); (c) new staged input
+    on the same checkpoint appends exactly the delta."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.streaming.windows import run_available_now_to_files
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("id long, k long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*"))
+        run_available_now_to_files(stream.filter("k < 5"), sink, ckpt)
+        return spark.read.schema("id long, k long").parquet(sink)
+
+    assert drain().count() == len([i for i in range(100) if i % 7 < 5])
+    n1 = drain().count()  # same checkpoint, no new files
+    assert n1 == len([i for i in range(100) if i % 7 < 5])
+    spark.range(100, 150).select(
+        F.col("id"), (F.col("id") % 7).alias("k")).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    n2 = drain().count()
+    assert n2 == len([i for i in range(150) if i % 7 < 5])
