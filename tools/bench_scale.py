@@ -60,6 +60,8 @@ QUERIES_TO_RUN = [
     "source_similarity_matrix",
     # one corpus-sized partial agg each; k-row rollups after
     "event_rate_anomalies", "corpus_datacard",
+    # streaming drain into the exactly-once file sink
+    "stream_curate_sink",
     # one-pass moment accumulation: linear scan, k-row barrier
     "embedding_pca_spectrum",
 ]

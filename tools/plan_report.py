@@ -204,6 +204,11 @@ HEADLINE = {
                                  "before the 24-byte shuffle; the "
                                  "intersection self-join fans out "
                                  "at most groups^2 per shingle"),
+    "stream_curate_sink": ("streaming ingest landing: the plan shown "
+                           "is the read-back over the hive-"
+                           "partitioned exactly-once sink; the gate+"
+                           "scrub ran as per-batch codegen "
+                           "projections inside the drain"),
     "event_rate_anomalies": ("volume telemetry: one partial-agg "
                              "(type, hour) rollup; stats + filter "
                              "run on the tiny hourly table"),
