@@ -206,3 +206,99 @@ def test_simhash_band_layout_covers_all_bits(n_bits, max_hamming):
     assert sum(widths) == n_bits
     assert all(w >= 1 for w in widths)
     assert max(widths) - min(widths) <= 1
+
+
+# ---------------------------------------------------------------------
+# round-7 operators
+# ---------------------------------------------------------------------
+
+words = st.sampled_from(["a", "b", "c", "ab", "the", "xy"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=6)
+
+
+@given(texts=docs_strategy)
+@SET
+def test_repeated_spans_match_bruteforce(spark, texts):
+    """repeated_spans == a brute-force Python replay of the spec on
+    arbitrary tiny corpora: k-gram multiset counts, >= 2 occurrences
+    anywhere, per-doc interval merge of [pos, pos+k-1] windows."""
+    from collections import Counter
+
+    from rivulus_spark.operators.dedup import repeated_spans
+
+    k = 2
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_repeated_grams)
+           for r in repeated_spans(df, k=k, min_repeats=2).collect()}
+
+    toks = {i: (t.split() if t.strip() else []) for i, t in enumerate(texts)}
+    counts = Counter()
+    for ws in toks.values():
+        for i in range(len(ws) - k + 1):
+            counts[" ".join(ws[i:i + k])] += 1
+    want = set()
+    for d, ws in toks.items():
+        hits = [i for i in range(len(ws) - k + 1)
+                if counts[" ".join(ws[i:i + k])] >= 2]
+        run = []
+        for p in hits:
+            if run and p <= run[-1][1] + 1:  # touches/overlaps coverage
+                run[-1] = (run[-1][0], max(run[-1][1], p + k - 1),
+                           run[-1][2] + 1)
+            else:
+                run.append((p, p + k - 1, 1))
+            if len(run) >= 2 and run[-2][1] + 1 >= run[-1][0]:
+                a, b = run.pop(-2), run.pop()
+                run.append((a[0], max(a[1], b[1]), a[2] + b[2]))
+        for s, e, n in run:
+            want.add((d, s, e, n))
+    assert got == want
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**6),
+                     min_size=1, max_size=40, unique=True),
+       probes=st.lists(st.integers(min_value=0, max_value=10**6),
+                       min_size=1, max_size=40))
+@SET
+def test_bloom_never_drops_members(spark, keys, probes):
+    """For ANY key set: every member survives the probe (the exactness
+    of prefilter+verify rests on this); non-member survivors are
+    allowed (false positives), never required."""
+    from rivulus_spark.operators.bloom import (bloom_build, bloom_dims,
+                                               bloom_prefilter)
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "h long")
+    m, nh = bloom_dims(len(keys))
+    bits = bloom_build(kdf, "h", m, nh)
+    pdf = spark.createDataFrame([(p,) for p in probes], "h long")
+    kept = {r.h for r in bloom_prefilter(pdf, "h", bits, m, nh).collect()}
+    assert set(probes) & set(keys) <= kept
+
+
+@given(n=st.integers(min_value=1, max_value=60),
+       shards=st.integers(min_value=1, max_value=5))
+@SET
+def test_global_shuffle_is_a_permutation(spark, n, shards):
+    """For any n and shard count: positions within each shard are
+    exactly 0..size-1, shard sizes differ by <= 1, and every key
+    appears exactly once."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators.sample import global_shuffle
+
+    df = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    rows = global_shuffle(df, "doc_id", n_shards=shards,
+                          seed="p").collect()
+    assert sorted(r.doc_id for r in rows) == list(range(n))
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard_id].append(r.pos_in_shard)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) <= 1
+    for v in by_shard.values():
+        assert sorted(v) == list(range(len(v)))
