@@ -302,3 +302,75 @@ def test_global_shuffle_is_a_permutation(spark, n, shards):
     assert max(sizes) - min(sizes) <= 1
     for v in by_shard.values():
         assert sorted(v) == list(range(len(v)))
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["ab", "aab", "abab", "ba", "bb", "a"]),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=5))
+@SET
+def test_bpe_train_then_encode_matches_reference(spark, texts):
+    """The full tokenizer loop on arbitrary tiny corpora: distributed
+    training + encoding equals a single-threaded reference (dict
+    trainer, greedy-leftmost apply in rank order) — same tie-break,
+    same min-length contract, same per-doc piece counts."""
+    from rivulus_spark.operators import bpe
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    merges_df = bpe.train_merges_from_docs(df, n_merges=3)
+    got_merges = [(r.lhs, r.rhs, r.pair_count) for r in
+                  merges_df.orderBy("merge_rank").collect()]
+
+    # reference trainer (word table, min_len=2 — word_freqs contract)
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                freqs[w] = freqs.get(w, 0) + 1
+    syms = {w: list(w) for w in freqs}
+    ref_merges = []
+    for _ in range(3):
+        pc = {}
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref_merges.append((l, r, c))
+        for w, s in syms.items():
+            out = [s[0]]
+            for tok in s[1:]:
+                if out[-1] == l and tok == r:
+                    out[-1] = l + r
+                else:
+                    out.append(tok)
+            syms[w] = out
+    assert got_merges == ref_merges
+
+    # reference encode over ALL words (encode has no min-length gate)
+    def apply(word):
+        s = list(word)
+        for l, r in [(m[0], m[1]) for m in ref_merges]:
+            if len(s) < 2:
+                break
+            out = [s[0]]
+            for tok in s[1:]:
+                if out[-1] == l and tok == r:
+                    out[-1] = l + r
+                else:
+                    out.append(tok)
+            s = out
+        return s
+
+    want = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        if ws:
+            want[d] = (len(ws), sum(len(apply(w)) for w in ws))
+    got = {r.doc_id: (r.n_tokens, r.n_pieces) for r in
+           bpe.encode_docs_with_merges(df, merges_df).collect()}
+    assert got == want
