@@ -114,7 +114,11 @@ def bloom_prefilter(df: DataFrame, key_col: str, bits: np.ndarray,
     The bit array broadcasts once per executor; the probe positions
     are computed JVM-side and the Python stage is a vectorized numpy
     gather over the Arrow batch (no per-row work, no shuffle)."""
-    assert m_bits == len(bits) * 64
+    if m_bits != len(bits) * 64:
+        raise ValueError(
+            f"filter/width mismatch: m_bits={m_bits} but the bit array "
+            f"carries {len(bits) * 64} bits — build and probe must "
+            f"share the same bloom_dims")
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(bits)
     probed = df.withColumn(

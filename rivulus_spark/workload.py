@@ -1847,6 +1847,58 @@ def q_repeated_span_dedup(spark, sf_dir):
                       "n_repeated_grams")
 
 
+@_q("stream_quality_score", _clf_filter_oracle)
+def q_stream_quality_score(spark, sf_dir):
+    """Offline-trained model served IN-STREAM — the deployment split a
+    production quality filter actually runs: the logistic regression
+    fits on the batch corpus (the offline training job), then its
+    weights ride into the document stream as codegen literals and
+    every micro-batch scores map-side (pure projection: no state, no
+    shuffle, any throughput). The drained per-source keep counts must
+    equal the all-batch `quality_classifier_filter` exactly — same
+    oracle — because scoring is row-local and the stream replays the
+    same corpus."""
+    import tempfile
+    import uuid
+
+    from .operators import classifier
+    from .operators.text import (avg_token_len, punct_ratio,
+                                 stopword_ratio, token_count)
+    from .streaming import windows as sw
+
+    feats_b = _clf_features_frame(spark, sf_dir)
+    w, means, stds = classifier.logreg_fit(
+        feats_b, _CLF_FEATURES, "label", n_iters=_CLF_ITERS, lr=_CLF_LR)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/documents.parquet")
+    staging = _staged_stream_parquet(docs, f"{sf_dir}/documents.parquet",
+                                     "qscore", n_files=n_files)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+    feats_s = stream.select(
+        "source",
+        token_count("text").cast("double").alias("n_tokens"),
+        avg_token_len("text").alias("avg_token_len"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"))
+    scored = classifier.logreg_score(feats_s, _CLF_FEATURES, w, means,
+                                     stds)
+    name = f"stream_qscore_{uuid.uuid4().hex[:12]}"
+    out = sw.run_available_now(
+        scored.select("source",
+                      (F.col("score") >= 0.5).cast("long").alias("kept")),
+        query_name=name,
+        checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+        output_mode="append")
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("kept").alias("n_kept")))
+
+
 @_q("corpus_datacard", r"""
 WITH base AS (
   SELECT source AS grp, lang,
@@ -4704,9 +4756,9 @@ _PRIORITY: list[str] = [
     # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
     # sketch_quantiles, kmeans_cluster_sizes, text_quality,
     # intra_doc_dedup, dedup_simhash, dedup_clusters,
-    # embedding_neardup — bumped for the thirteen r7 debuts, which
-    # take the window per the debut-with-a-driver-row rule) rotate
-    # in r8.
+    # embedding_neardup, stream_dedup — bumped for the fourteen r7
+    # debuts, which take the window per the debut-with-a-driver-row
+    # rule) rotate in r8.
     # (a) round-6 debuts
     "stream_sessionize", "stream_dedup_watermark",
     "dedup_minhash_estimate", "embedding_neardup_clusters",
@@ -4725,10 +4777,10 @@ _PRIORITY: list[str] = [
     "quality_classifier_weights", "quality_classifier_filter",
     "embedding_pca_spectrum", "repeated_span_dedup",
     "source_similarity_matrix", "event_rate_anomalies",
-    "corpus_datacard", "stream_curate_sink",
+    "corpus_datacard", "stream_curate_sink", "stream_quality_score",
     # (d) r4-vintage backfill
     "dedup_exact",
-    "dedup_simhash_pairs", "stream_dedup",
+    "dedup_simhash_pairs",
     "stream_running_totals", "charlm_quality",
     "ann_ivf_topk",
 ]
