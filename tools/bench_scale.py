@@ -62,6 +62,8 @@ QUERIES_TO_RUN = [
     "event_rate_anomalies", "corpus_datacard",
     # streaming drain into the exactly-once file sink
     "stream_curate_sink",
+    # offline fit + stateless in-stream scoring
+    "stream_quality_score",
     # one-pass moment accumulation: linear scan, k-row barrier
     "embedding_pca_spectrum",
 ]

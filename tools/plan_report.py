@@ -204,6 +204,11 @@ HEADLINE = {
                                  "before the 24-byte shuffle; the "
                                  "intersection self-join fans out "
                                  "at most groups^2 per shingle"),
+    "stream_quality_score": ("offline model, online scoring: the "
+                             "drained projection carries the trained "
+                             "weights as literals — stateless, "
+                             "shuffle-free per batch; the plan shown "
+                             "is the post-drain keep-count rollup"),
     "stream_curate_sink": ("streaming ingest landing: the plan shown "
                            "is the read-back over the hive-"
                            "partitioned exactly-once sink; the gate+"
