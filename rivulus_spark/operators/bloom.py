@@ -44,6 +44,7 @@ scale operator.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -75,8 +76,20 @@ def bloom_dims(expected_keys: int,
     return m, k
 
 
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built filter plus the dimensioning it was built WITH — probe
+    parameters travel with the bits, so a probe can never silently use
+    a different hash count than the build (which would test unset
+    positions and drop true members)."""
+
+    bits: np.ndarray
+    m_bits: int
+    num_hashes: int
+
+
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
-                num_hashes: int = NUM_HASHES) -> np.ndarray:
+                num_hashes: int = NUM_HASHES) -> BloomFilter:
     """Build the packed bit array (int64 words, little-endian bit order
     within each word) over every row of ``keys[key_col]`` — distributed
     expand + bit_or; only the m/64-word filter reaches the driver.
@@ -96,33 +109,39 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
                      F.expr("shiftleft(1L, cast(p % 64 AS int))")
                      .alias("b"))
              .groupBy("w")
-             .agg(F.bit_or("b").alias("bits"))
-             .collect())
+             .agg(F.bit_or("b").alias("bits")))
     arr = np.zeros(n_words, dtype=np.int64)
-    for row in words:
-        arr[row.w] = row.bits
-    return arr
+    try:
+        # Arrow fetch + vectorized scatter: at the design point
+        # (10^9 keys -> ~1.5e8 set words) per-Row materialization
+        # costs ~100 bytes/row on the driver; Arrow columns cost 16
+        tbl = words.toArrow()
+        arr[tbl.column("w").to_numpy()] = tbl.column("bits").to_numpy()
+    except Exception:  # Arrow unavailable: row loop, same result
+        for row in words.collect():
+            arr[row.w] = row.bits
+    return BloomFilter(arr, m_bits, num_hashes)
 
 
-def bloom_prefilter(df: DataFrame, key_col: str, bits: np.ndarray,
-                    m_bits: int,
-                    num_hashes: int = NUM_HASHES) -> DataFrame:
+def bloom_prefilter(df: DataFrame, key_col: str,
+                    bf: BloomFilter) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` the filter might contain —
     a superset of the true members (no false negatives), tighter by
-    1/fpp than ``df``. Schema is unchanged.
+    1/fpp than ``df``. Schema is unchanged. The probe reads its
+    dimensioning from the :class:`BloomFilter` itself, so it cannot
+    hash differently than the build did.
 
     The bit array broadcasts once per executor; the probe positions
     are computed JVM-side and the Python stage is a vectorized numpy
     gather over the Arrow batch (no per-row work, no shuffle)."""
-    if m_bits != len(bits) * 64:
+    if bf.m_bits != len(bf.bits) * 64:
         raise ValueError(
-            f"filter/width mismatch: m_bits={m_bits} but the bit array "
-            f"carries {len(bits) * 64} bits — build and probe must "
-            f"share the same bloom_dims")
+            f"corrupt BloomFilter: m_bits={bf.m_bits} but the bit "
+            f"array carries {len(bf.bits) * 64} bits")
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(bits)
+    bc = sc.broadcast(bf.bits)
     probed = df.withColumn(
-        "__pos", _positions(F.col(key_col), m_bits, num_hashes))
+        "__pos", _positions(F.col(key_col), bf.m_bits, bf.num_hashes))
     out_schema = df.schema
 
     def probe(batches):

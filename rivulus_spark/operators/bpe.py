@@ -199,8 +199,13 @@ def encode_docs_with_merges(df: DataFrame, merge_table: DataFrame,
     the synthetic corpus has none."""
     merges = [(r["lhs"], r["rhs"]) for r in
               merge_table.orderBy("merge_rank").collect()]
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens(col)).alias("word"))
+    # drop empty-string split artifacts (trailing non-space whitespace
+    # makes split emit ""): an empty word has syms=[] and the fold's
+    # slice(c, 2, size-1) would crash the job with a negative length;
+    # it also isn't a token under any tokenizer contract
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(col)).alias("word"))
+            .filter(F.length("word") > 0))
     vocab = toks.select("word").distinct().withColumn(
         "syms", F.regexp_extract_all("word", F.lit("."), 0))
     pieces = (apply_merges(vocab, merges)

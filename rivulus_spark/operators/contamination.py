@@ -79,11 +79,11 @@ def bloom_contamination_report(train: DataFrame, eval_df: DataFrame,
     # only lowers the false-positive rate, and it avoids a second
     # aggregation over the eval shingles
     m_bits, n_hash = bloom_dims(ev.count())
-    bits = bloom_build(ev.select("h"), "h", m_bits, n_hash)
+    bf = bloom_build(ev.select("h"), "h", m_bits, n_hash)
     tr = (shingle_rows(train, text_col, id_col, k)
           .select(F.col("id").alias("t_id"),
                   word_hash(F.col("s")).alias("h")))
-    survivors = bloom_prefilter(tr, "h", bits, m_bits, n_hash)
+    survivors = bloom_prefilter(tr, "h", bf)
     return (survivors.join(ev, "h")
             .groupBy("t_id")
             .agg(F.countDistinct("h").alias("n_shared_ngrams"),

@@ -87,8 +87,15 @@ def datacard(df: DataFrame, group_col: str = "source",
     """
     from .text import stopword_ratio, token_count
 
+    from .. import cache
+
     g = F.col(group_col).alias("grp")
-    base = (df.select(
+    # persisted: four aggregations consume this projection (volume
+    # stats, corpus-wide fingerprint counts, the dup attribution, the
+    # language histogram) — without it each re-runs the regex battery
+    # and the md5 over full document text (the repo-wide
+    # multi-consumer persist convention, cache.py)
+    base = cache.persist(df.select(
         g, F.col(lang_col).alias("lang"),
         token_count(text_col).alias("n_tok"),
         stopword_ratio(text_col).alias("stop_r"),

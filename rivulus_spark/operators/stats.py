@@ -139,8 +139,12 @@ def rate_anomalies(df, ts_col: str = "ts", group_col: str = "event_type",
     """Per-group hourly-rate anomaly flags: hours whose event count
     sits more than ``z_threshold`` population-z-scores from the
     group's own mean hourly rate — the volume-anomaly telemetry a
-    pipeline runs on every ingest (a crawler stuck in a loop, a
-    source gone dark, a bot burst).
+    pipeline runs on every ingest (a crawler stuck in a loop, a bot
+    burst, an hour at a tenth of normal volume). Hours with ZERO
+    events emit no row at all and therefore cannot be flagged here —
+    detecting a source gone fully dark needs a dense hour spine
+    (see timeseries.resample's date-spine pattern) before the stats
+    pass; this operator flags anomalies among observed hours.
 
     Scale shape: the corpus-sized stage is ONE partial-aggregated
     groupBy (group, hour) — everything after runs on the tiny hourly
@@ -157,9 +161,13 @@ def rate_anomalies(df, ts_col: str = "ts", group_col: str = "event_type",
     stats = (hours.groupBy("grp")
              .agg(F.avg("n_events").alias("mu"),
                   F.stddev_pop("n_events").alias("sigma")))
-    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    # guard the division itself: Spark 4 runs ANSI mode, where
+    # double/0 THROWS — relying on the sigma>0 conjunct being
+    # evaluated first would make correctness a predicate-pushdown
+    # artifact (same hazard as clean.punct_ratio's guard)
+    z = F.when(F.col("sigma") > 0,
+               (F.col("n_events") - F.col("mu")) / F.col("sigma"))
     return (hours.join(stats, "grp")
-            .filter((F.col("sigma") > 0)
-                    & (F.abs(z) > F.lit(z_threshold)))
+            .filter(F.abs(z) > F.lit(z_threshold))
             .select(F.col("grp").alias(group_col), "hour", "n_events",
                     (F.floor(z * 1000) / 1000).alias("z_score")))

@@ -1595,8 +1595,13 @@ def _bpe_encode_oracle(sf_dir: str = DRIVER_SF_DIR,
     wp: dict[str, int] = {}
     out = []
     for doc_id, text in docs:
-        words = re.split(r"\s+", text.strip())
-        if not words or words == [""]:
+        # Java-\s semantics, not Python's: Spark's split uses Java
+        # regex (ASCII [ \t\n\x0B\f\r]) and F.trim strips spaces only;
+        # empty split artifacts are dropped on BOTH sides (the Spark
+        # encode filters length > 0), so the trim asymmetry is moot
+        words = [w for w in
+                 re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ")) if w]
+        if not words:
             continue
         n_pieces = 0
         for w in words:
@@ -1767,8 +1772,7 @@ def q_quality_classifier_weights(spark, sf_dir):
     w, _, _ = classifier.logreg_fit(feats, _CLF_FEATURES, "label",
                                     n_iters=_CLF_ITERS, lr=_CLF_LR)
     names = ["intercept"] + _CLF_FEATURES
-    rows = [(nm, w[nm if nm != "intercept" else "intercept"])
-            for nm in names]
+    rows = [(nm, w[nm]) for nm in names]
     out = spark.createDataFrame(rows, "feature string, weight double")
     return out.select(
         "feature",
@@ -1791,6 +1795,12 @@ def q_quality_classifier_filter(spark, sf_dir):
         feats, _CLF_FEATURES, "label", n_iters=_CLF_ITERS, lr=_CLF_LR)
     scored = classifier.logreg_score(feats, _CLF_FEATURES, w, means,
                                      stds)
+    # residual cross-engine risk, accepted: a doc whose true score
+    # sits within ~1e-12 of the 0.5 threshold could flip n_kept by 1
+    # between engines (the floored-weights observable absorbs drift;
+    # a thresholded COUNT cannot, for any threshold). Probability is
+    # ~1e-8 per corpus; the weights query remains the drift-proof
+    # observable of the same fit.
     return (scored.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum((F.col("score") >= 0.5).cast("long"))

@@ -1739,12 +1739,12 @@ def test_bloom_prefilter_has_no_false_negatives(spark):
     members = spark.range(0, 500).select(
         (F.col("id") * 7919 + 13).alias("h"))
     m_bits, k = bloom_dims(500)
-    bits = bloom_build(members, "h", m_bits, k)
-    kept = bloom_prefilter(members, "h", bits, m_bits, k)
+    bf = bloom_build(members, "h", m_bits, k)
+    kept = bloom_prefilter(members, "h", bf)
     assert kept.count() == 500  # no false negatives, ever
 
     outsiders = spark.range(10_000, 14_000).select(F.col("id").alias("h"))
-    n_fp = bloom_prefilter(outsiders, "h", bits, m_bits, k).count()
+    n_fp = bloom_prefilter(outsiders, "h", bf).count()
     assert n_fp < 800, f"false-positive rate {n_fp/4000:.2%} is not a filter"
 
 
@@ -2018,3 +2018,19 @@ def test_datacard_hand_corpus(spark):
     assert got["A"].lang_entropy == m.floor(m.log(2) * 1000) / 1000
     assert got["B"].lang_entropy == 0.0
     assert got["A"].total_tokens == 9 and got["B"].total_tokens == 10
+
+
+def test_bpe_encode_survives_trailing_whitespace(spark):
+    """Regression (r7 review): text with trailing non-space whitespace
+    ('ab\\n') makes split emit an empty token whose syms=[] crashed the
+    fold with a negative slice length; empty split artifacts are now
+    dropped and the token count matches the non-empty words."""
+    from rivulus_spark.operators import bpe
+
+    docs = spark.createDataFrame([(0, "ab ab\n"), (1, "\tcd cd")],
+                                 "doc_id long, text string")
+    merges = bpe.train_merges_from_docs(docs, n_merges=1)
+    got = {(r.doc_id, r.n_tokens, r.n_pieces)
+           for r in bpe.encode_docs_with_merges(docs, merges).collect()}
+    # merge 1: (a,b) count 2 -> ab one piece; cd stays two chars
+    assert got == {(0, 2, 2), (1, 2, 4)}

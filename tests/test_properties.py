@@ -272,9 +272,9 @@ def test_bloom_never_drops_members(spark, keys, probes):
 
     kdf = spark.createDataFrame([(k,) for k in keys], "h long")
     m, nh = bloom_dims(len(keys))
-    bits = bloom_build(kdf, "h", m, nh)
+    bf = bloom_build(kdf, "h", m, nh)
     pdf = spark.createDataFrame([(p,) for p in probes], "h long")
-    kept = {r.h for r in bloom_prefilter(pdf, "h", bits, m, nh).collect()}
+    kept = {r.h for r in bloom_prefilter(pdf, "h", bf).collect()}
     assert set(probes) & set(keys) <= kept
 
 
