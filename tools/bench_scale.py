@@ -78,6 +78,9 @@ HUGE_QUERIES = [
     "decontaminate_bloom", "bpe_encode_corpus", "global_shuffle_layout",
     "repeated_span_dedup", "embedding_pca_spectrum",
     "source_similarity_matrix", "corpus_datacard",
+    "quality_classifier_weights", "quality_classifier_filter",
+    "event_rate_anomalies", "stream_curate_sink",
+    "stream_quality_score",
 ]
 
 
