@@ -44,6 +44,7 @@ scale operator.
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -88,6 +89,15 @@ class BloomFilter:
     num_hashes: int
 
 
+#: refuse to materialize a filter larger than this on the driver —
+#: the 10^9-key design point (10 bits/key) is 1.25 GB, well inside a
+#: standard 4+ GB driver; 16 GiB catches a runaway m_bits (e.g. a key
+#: COUNT passed where a BIT count was meant: 10^10 keys * 10 would ask
+#: for 12.5 GB and likely OOM the driver mid-collect with a far worse
+#: error). Raise via the module attribute when a bigger driver is real.
+MAX_DRIVER_FILTER_BYTES = 16 << 30
+
+
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
                 num_hashes: int = NUM_HASHES) -> BloomFilter:
     """Build the packed bit array (int64 words, little-endian bit order
@@ -97,8 +107,22 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
     Callers dimension ``m_bits`` via :func:`bloom_dims` from a key
     count they already know (or pay one count job). Duplicate keys are
     harmless (OR is idempotent), so pre-distincting the build side is
-    an optimization, not a requirement."""
+    an optimization, not a requirement.
+
+    Driver-memory seam (the one deliberate driver materialization in
+    the module): the filter costs m/8 bytes on the driver plus ~2x
+    transiently for the Arrow table of set words — 1.25 GB at the
+    10^9-key / 10-bits-per-key design point. That is a sane driver
+    payload (it must live there to broadcast), but m_bits above
+    ``MAX_DRIVER_FILTER_BYTES`` fails fast here rather than OOMing
+    mid-collect."""
     n_words = m_bits // 64
+    if n_words * 8 > MAX_DRIVER_FILTER_BYTES:
+        raise ValueError(
+            f"bloom_build: m_bits={m_bits} needs {n_words * 8 / 2**30:.1f}"
+            f" GiB on the driver (cap {MAX_DRIVER_FILTER_BYTES / 2**30:.0f}"
+            f" GiB, module attribute MAX_DRIVER_FILTER_BYTES). A filter "
+            f"this size should be partitioned or kept distributed")
     pos = keys.select(
         F.explode(_positions(F.col(key_col), m_bits, num_hashes))
         .alias("p"))
@@ -115,11 +139,21 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
         # Arrow fetch + vectorized scatter: at the design point
         # (10^9 keys -> ~1.5e8 set words) per-Row materialization
         # costs ~100 bytes/row on the driver; Arrow columns cost 16
-        tbl = words.toArrow()
-        arr[tbl.column("w").to_numpy()] = tbl.column("bits").to_numpy()
-    except Exception:  # Arrow unavailable: row loop, same result
+        fetch = words.toArrow
+    except AttributeError:  # pre-3.4 API: row loop, same result
+        # narrow fallback (r7 ADVICE): only API UNAVAILABILITY takes
+        # the slow path — a real toArrow failure (schema bug, OOM)
+        # must propagate, not silently become a driver row loop that
+        # would quietly grind at the 1.5e8-word design point
+        warnings.warn(
+            "bloom_build: DataFrame.toArrow unavailable; falling back "
+            "to the per-Row driver collect (slow at scale)",
+            stacklevel=2)
         for row in words.collect():
             arr[row.w] = row.bits
+    else:
+        tbl = fetch()
+        arr[tbl.column("w").to_numpy()] = tbl.column("bits").to_numpy()
     return BloomFilter(arr, m_bits, num_hashes)
 
 

@@ -95,7 +95,8 @@ def bloom_contamination_report(train: DataFrame, eval_df: DataFrame,
 def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
                         threshold: float = 0.8, k: int = 3,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        band_widths: list[int] | None = None) -> DataFrame:
     """Near-duplicate (paraphrase-level) contamination: training
     documents whose Jaccard similarity to ANY eval document reaches
     ``threshold`` — catches lightly-edited eval leaks that exact
@@ -106,7 +107,9 @@ def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
     Built on the same MinHash+LSH machinery as dedup (signatures on
     the union, banded candidates, exact-Jaccard verification), then
     restricted to cross-side pairs — so the cost profile is the dedup
-    one, not |train| x |eval|."""
+    one, not |train| x |eval|. ``band_widths`` sizes the banding for
+    large corpora (dedup.adaptive_minhash_bands over the UNION's row
+    count — both sides share one signature table)."""
     from .dedup import minhash_lsh_dedup
 
     t = (train.select(F.col(id_col), F.col(text_col))
@@ -115,7 +118,8 @@ def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
          .withColumn("__side", F.lit("e")))
     both = t.unionByName(e)
     pairs = minhash_lsh_dedup(both, threshold=threshold, k=k,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              band_widths=band_widths)
     sides = both.select(F.col(id_col).alias("__id"), "__side")
     x = (pairs
          .join(sides.alias("sa"), pairs.doc_a == F.col("sa.__id"))

@@ -306,28 +306,121 @@ def minhash_signatures_arrow(df: DataFrame, text_col: str = "text",
             .mapInPandas(gen, schema="id long, sig array<long>"))
 
 
-def band_hash_rows(sigs: DataFrame, id_col: str = "id",
-                   sig_col: str = "sig",
-                   rows_per_band: int = LSH_ROWS,
-                   num_perm: int = NUM_PERM) -> DataFrame:
-    """(id, bh) LSH band-hash rows of a signature table — the exploded
-    banding projection shared by the self-join dedup
-    (lsh_candidate_pairs) and the incremental index path
-    (minhash_band_index): band b's hash is xxhash64 over the band
-    index and its rows_per_band signature slots. The band index is
-    salted INTO the hash, so one equi-join column covers all bands.
-    See lsh_candidate_pairs for why these hashes need not be
-    engine-portable and why the array is built as one SQL string."""
+def adaptive_minhash_bands(n_docs: int, num_perm: int = NUM_PERM,
+                           threshold: float = 0.8,
+                           base_rows: int = LSH_ROWS,
+                           design_n: int = 50_000) -> list[int]:
+    """Per-band row counts for the MinHash LSH banding, sized to the
+    corpus — the MinHash twin of similarity.adaptive_lsh_params
+    (r7 VERDICT item 4). Returns a width list for the ``band_widths``
+    argument of the banding family; ``sum(widths) <= num_perm``.
+
+    At or below ``design_n`` docs this is exactly the historical
+    ``[base_rows] * (num_perm // base_rows)`` layout ([4]*32 at the
+    128-perm default), so driver-scale behavior — including the
+    brute-force recall oracle at sf0.01 — is bit-identical to the
+    fixed banding. Above it, rows-per-band grows by one per decade of
+    corpus, realized FRACTIONALLY by giving k of the bands one extra
+    slot (the blending treatment the hyperplane side got in r7, so no
+    parameter sawtooth between decades); the band count is then the
+    most bands the ``num_perm`` slot budget affords, maximizing
+    recall at the wider rows.
+
+    Two measured effects at the third decade (r8 probe,
+    tools/probe_minhash_bands.py over var/sf10, 500k docs):
+
+    - The banding self-join's exploded volume is bands x n rows; the
+      schedule's 32 -> 25 bands at sf10 cut the band stage 8.7 ->
+      6.0s (21x6 measured 5.2s but costs 30x the miss rate — see
+      below). THIS, not candidate blowup, is the measured win on this
+      corpus: raw candidates under the fixed [4]*32 layout measured
+      LINEAR in n (3,480 at 50k docs -> 33,589 at 500k, 9.65x on 10x
+      rows), because 60-bit minhash slot values collide only for
+      genuinely similar docs — there is no bucket-count analogue of
+      the hyperplane side's 2^width occupancy to saturate.
+    - Wider bands are still the structural guard the fixed layout
+      lacks: a corpus WITH mass at moderate Jaccard (boilerplate
+      families, template farms) collides band-wise at s^rows, so +1
+      row per decade cuts that population's candidates ~s x per
+      decade — the same candidates-stay-linear-by-design argument as
+      the hyperplane schedule, just latent on this corpus.
+
+    Recall is pinned at the verification ``threshold``: k is chosen
+    so the MEAN per-band collision probability of a threshold pair
+    equals t^(rows + frac) exactly (k/bands = (1-t^f)/(1-t)); the
+    miss rate at t=0.8 stays <= 5e-5 through the third decade
+    ([5]*25: (1-0.8^5)^25) vs 4.7e-8 for [4]*32 — expected lost
+    pairs << 1 at the measured 25,600-pair sf10 output. Past ~5e6
+    docs the slot budget binds ([6]*21 -> miss 1.7e-3) and recall
+    decays slowly with corpus size — the standard LSH trade; the
+    oracle stays in lockstep because workload._minhash_cand_ctes
+    derives THE SAME widths from the shared row count.
+
+    NOT used by minhash_band_index / the incremental dedup path: a
+    persisted (id, bh) index must band identically across ingests, so
+    its layout is pinned at build time ([4]*32) rather than drifting
+    with corpus growth and orphaning the index."""
+    import math
+
+    if n_docs <= design_n:
+        x = float(base_rows)
+    else:
+        x = base_rows + math.log10(n_docs / design_n)
+    w = int(x)
+    f = x - w
+    # k/bands realizing the fractional rows at threshold t: mean
+    # per-band collision t^w * (1 - (k/b)(1-t)) == t^(w+f)
+    frac_extra = (1.0 - threshold ** f) / (1.0 - threshold)
+    b = num_perm // w
+    while b > 1 and w * b + round(b * frac_extra) > num_perm:
+        b -= 1
+    k = round(b * frac_extra)
+    return [w + 1] * k + [w] * (b - k)
+
+
+def _band_widths(rows_per_band: int, num_perm: int,
+                 band_widths: list[int] | None) -> list[int]:
+    """Resolve the banding layout: an explicit ``band_widths`` list
+    (adaptive path) or the uniform ``num_perm // rows_per_band`` split
+    (historical default, bit-identical hashes either way)."""
+    if band_widths is not None:
+        if any(w < 1 for w in band_widths) or not band_widths:
+            raise ValueError(f"band_widths must be >= 1: {band_widths}")
+        if sum(band_widths) > num_perm:
+            raise ValueError(
+                f"band_widths consume {sum(band_widths)} signature "
+                f"slots but the signature has only {num_perm}")
+        return list(band_widths)
     if num_perm % rows_per_band:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by rows_per_band "
             f"({rows_per_band})")
-    n_bands = num_perm // rows_per_band
-    bands = F.expr("array(" + ", ".join(
-        f"xxhash64({b}, " + ", ".join(
-            f"element_at(`{sig_col}`, {b * rows_per_band + i + 1})"
-            for i in range(rows_per_band)) + ")"
-        for b in range(n_bands)) + ")")
+    return [rows_per_band] * (num_perm // rows_per_band)
+
+
+def band_hash_rows(sigs: DataFrame, id_col: str = "id",
+                   sig_col: str = "sig",
+                   rows_per_band: int = LSH_ROWS,
+                   num_perm: int = NUM_PERM,
+                   band_widths: list[int] | None = None) -> DataFrame:
+    """(id, bh) LSH band-hash rows of a signature table — the exploded
+    banding projection shared by the self-join dedup
+    (lsh_candidate_pairs) and the incremental index path
+    (minhash_band_index): band b's hash is xxhash64 over the band
+    index and its signature slots (consecutive; ``band_widths`` gives
+    per-band slot counts for the adaptive layout, else uniform
+    ``rows_per_band``). The band index is salted INTO the hash, so one
+    equi-join column covers all bands. See lsh_candidate_pairs for why
+    these hashes need not be engine-portable and why the array is
+    built as one SQL string."""
+    widths = _band_widths(rows_per_band, num_perm, band_widths)
+    exprs, off = [], 0
+    for b, w in enumerate(widths):
+        slots = ", ".join(f"element_at(`{sig_col}`, {off + i + 1})"
+                          for i in range(w))
+        exprs.append(f"xxhash64({b}, {slots})")
+        off += w
+    bands = F.expr("array(" + ", ".join(exprs) + ")")
     return sigs.select(F.col(id_col).alias("id"),
                        F.explode(bands).alias("bh"))
 
@@ -335,7 +428,8 @@ def band_hash_rows(sigs: DataFrame, id_col: str = "id",
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
                         sig_col: str = "sig",
                         rows_per_band: int = LSH_ROWS,
-                        num_perm: int = NUM_PERM) -> DataFrame:
+                        num_perm: int = NUM_PERM,
+                        band_widths: list[int] | None = None) -> DataFrame:
     """LSH banding: docs sharing any full band are candidates.
     One shuffle keyed on the band hash; output is deduplicated
     candidate pairs (doc_a < doc_b).
@@ -355,7 +449,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
     element_at slots type-match the historical F.lit/F.element_at
     form, so band hashes are unchanged)."""
     exploded = band_hash_rows(sigs, id_col, sig_col, rows_per_band,
-                              num_perm)
+                              num_perm, band_widths)
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(r, (F.col("l.bh") == F.col("r.bh"))
@@ -368,10 +462,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
                       text_col: str = "text",
                       id_col: str = "doc_id",
-                      num_perm: int = NUM_PERM) -> DataFrame:
+                      num_perm: int = NUM_PERM,
+                      band_widths: list[int] | None = None) -> DataFrame:
     """Near-duplicate pairs at Jaccard >= threshold via MinHash+LSH
     candidates, then exact-Jaccard verification (no false positives;
-    false-negative probability ~4e-8 at threshold 0.8).
+    false-negative probability ~4e-8 at threshold 0.8 under the
+    default [4]*32 banding; pass ``band_widths`` from
+    :func:`adaptive_minhash_bands` over the corpus row count to size
+    the banding for large corpora — miss stays <= ~5e-5 through the
+    third decade, see that function's derivation).
 
     Verification is relational over the distinct shingle rows (shared
     with signature building): |A∩B| is a join of the candidate pairs
@@ -398,7 +497,8 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     when its caches die)."""
     sigs = cache.persist(minhash_signatures_arrow(df, text_col, id_col,
                                                   k, num_perm))
-    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm))
+    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm,
+                                              band_widths=band_widths))
     cand_ids = (cands.select(F.col("doc_a").alias(id_col))
                 .union(cands.select(F.col("doc_b").alias(id_col)))
                 .distinct())
@@ -436,7 +536,12 @@ def minhash_band_index(df: DataFrame, text_col: str = "text",
     re-signing the corpus per ingest: at 100 TB this is built once,
     written as a table BUCKETED on ``bh`` (sources/bucketed.py), and
     every daily delta joins it with zero corpus-side shuffle — the
-    shuffle-once-join-many trade the bucketed sinks exist for."""
+    shuffle-once-join-many trade the bucketed sinks exist for.
+
+    Banding is deliberately FIXED (no adaptive_minhash_bands here): a
+    persisted index must band identically across every ingest that
+    probes it — a layout drifting with corpus growth would orphan the
+    index. Re-layout is an explicit rebuild, not a silent drift."""
     sigs = minhash_signatures_arrow(df, text_col, id_col, k, num_perm)
     return band_hash_rows(sigs, rows_per_band=rows_per_band,
                           num_perm=num_perm)
@@ -829,7 +934,8 @@ def cluster_survivors(df: DataFrame, clusters: DataFrame,
 
 def minhash_estimate_audit(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
-                           num_perm: int = NUM_PERM) -> DataFrame:
+                           num_perm: int = NUM_PERM,
+                           band_widths: list[int] | None = None) -> DataFrame:
     """Estimator-quality audit for the MinHash index: for every LSH
     candidate pair, the signature-slot agreement estimate of Jaccard
     next to the exact value — ``(doc_a, doc_b, n_agree, est_jacc,
@@ -851,7 +957,8 @@ def minhash_estimate_audit(df: DataFrame, text_col: str = "text",
     agreement (128 fixed slots, O(1) per pair)."""
     sigs = cache.persist(minhash_signatures_arrow(df, text_col, id_col,
                                                   k, num_perm))
-    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm))
+    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm,
+                                              band_widths=band_widths))
     cand_ids = (cands.select(F.col("doc_a").alias(id_col))
                 .union(cands.select(F.col("doc_b").alias(id_col)))
                 .distinct())

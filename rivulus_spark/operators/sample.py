@@ -112,7 +112,13 @@ def temperature_mix_plan(df: DataFrame, strata_col: str, weight_col: str,
                          budget: int, alpha: float = 0.5) -> DataFrame:
     """Temperature-weighted mixture plan: allocate ``budget`` across
     strata with targets proportional to ``avail^alpha``, capped by
-    availability, excess exactly redistributed. ``alpha=1`` is
+    availability, the excess from capped strata absorbed by the
+    uncapped ones via the shared water level. Allocations floor to
+    whole tokens, so sum(alloc) can undershoot ``budget`` by up to
+    k-1 tokens (one sub-token crumb per unexhausted stratum, r7
+    ADVICE) — kept, not redistributed: the SQL oracle floors
+    identically, and a crumb pass would re-rank strata for at most
+    k-1 tokens of budget fidelity. ``alpha=1`` is
     proportional sampling (big crawls dominate), ``alpha=0`` the
     equal-share waterfill (:func:`token_budget_plan`); the interior is
     the multilingual-training mixture rule (mT5/XLM-R sample languages

@@ -31,7 +31,16 @@ def dataset_diff(old: DataFrame, new: DataFrame,
     when given as a column name; pass a Column for a composite, e.g.
     ``F.concat_ws('|', 'text', 'lang')``). ``carry_cols`` ride along
     for reporting (taken from the NEW side, falling back to the old
-    side for removed docs)."""
+    side for removed docs).
+
+    Precondition (r7 ADVICE): ``id_col`` must be unique WITHIN each
+    snapshot — the same contract quota_cap and global_shuffle document
+    for their id columns. A duplicated id would fan out through the
+    full-outer join (every old copy × every new copy) and multiply
+    diff_report counts; a snapshot with re-issued ids is itself the
+    bug the diff should surface, so this operator does not silently
+    aggregate copies away. Dedup first (e.g. exact_dedup) if ids can
+    legitimately repeat."""
     fp = (F.col(fingerprint) if isinstance(fingerprint, str)
           else fingerprint)
     carry = carry_cols or []

@@ -3194,6 +3194,61 @@ def q_ngram_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _parquet_rows(path: str, default: int) -> int:
+    """Row count from parquet footers — metadata only, no Spark job.
+    Used to derive size-adaptive operator parameters (LSH bits/bands)
+    deterministically on BOTH the Spark side (from the queried sf_dir)
+    and the oracle side (from the same sf_dir via the oracle
+    builders), so the two always agree. Handles a single file, the
+    Spark directory-of-part-files layout, and nested/hive-partitioned
+    directories (recursive walk). Falls back to `default` only for
+    genuinely unreadable paths (remote FS without local footers) and
+    WARNS when it does — a silent fallback on one side only would make
+    the engines band differently, so keep inputs footer-readable where
+    adaptivity matters."""
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if _os.path.isdir(path):
+            total, n_files = 0, 0
+            for root, _dirs, files in _os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(("_",
+                                                                    ".")):
+                        total += pq.ParquetFile(
+                            _os.path.join(root, f)).metadata.num_rows
+                        n_files += 1
+            if n_files == 0:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"_parquet_rows({path!r}) unreadable ({e}); using default="
+            f"{default} — adaptive params may desync from the oracle if "
+            "only one side hits this fallback", stacklevel=2)
+        return default
+
+
+def _emb_rows(sf_dir: str) -> int:
+    """THE shared row-count call for adaptive LSH/ANN parameters —
+    both the Spark queries and the oracle builders derive from this
+    one function over the same sf_dir, so banding can never desync
+    between engines (r4 ADVICE)."""
+    return _parquet_rows(f"{sf_dir}/embeddings.parquet", 200)
+
+
+def _doc_rows(sf_dir: str) -> int:
+    """documents-table twin of _emb_rows: the shared row count behind
+    dedup.adaptive_minhash_bands (r8) — Spark queries and the banded
+    oracle replicas derive the SAME widths from this one call."""
+    return _parquet_rows(f"{sf_dir}/documents.parquet", 500)
+
+
 #: shingle CTE body shared by the MinHash-family oracles: (doc_id, s)
 #: with s = distinct space-joined 3-gram list, replicating
 #: dedup.shingles' tokenization (trim + \s+ split)
@@ -3207,22 +3262,29 @@ _SH_CTE = r"""
 
 
 def _minhash_cand_ctes(num_perm: int = dedup.NUM_PERM,
-                       rows_per_band: int = dedup.LSH_ROWS) -> str:
+                       rows_per_band: int = dedup.LSH_ROWS,
+                       band_widths: list[int] | None = None) -> str:
     """CTE chain hs/sig/bnd/cand — MinHash signatures and banded LSH
     candidate pairs, assuming a prior ``sh(doc_id, s)`` CTE. Shared by
     _minhash_lsh_ctes (threshold-verified pairs) and the estimator
-    audit oracle (which reads sig directly)."""
+    audit oracle (which reads sig directly). ``band_widths`` replays
+    the adaptive layout (dedup.adaptive_minhash_bands — the oracle
+    derives the SAME widths from the shared _doc_rows count, r8);
+    band j covers the consecutive slots after sum(widths[:j]),
+    exactly like dedup.band_hash_rows."""
     p = dedup.MINHASH_P
     coeffs = [dedup.perm_coeffs(i) for i in range(num_perm)]
     mins = ",\n         ".join(
         f"min(({a} * h + {b}) % {p}) AS m{i}"
         for i, (a, b) in enumerate(coeffs))
-    n_bands = num_perm // rows_per_band
-    band_rows = "\n  UNION ALL ".join(
-        "SELECT doc_id, {j} AS bi, [{slots}] AS bv FROM sig".format(
-            j=j, slots=", ".join(
-                f"m{j * rows_per_band + i}" for i in range(rows_per_band)))
-        for j in range(n_bands))
+    widths = dedup._band_widths(rows_per_band, num_perm, band_widths)
+    band_parts, off = [], 0
+    for j, w in enumerate(widths):
+        slots = ", ".join(f"m{off + i}" for i in range(w))
+        band_parts.append(
+            f"SELECT doc_id, {j} AS bi, [{slots}] AS bv FROM sig")
+        off += w
+    band_rows = "\n  UNION ALL ".join(band_parts)
     return f"""
 hs AS (
   SELECT doc_id, ('0x' || substr(md5(sg), 1, 15))::BIGINT % {p} AS h
@@ -3245,7 +3307,8 @@ cand AS (
 
 def _minhash_lsh_ctes(threshold: float = 0.8,
                       num_perm: int = dedup.NUM_PERM,
-                      rows_per_band: int = dedup.LSH_ROWS) -> str:
+                      rows_per_band: int = dedup.LSH_ROWS,
+                      band_widths: list[int] | None = None) -> str:
     """CTE chain replicating dedup.minhash_lsh_dedup relationally,
     assuming a prior CTE ``sh(doc_id, s)`` (see _SH_CTE). Produces
     ``pairs(doc_a, doc_b, jacc)`` — verified near-dup pairs at
@@ -3266,7 +3329,7 @@ def _minhash_lsh_ctes(threshold: float = 0.8,
     any comparison scale; verification is candidate-local and exact,
     so the spec strength — every emitted pair carries its true rounded
     Jaccard — is unchanged."""
-    return _minhash_cand_ctes(num_perm, rows_per_band) + f""",
+    return _minhash_cand_ctes(num_perm, rows_per_band, band_widths) + f""",
 pairs AS (
   SELECT c.doc_a, c.doc_b,
          round(len(list_intersect(sa.s, sb.s))::DOUBLE
@@ -3319,7 +3382,9 @@ def _minhash_pairs_chain(sf_dir: str, threshold: float = 0.8) -> str:
     test and here at every driver round)."""
     if _is_small_sf(sf_dir):
         return _brute_pairs_cte(threshold)
-    return "," + _minhash_lsh_ctes(threshold)
+    return "," + _minhash_lsh_ctes(
+        threshold, band_widths=dedup.adaptive_minhash_bands(
+            _doc_rows(sf_dir)))
 
 
 def _minhash_lsh_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
@@ -3352,7 +3417,9 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     corpus; training docs near-duplicating any eval doc at Jaccard >=
     0.8 are flagged with match count + max similarity. MinHash+LSH
     cost profile (banded candidates, exact verify) — never
-    |train| x |eval|. Oracle is sf-conditional (_minhash_pairs_chain):
+    |train| x |eval|; banding corpus-adaptive over the union row
+    count (= the documents table), shared with the oracle via
+    _doc_rows (r8). Oracle is sf-conditional (_minhash_pairs_chain):
     full brute-force spec at driver scales, banded replica past
     them."""
     from .operators import contamination
@@ -3360,13 +3427,19 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     ev = docs.filter(F.col("source") == "src0")
-    return contamination.fuzzy_contamination(train, ev, threshold=0.8)
+    return contamination.fuzzy_contamination(
+        train, ev, threshold=0.8,
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
 
 
-def _minhash_estimate_oracle(num_perm: int = dedup.NUM_PERM) -> str:
+def _minhash_estimate_oracle(sf_dir: str = DRIVER_SF_DIR,
+                             num_perm: int = dedup.NUM_PERM) -> str:
     """Relational replica of dedup.minhash_estimate_audit: banded
-    candidates from _minhash_cand_ctes, per-pair slot-agreement count
-    over the same 128 signature slots, exact Jaccard alongside.
+    candidates from _minhash_cand_ctes (adaptive widths via the shared
+    _doc_rows count — this oracle emits the CANDIDATE set itself, so
+    unlike the verified-pairs family it must band identically at
+    every comparison scale), per-pair slot-agreement count over the
+    same 128 signature slots, exact Jaccard alongside.
     est_jacc = n_agree/num_perm stays UNROUNDED — a dyadic rational
     both engines represent with the identical bit pattern (rounding
     would reintroduce engine-specific half-way ties, e.g. 8/128)."""
@@ -3375,8 +3448,9 @@ def _minhash_estimate_oracle(num_perm: int = dedup.NUM_PERM) -> str:
     agree = ",\n           ".join(
         f"CASE WHEN a.m{i} = z.m{i} THEN 1 ELSE 0 END"
         for i in range(num_perm))
+    widths = dedup.adaptive_minhash_bands(_doc_rows(sf_dir))
     return ("WITH sh AS (" + _SH_CTE.format(src="documents") + "),"
-            + _minhash_cand_ctes(num_perm) + f""",
+            + _minhash_cand_ctes(num_perm, band_widths=widths) + f""",
 agr AS (
   SELECT c.doc_a, c.doc_b,
          list_sum([{agree}])::BIGINT AS n_agree
@@ -3394,30 +3468,37 @@ JOIN sh sb ON sb.doc_id = g.doc_b
 """)
 
 
-@_q("dedup_minhash_estimate", _minhash_estimate_oracle())
+@_q("dedup_minhash_estimate", _minhash_estimate_oracle)
 def q_dedup_minhash_estimate(spark, sf_dir):
     """Estimator-quality audit of the MinHash index
     (dedup.minhash_estimate_audit): every LSH candidate pair with its
     signature-slot-agreement Jaccard estimate next to the exact value
     — the calibration check a pipeline runs before trusting the
     estimator on the full corpus, same role ann_recall plays for the
-    ANN index. Oracle replicates signatures, banding, agreement count,
-    and exact verify relationally, so the audit itself is
-    parity-checked at any sf."""
-    return dedup.minhash_estimate_audit(_t(spark, sf_dir, "documents"))
+    ANN index. Oracle replicates signatures, banding (adaptive widths
+    from the shared _doc_rows count, r8), agreement count, and exact
+    verify relationally, so the audit itself is parity-checked at any
+    sf."""
+    return dedup.minhash_estimate_audit(
+        _t(spark, sf_dir, "documents"),
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
 
 
 @_q("dedup_minhash_lsh", _minhash_lsh_oracle)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (128 perms) + LSH banding (32 bands x 4 rows) + exact
-    verification at Jaccard >= 0.8. Oracle is sf-conditional
-    (_minhash_pairs_chain): the brute-force all-pairs spec at driver
-    scales — every true pair must be RECALLED, not just verified —
-    and the banded relational replica (bit-identical signatures,
-    band-slice candidates, exact rounded Jaccard) where O(n^2) cannot
-    finish."""
-    return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
-                                   threshold=0.8)
+    """MinHash (128 perms) + LSH banding + exact verification at
+    Jaccard >= 0.8. Banding is corpus-adaptive
+    (dedup.adaptive_minhash_bands over the shared _doc_rows count, r8
+    — [4]*32 through sf1, wider-fewer bands past it, cutting the
+    band-explode shuffle that dominated the third decade). Oracle is
+    sf-conditional (_minhash_pairs_chain): the brute-force all-pairs
+    spec at driver scales — every true pair must be RECALLED, not
+    just verified — and the banded relational replica (bit-identical
+    signatures, THE SAME adaptive band slices, exact rounded Jaccard)
+    where O(n^2) cannot finish."""
+    return dedup.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.8,
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
 
 
 #: the source that plays the daily ingest batch in the incremental
@@ -3804,54 +3885,6 @@ def q_embedding_neardup(spark, sf_dir):
     reference formulation of the same contract)."""
     return similarity.cosine_neardup_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), threshold=0.4)
-
-
-def _parquet_rows(path: str, default: int) -> int:
-    """Row count from parquet footers — metadata only, no Spark job.
-    Used to derive size-adaptive operator parameters (LSH bits/bands)
-    deterministically on BOTH the Spark side (from the queried sf_dir)
-    and the oracle side (from the same sf_dir via the oracle
-    builders), so the two always agree. Handles a single file, the
-    Spark directory-of-part-files layout, and nested/hive-partitioned
-    directories (recursive walk). Falls back to `default` only for
-    genuinely unreadable paths (remote FS without local footers) and
-    WARNS when it does — a silent fallback on one side only would make
-    the engines band differently, so keep inputs footer-readable where
-    adaptivity matters."""
-    import os as _os
-
-    try:
-        import pyarrow.parquet as pq
-
-        if _os.path.isdir(path):
-            total, n_files = 0, 0
-            for root, _dirs, files in _os.walk(path):
-                for f in files:
-                    if f.endswith(".parquet") and not f.startswith(("_",
-                                                                    ".")):
-                        total += pq.ParquetFile(
-                            _os.path.join(root, f)).metadata.num_rows
-                        n_files += 1
-            if n_files == 0:
-                raise FileNotFoundError(f"no parquet files under {path}")
-            return total
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception as e:
-        import warnings
-
-        warnings.warn(
-            f"_parquet_rows({path!r}) unreadable ({e}); using default="
-            f"{default} — adaptive params may desync from the oracle if "
-            "only one side hits this fallback", stacklevel=2)
-        return default
-
-
-def _emb_rows(sf_dir: str) -> int:
-    """THE shared row-count call for adaptive LSH/ANN parameters —
-    both the Spark queries and the oracle builders derive from this
-    one function over the same sf_dir, so banding can never desync
-    between engines (r4 ADVICE)."""
-    return _parquet_rows(f"{sf_dir}/embeddings.parquet", 200)
 
 
 def _neardup_lsh_oracle(sf_dir: str = DRIVER_SF_DIR, dim: int = 64,

@@ -226,6 +226,48 @@ def test_minhash_lsh_custom_num_perm(docs):
             num_perm=64, rows_per_band=5)
 
 
+def test_adaptive_minhash_bands_schedule():
+    """r8 adaptive banding: at or below the design corpus the layout
+    is bit-identical to the historical [4]*32 (so the sf0.01
+    brute-force recall oracle and every driver-scale artifact are
+    unchanged); above it rows-per-band grows one per decade with
+    blended fractional widths, bands shrink to fit the 128-slot
+    budget, and widths within a layout differ by at most one."""
+    assert dedup.adaptive_minhash_bands(500) == [4] * 32
+    assert dedup.adaptive_minhash_bands(50_000) == [4] * 32
+    assert dedup.adaptive_minhash_bands(500_000) == [5] * 25
+    assert dedup.adaptive_minhash_bands(5_000_000) == [6] * 21
+    prev_max = 4
+    for n in [120_000, 500_000, 1_700_000, 5_000_000, 10**8, 10**9]:
+        w = dedup.adaptive_minhash_bands(n)
+        assert sum(w) <= dedup.NUM_PERM
+        assert max(w) - min(w) <= 1  # blended: adjacent widths only
+        assert w == sorted(w, reverse=True)  # wide bands lead
+        assert max(w) >= prev_max  # monotone in corpus size
+        prev_max = max(w)
+
+
+def test_minhash_lsh_adaptive_widths_match_bruteforce(docs):
+    """The adaptive layout for a third-decade corpus ([5]*25) must
+    still recall every true pair of the toy fixture (near-dups are
+    high-Jaccard; per-band collision 0.8^5 over 25 bands misses at
+    ~5e-5) — the recall contract adaptive_minhash_bands pins at the
+    threshold. Also guards the banding validators."""
+    widths = dedup.adaptive_minhash_bands(500_000)
+    lsh = {(r.doc_a, r.doc_b): r.jacc
+           for r in dedup.minhash_lsh_dedup(
+               docs, threshold=0.5, band_widths=widths).collect()}
+    brute = {(r.doc_a, r.doc_b): r.jacc
+             for r in dedup.ngram_jaccard_pairs(docs,
+                                                threshold=0.5).collect()}
+    assert lsh == brute
+    sigs = dedup.minhash_signatures(docs)
+    with pytest.raises(ValueError, match="slots"):
+        dedup.lsh_candidate_pairs(sigs, band_widths=[5] * 26)
+    with pytest.raises(ValueError, match=">= 1"):
+        dedup.lsh_candidate_pairs(sigs, band_widths=[4, 0])
+
+
 def test_simhash_near_for_near_dups(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming
              for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
@@ -1746,6 +1788,21 @@ def test_bloom_prefilter_has_no_false_negatives(spark):
     outsiders = spark.range(10_000, 14_000).select(F.col("id").alias("h"))
     n_fp = bloom_prefilter(outsiders, "h", bf).count()
     assert n_fp < 800, f"false-positive rate {n_fp/4000:.2%} is not a filter"
+
+
+def test_bloom_build_driver_cap_fails_fast(spark):
+    """An m_bits over the driver cap must raise BEFORE any job runs
+    (r7 ADVICE/VERDICT: the 1.25 GB design-point collect is deliberate,
+    but a runaway m_bits — e.g. a raw key count where a bit count was
+    meant — should fail fast, not OOM the driver mid-collect). The
+    error names the cap's module attribute so the message is
+    actionable on a genuinely bigger driver."""
+    from rivulus_spark.operators import bloom
+
+    keys = spark.range(0, 10).select(F.col("id").alias("h"))
+    too_big = bloom.MAX_DRIVER_FILTER_BYTES * 8 + 64
+    with pytest.raises(ValueError, match="MAX_DRIVER_FILTER_BYTES"):
+        bloom.bloom_build(keys, "h", too_big)
 
 
 def test_bloom_contamination_matches_exact_report(docs, spark):
