@@ -4785,47 +4785,38 @@ def q_embedding_quantize(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-7 rotation (VERDICT r6 item 1): (a) the 4 round-6
-    # operators that shipped without a driver row; (b) the 15
-    # r1-r3-vintage relational ops whose last formal record predates
-    # r4; (c) the queries whose ORACLES or CODE changed this round
-    # (sf-conditional brute-force MinHash oracles; curate token-budget
-    # fusion; blended-width adaptive LSH); (d) the rest of the window
-    # backfilled with r4-vintage rows, north-star operators first.
-    # The remaining r4 rows (agg_q*, join variants, window_lag/
-    # ntile, multimodal image/resize, orc/evolution/shard sinks,
-    # select_project, expr_arith, pivot_status, range_join_events,
-    # mem_source_join, bucketed_join_agg, sql_entry_q6,
-    # percentile_clip, pipeline_curate_v2, kmeans_assign_sizes,
-    # sketch_quantiles, kmeans_cluster_sizes, text_quality,
-    # intra_doc_dedup, dedup_simhash, dedup_clusters,
-    # embedding_neardup, stream_dedup — bumped for the fourteen r7
-    # debuts, which take the window per the debut-with-a-driver-row
-    # rule) rotate in r8.
-    # (a) round-6 debuts
-    "stream_sessionize", "stream_dedup_watermark",
-    "dedup_minhash_estimate", "embedding_neardup_clusters",
-    # (b) r1-r3-vintage relational
-    "filter_compare", "limit_topk", "join_inner", "join_part_promo",
-    "agg_having", "array_agg_sorted", "unpivot_status", "distinct_op",
-    "union_op", "left_join_missing", "intersect_op", "except_op",
-    "cube_count", "scalar_subquery", "in_subquery_agg",
-    # (c) oracle/code changed or NEW in r7 (dedup_incremental debuts)
-    "dedup_minhash_lsh", "decontaminate_fuzzy", "pipeline_curate",
-    "pipeline_stats", "embedding_neardup_lsh", "ann_lsh_topk",
-    "ann_recall", "dedup_incremental", "cross_doc_line_dedup",
-    "semantic_dedup", "group_percentile_clip", "temperature_mix",
-    "dataset_diff", "bpe_train_merges", "decontaminate_bloom",
-    "bpe_encode_corpus", "global_shuffle_layout",
-    "quality_classifier_weights", "quality_classifier_filter",
-    "embedding_pca_spectrum", "repeated_span_dedup",
-    "source_similarity_matrix", "event_rate_anomalies",
-    "corpus_datacard", "stream_curate_sink", "stream_quality_score",
-    # (d) r4-vintage backfill
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "stream_running_totals", "charlm_quality",
-    "ann_ivf_topk",
+    # --- round-8 rotation (VERDICT r7 item 1): (a) the r4-vintage
+    # rows the fourteen r7 debuts displaced — named in the r7 comment
+    # and VERDICT "What's missing" item 2 — take the window back;
+    # (b) the queries whose CODE or ORACLE changed this round
+    # (corpus-adaptive MinHash banding + its sf-aware oracles;
+    # bloom_build's narrowed fallback/driver cap); (c) the remainder
+    # backfilled oldest-first by last driver round (r4 relational/
+    # sketch/sink rows, then the oldest r6 rows). Every name here has
+    # its last driver row in r4 or r6 except the five (b) entries,
+    # which must re-verify because their banding/oracles moved.
+    # (a) the r4-vintage rows displaced by the r7 debuts
+    "agg_q1", "agg_q3", "agg_q5",
+    "join_three", "full_outer_join", "semi_join", "anti_join",
+    "join_null_safe", "join_salted",
+    "window_lag", "window_ntile",
+    "multimodal_image_features", "multimodal_resize_plan",
+    "orc_sink_roundtrip", "schema_evolution_roundtrip",
+    "shard_export_manifest",
+    "select_project", "expr_arith", "pivot_status",
+    "range_join_events", "mem_source_join", "bucketed_join_agg",
+    "sql_entry_q6", "percentile_clip", "pipeline_curate_v2",
+    "kmeans_assign_sizes", "kmeans_cluster_sizes", "sketch_quantiles",
+    "text_quality", "intra_doc_dedup", "dedup_simhash",
+    "dedup_clusters", "embedding_neardup", "stream_dedup",
+    # (b) code/oracle changed in r8 (adaptive banding, bloom seam)
+    "dedup_minhash_lsh", "dedup_minhash_estimate",
+    "decontaminate_fuzzy", "dedup_incremental", "decontaminate_bloom",
+    # (c) oldest-first backfill: r4 vintage, then oldest r6 rows
+    "approx_distinct_sketch", "argmax_per_group", "column_profile",
+    "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
+    "heavy_hitters", "length_histogram",
+    "agg_salted", "asof_join_events", "c4_line_filter",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -73,6 +73,13 @@ QUERIES_TO_RUN = [
 HUGE_QUERIES = [
     "embedding_neardup_lsh", "stream_running_totals", "stream_dedup",
     "pipeline_stats", "dedup_minhash_lsh",
+    # r8 (VERDICT r7 items 3/6): the end-to-end curation flagship and
+    # the cross-set MinHash path join the third decade, plus
+    # window_ntile's two-pass rank (highest remaining first-decade
+    # ratio) and the two approximation audits at the scale where
+    # their caps bind
+    "pipeline_curate", "decontaminate_fuzzy", "window_ntile",
+    "ann_recall", "dedup_minhash_estimate",
     "dedup_incremental", "cross_doc_line_dedup", "semantic_dedup",
     "bpe_train_merges",
     "decontaminate_bloom", "bpe_encode_corpus", "global_shuffle_layout",
