@@ -661,38 +661,113 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("q_id", "n_id", "rank", "sim"))
 
 
-def adaptive_ann_params(n_rows: int,
-                        target_occupancy: int = 16) -> tuple[int, int]:
+def _hamming_le(n_bits: int, p_disagree: float, radius: int) -> float:
+    """P(Binomial(n_bits, p_disagree) <= radius) — the multiprobe
+    recall model: random hyperplanes disagree independently on a pair
+    at angle θ with probability θ/π, so a neighbor is reached iff at
+    most ``radius`` of its signature bits differ from the query's."""
+    import math
+
+    q = 1.0 - p_disagree
+    return sum(math.comb(n_bits, i)
+               * p_disagree ** i * q ** (n_bits - i)
+               for i in range(min(radius, n_bits) + 1))
+
+
+def adaptive_ann_params(n_rows: int, target_occupancy: int = 16,
+                        design_sim: float = 0.85,
+                        target_recall: float = 0.9,
+                        max_masks: int = 600) -> tuple[int, int]:
     """(n_planes, probe_radius) for single-band ANN bucketing, sized to
     the corpus: bits grow with log2(n) so bucket occupancy — and with
     it per-query candidate volume — stays ~target_occupancy instead of
-    growing linearly with the corpus; the probe radius steps up once
-    the extra bits would otherwise erode recall (each bit multiplies a
-    near pair's same-bucket probability by p < 1, so wider signatures
-    need Hamming-ball probing to compensate — the multiprobe trade-off
-    from Lv et al., VLDB 2007). Deterministic in n_rows alone, so the
-    SQL oracle generator derives identical parameters."""
+    growing linearly with the corpus; the probe RADIUS then comes from
+    the multiprobe recall model (Lv et al., VLDB 2007): smallest r
+    with P(Binomial(bits, acos(design_sim)/pi) <= r) >= target_recall,
+    i.e. a neighbor at the design similarity is reached with >= 90%
+    probability through the Hamming ball. The ball is capped at
+    ``max_masks`` probes (cost guard: per-query candidates stay
+    ~masks x occupancy, size-independent); past the cap — bits >= 14,
+    i.e. corpora >= ~2.6e5 at the default occupancy — design-point
+    recall decays slowly and deliberately (b=14 r=3 models 0.86
+    at sim 0.85 vs 0.95 for the budget-busting r=4). The budget is
+    600, not 512, so radius 3 still fits at the 15-bit width cap
+    (1+15+105+455 = 576 masks) — a 512 budget would snap radius back
+    to 2 exactly at the largest corpora, a parameter sawtooth of the
+    kind the blended-width LSH work exists to avoid.
+
+    The r8 redesign (radius was previously hardcoded 1-2, leaving
+    measured mid-similarity recall@5 at 0.48/0.22/0.20/0.12 across
+    sf0.01/0.1/1/10): the model pins recall at a HIGH-similarity
+    design point because that is the regime hyperplane LSH prunes
+    well. For this corpus's UNSTRUCTURED top-5 neighbors (exact top-5
+    sits at cos ~0.5, barely above the random-pair bulk — measured via
+    the ann_recall audit), no sublinear index holds recall: the LSH
+    exponent rho = ln(1/p1)/ln(1/p2) -> 1 as the target similarity
+    approaches the bulk, and the r8 sweep measured BOTH families
+    agreeing (multiprobe 0.12-0.48, IVF at fixed probe fraction
+    0.12-0.46, decaying together with n). Radius-3 probing lifts the
+    measured mid-sim floor (sf10 0.12 -> 0.32 at 470 probes/query)
+    and the design-sim model holds >= 0.86 everywhere; callers who
+    need exact mid-sim top-k on unstructured vectors should use
+    knn_cosine (one broadcast scan) — that trade is fundamental, not
+    an implementation gap. Deterministic in n_rows alone, so the SQL
+    oracle generator derives identical parameters."""
+    import math
+
     bits = 4
     while (n_rows >> bits) > target_occupancy and bits < 15:
         bits += 1
-    radius = 1 if bits <= 9 else 2
+    p_dis = math.acos(design_sim) / math.pi
+    radius, n_masks = 1, 1 + bits
+    while (_hamming_le(bits, p_dis, radius) < target_recall
+           and radius < bits):
+        nxt = n_masks + math.comb(bits, radius + 1)
+        if nxt > max_masks:
+            break
+        radius, n_masks = radius + 1, nxt
     return bits, radius
 
 
 def probe_masks(n_planes: int, radius: int) -> list[int]:
     """XOR masks of the Hamming ball of the given radius: the query's
-    own bucket, every 1-bit flip (radius >= 1), every 2-bit flip
-    (radius >= 2). Sorted, deterministic — shared with the SQL oracle.
-    Probe count is 1 + b + C(b,2) at radius 2, so probing stays cheap
-    (<= 121 buckets at the 15-bit cap) while recall approaches the
-    banded-LSH level without a second signature."""
+    own bucket, then every i-bit flip for i = 1..radius (general
+    radius since r8 — the old hand-rolled version silently capped at
+    2-bit flips, so adaptive_ann_params' radius model had no effect
+    past r=2). Deterministic order (flip count, then combination
+    order) — shared with the SQL oracle. Probe count is
+    sum_{i<=r} C(b, i); adaptive_ann_params budgets it."""
+    from itertools import combinations
+
     masks = [0]
-    if radius >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if radius >= 2:
-        masks += [(1 << i) | (1 << j)
-                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    for r in range(1, radius + 1):
+        for idxs in combinations(range(n_planes), r):
+            m = 0
+            for i in idxs:
+                m |= 1 << i
+            masks.append(m)
     return masks
+
+
+def adaptive_ivf_params(n_rows: int, probe_frac: int = 16) -> tuple[int, int]:
+    """(stride, nprobe) for the deterministic-sample IVF index:
+    stride ~ sqrt(n) puts the cell count nlist = n/stride near
+    sqrt(n) — the standard IVF sizing balancing the O(n·nlist)
+    assignment pass against O(n/nlist) per-probe cost — and nprobe =
+    max(2, nlist/probe_frac) holds the PROBED FRACTION of the corpus
+    (~1/probe_frac) constant as the corpus grows. The r7 fixed
+    (stride=64, nprobe=2) shrank the probed fraction linearly with n
+    (2 of n/64 cells), which measured as recall@5 decaying 0.46 ->
+    0.12 from sf0.01 to sf1; with the probed fraction pinned, recall
+    tracks the data's cluster structure instead of the corpus size
+    (on unstructured vectors it tracks ~probed fraction — see
+    adaptive_ann_params for why that bound is fundamental).
+    Deterministic in n_rows alone; shared with the SQL oracle."""
+    import math
+
+    stride = max(16, int(math.isqrt(max(1, n_rows))))
+    nlist = max(1, n_rows // stride)
+    return stride, max(2, nlist // probe_frac)
 
 
 def ann_cosine_lsh_multiprobe(corpus: DataFrame, queries: DataFrame,

@@ -4073,40 +4073,54 @@ def q_ann_lsh_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"), "sim")
 
 
-def _ivf_oracle(stride: int = 64, nprobe: int = 2, k: int = 5) -> str:
+def _ivf_oracle(sf_dir: str = DRIVER_SF_DIR, k: int = 5) -> str:
     """Relational replica of ivf_ann_topk: deterministic sample
     centroids, 6-decimal-rounded cosine assignment with centroid-id
-    tie-break, top-nprobe probes, exact rank within probed cells."""
+    tie-break, top-nprobe probes, exact rank within probed cells.
+    (stride, nprobe) come from the same adaptive_ivf_params over the
+    shared _emb_rows count the Spark query uses (r8: the fixed 64/2
+    let the probed fraction shrink linearly with the corpus — recall
+    decayed 0.46 -> 0.12 from sf0.01 to sf1)."""
+    stride, nprobe = similarity.adaptive_ivf_params(_emb_rows(sf_dir))
+    # the assignment window ranks on a PROJECTED (vec_id, cid, csim)
+    # relation and joins the embedding lists back only for the probe
+    # stage — carrying the 64-double lists through the corpus x
+    # centroid cross join materialized ~90 GB at sf10 and forced
+    # DuckDB to spill (r8); the Spark side never had the problem
+    # (broadcast + codegen, nothing materialized)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % {stride} = 0),
+csim AS (
+  SELECT e.vec_id, cent.cid,
+         round(list_dot_product(e.emb, cent.cvec)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) AS s
+  FROM e CROSS JOIN cent
+),
 asg AS (
-  SELECT vec_id, emb, cid AS cell FROM (
-    SELECT e.vec_id, e.emb, cent.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             round(list_dot_product(e.emb, cent.cvec)
-                   / (sqrt(list_dot_product(e.emb, e.emb))
-                      * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC,
-             cent.cid) AS rn
-    FROM e CROSS JOIN cent) WHERE rn = 1
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rn
+    FROM csim) WHERE rn = 1
 ),
 probes AS (
-  SELECT vec_id AS q_id, emb AS q_emb, cid AS cell FROM (
-    SELECT e.vec_id, e.emb, cent.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             round(list_dot_product(e.emb, cent.cvec)
-                   / (sqrt(list_dot_product(e.emb, e.emb))
-                      * sqrt(list_dot_product(cent.cvec, cent.cvec))), 6) DESC,
-             cent.cid) AS rn
-    FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE rn <= {nprobe}
+  SELECT vec_id AS q_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rn
+    FROM csim WHERE vec_id < 10) WHERE rn <= {nprobe}
 ),
 p AS (
   SELECT probes.q_id, asg.vec_id AS n_id,
-         round(list_dot_product(probes.q_emb, asg.emb)
-               / (sqrt(list_dot_product(probes.q_emb, probes.q_emb))
-                  * sqrt(list_dot_product(asg.emb, asg.emb))), 6) AS sim
+         round(list_dot_product(qe.emb, ne.emb)
+               / (sqrt(list_dot_product(qe.emb, qe.emb))
+                  * sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS sim
   FROM probes JOIN asg ON probes.cell = asg.cell
                        AND asg.vec_id != probes.q_id
+  JOIN e qe ON qe.vec_id = probes.q_id
+  JOIN e ne ON ne.vec_id = asg.vec_id
 ),
 r AS (SELECT q_id, n_id, sim,
              row_number() OVER (PARTITION BY q_id
@@ -4116,17 +4130,20 @@ SELECT q_id, n_id, rank, sim FROM r WHERE rank <= {k}
 """
 
 
-@_q("ann_ivf_topk", _ivf_oracle())
+@_q("ann_ivf_topk", _ivf_oracle)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) approximate top-k — the cell-probing scale
     path: broadcast centroids, map-side cell assignment, equi-join on
-    cell id; probe cost is nprobe/nlist of the corpus. stride=64 puts
-    nlist near sqrt(N) (the standard IVF sizing: balances the O(N*nlist)
-    assignment pass against O(N/nlist) probe cost). Deterministic sample
-    centroids keep the approximation exactly oracle-checkable."""
+    cell id; probe cost is nprobe/nlist of the corpus.
+    adaptive_ivf_params (r8) keeps stride ~ sqrt(N) (the standard IVF
+    sizing: balances the O(N*nlist) assignment pass against O(N/nlist)
+    probe cost) and scales nprobe with nlist so the probed corpus
+    FRACTION is constant in N. Deterministic sample centroids keep the
+    approximation exactly oracle-checkable."""
     emb = _t(spark, sf_dir, "embeddings")
+    stride, nprobe = similarity.adaptive_ivf_params(_emb_rows(sf_dir))
     out = similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
-                                  k=5, stride=64, nprobe=2)
+                                  k=5, stride=stride, nprobe=nprobe)
     return out.select("q_id", "n_id",
                       F.col("rank").cast("long").alias("rank"), "sim")
 
@@ -4809,14 +4826,17 @@ _PRIORITY: list[str] = [
     "kmeans_assign_sizes", "kmeans_cluster_sizes", "sketch_quantiles",
     "text_quality", "intra_doc_dedup", "dedup_simhash",
     "dedup_clusters", "embedding_neardup", "stream_dedup",
-    # (b) code/oracle changed in r8 (adaptive banding, bloom seam)
+    # (b) code/oracle changed in r8 (adaptive banding, bloom seam,
+    # ANN multiprobe radius model + IVF probe-fraction scaling)
     "dedup_minhash_lsh", "dedup_minhash_estimate",
     "decontaminate_fuzzy", "dedup_incremental", "decontaminate_bloom",
-    # (c) oldest-first backfill: r4 vintage, then oldest r6 rows
+    "ann_lsh_topk", "ann_recall", "ann_ivf_topk",
+    # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
+    # — agg_salted, asof_join_events, c4_line_filter — yielded their
+    # slots to the (b) ANN changes; next round)
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
     "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
     "heavy_hitters", "length_histogram",
-    "agg_salted", "asof_join_events", "c4_line_filter",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

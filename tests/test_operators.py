@@ -451,19 +451,52 @@ def test_lsh_numpy_band_path_matches_codegen(vecs, monkeypatch):
 
 
 def test_adaptive_ann_params_and_probe_masks():
-    """Bits track corpus size with bounded occupancy; the Hamming-ball
-    probe set has exactly 1 + b (+ C(b,2) at radius 2) distinct masks."""
+    """Bits track corpus size with bounded occupancy; the radius comes
+    from the multiprobe recall model (r8): at the design similarity a
+    neighbor is reached through the Hamming ball with >= target
+    probability, and the ball never exceeds the mask budget. The
+    general-radius probe set has exactly sum C(b, i) distinct masks
+    (the old hand-rolled set silently capped at 2-bit flips)."""
+    import math
+
     prev = 0
     for n in [100, 1_000, 100_000, 10 ** 9]:
         bits, radius = similarity.adaptive_ann_params(n)
         assert (n >> bits) <= 16 or bits == 15
-        assert radius == (1 if bits <= 9 else 2)
+        n_masks = sum(math.comb(bits, i) for i in range(radius + 1))
+        assert n_masks <= 600
+        assert (similarity._hamming_le(
+                    bits, math.acos(0.85) / math.pi, radius) >= 0.9
+                or sum(math.comb(bits, i)
+                       for i in range(radius + 2)) > 600)
         assert bits >= prev
         prev = bits
+    # no parameter sawtooth at the 15-bit width cap: radius holds at 3
+    b15, r15 = similarity.adaptive_ann_params(2_000_000)
+    assert (b15, r15) == (15, 3)
     m1 = similarity.probe_masks(8, 1)
     assert len(m1) == len(set(m1)) == 9 and m1[0] == 0
     m2 = similarity.probe_masks(8, 2)
     assert len(m2) == len(set(m2)) == 1 + 8 + 28
+    m3 = similarity.probe_masks(8, 3)
+    assert len(m3) == len(set(m3)) == 1 + 8 + 28 + 56
+    assert set(m2) < set(m3)  # the ball only grows
+    assert all(bin(m).count("1") <= 3 for m in m3)
+
+
+def test_adaptive_ivf_params():
+    """stride ~ sqrt(n) keeps nlist near sqrt(n); nprobe scales with
+    nlist so the probed corpus fraction is pinned (r8 — the fixed
+    (64, 2) let recall decay linearly with corpus growth)."""
+    import math
+
+    for n in [500, 20_000, 200_000, 2_000_000]:
+        stride, nprobe = similarity.adaptive_ivf_params(n)
+        nlist = n // stride
+        assert abs(stride - math.isqrt(n)) <= 16
+        assert nprobe >= 2
+        # probed fraction ~ nprobe/nlist stays in a fixed band
+        assert nprobe / max(nlist, 1) <= 0.30
 
 
 def test_ann_multiprobe_supersets_exact_bucket(vecs):

@@ -176,18 +176,26 @@ def test_adaptive_lsh_params_invariants(n):
 @given(n=st.integers(min_value=1, max_value=10 ** 12))
 @settings(max_examples=200, deadline=None)
 def test_adaptive_ann_params_invariants(n):
-    """Bits bounded-occupancy (or at cap), radius steps at the
-    documented threshold, and the probe mask set is distinct with the
-    exact Hamming-ball cardinality."""
+    """Bits bounded-occupancy (or at cap); the radius satisfies the
+    r8 multiprobe recall model — design-point recall >= target, OR one
+    more radius step would bust the mask budget — and the probe mask
+    set is distinct with the exact Hamming-ball cardinality."""
+    import math
+
     from rivulus_spark.operators import similarity
 
     bits, radius = similarity.adaptive_ann_params(n)
     assert 4 <= bits <= 15
     assert (n >> bits) <= 16 or bits == 15
-    assert radius == (1 if bits <= 9 else 2)
+    assert 1 <= radius <= bits
+    n_masks = sum(math.comb(bits, i) for i in range(radius + 1))
+    assert n_masks <= 600
+    p_dis = math.acos(0.85) / math.pi
+    assert (similarity._hamming_le(bits, p_dis, radius) >= 0.9
+            or radius == bits
+            or n_masks + math.comb(bits, radius + 1) > 600)
     masks = similarity.probe_masks(bits, radius)
-    want = 1 + bits + (bits * (bits - 1) // 2 if radius == 2 else 0)
-    assert len(masks) == len(set(masks)) == want
+    assert len(masks) == len(set(masks)) == n_masks
     assert all(0 <= m < (1 << bits) for m in masks)
 
 
