@@ -84,7 +84,50 @@ def bloom_contamination_report(train: DataFrame, eval_df: DataFrame,
           .select(F.col("id").alias("t_id"),
                   word_hash(F.col("s")).alias("h")))
     survivors = bloom_prefilter(tr, "h", bf)
-    return (survivors.join(ev, "h")
+    return report_from_suspects(survivors, ev, id_col)
+
+
+def stream_bloom_suspects(docs: DataFrame, bf, k: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Ingest-time half of streaming decontamination: screen a
+    DOCUMENT STREAM against a pre-built eval-set Bloom filter, emitting
+    the suspect ``(t_id, h)`` shingle-hash rows — a no-false-negative
+    superset of the truly shared shingles (supersized by ~fpp of the
+    stream's shingle volume), which the exact verify join at the sink
+    reduces to the same report the batch pass produces.
+
+    Every stage is STATELESS (projection, explode, the Arrow
+    ``mapInPandas`` bit-gather of bloom_prefilter), so the same plan
+    runs on a batch or a streaming DataFrame — this is the "screen the
+    crawl as it lands" deployment where the 100 TB corpus never
+    rests unscreened, and only suspect rows (true hits + fpp·batch)
+    reach the sink-side shuffle. Shingling uses the array-transform
+    form (dedup.shingles): the window-based ``shingle_rows`` is not
+    streaming-capable (non-time windows are unsupported on streams),
+    and the interpreted transform only ever sees one micro-batch of
+    work at a time. Per-doc shingles are distinct (array_distinct),
+    matching shingle_rows' semantics; cross-batch duplicates are
+    impossible for file-replay (a doc arrives once) and the report's
+    countDistinct would absorb them anyway."""
+    from .bloom import bloom_prefilter
+    from .dedup import shingles
+
+    sh = docs.select(F.col(id_col).alias("t_id"),
+                     F.explode(shingles(F.col(text_col), k)).alias("s"))
+    hashed = sh.select("t_id", word_hash(F.col("s")).alias("h"))
+    return bloom_prefilter(hashed, "h", bf)
+
+
+def report_from_suspects(suspects: DataFrame, ev_shingles: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact-verify tail shared by the batch Bloom pass and the
+    streaming drain: join suspect shingle rows to the eval shingle
+    relation (removing every Bloom false positive) and aggregate the
+    per-training-doc contamination report — identical output to
+    :func:`contamination_report` because the suspects are a
+    no-false-negative superset."""
+    return (suspects.join(ev_shingles, "h")
             .groupBy("t_id")
             .agg(F.countDistinct("h").alias("n_shared_ngrams"),
                  F.countDistinct("e_id").alias("n_eval_docs"))

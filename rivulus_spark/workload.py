@@ -4639,7 +4639,12 @@ def q_semantic_dedup(spark, sf_dir):
     return cluster.semantic_dedup_pairs(emb, init, threshold=0.45)
 
 
-@_q("decontaminate", r"""
+#: plain-join contamination spec shared by `decontaminate`,
+#: `decontaminate_bloom`, and `stream_decontaminate` — all three MUST
+#: be indistinguishable from the unfiltered exact join (Bloom filters
+#: have no false negatives; exact verify removes the false positives;
+#: a drained AvailableNow stream replays the same corpus)
+_DECONTAMINATE_ORACLE = r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
            FROM documents),
 sh AS (
@@ -4657,7 +4662,10 @@ SELECT tr.doc_id,
        count(DISTINCT ev.doc_id)::BIGINT AS n_eval_docs
 FROM tr JOIN ev ON tr.h = ev.h
 GROUP BY tr.doc_id
-""")
+"""
+
+
+@_q("decontaminate", _DECONTAMINATE_ORACLE)
 def q_decontaminate(spark, sf_dir):
     """Train/eval contamination report: every 50th document plays the
     held-out eval set; training documents sharing any 3-gram shingle
@@ -4671,25 +4679,7 @@ def q_decontaminate(spark, sf_dir):
     return contamination.contamination_report(train, ev, k=3)
 
 
-@_q("decontaminate_bloom", r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-           FROM documents),
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
-                               || words[i+2]
-                               for i in range(1, len(words)-1)])) AS s
-  FROM w
-),
-h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
-tr AS (SELECT * FROM h WHERE doc_id % 50 <> 0),
-ev AS (SELECT * FROM h WHERE doc_id % 50 = 0)
-SELECT tr.doc_id,
-       count(DISTINCT tr.h)::BIGINT AS n_shared_ngrams,
-       count(DISTINCT ev.doc_id)::BIGINT AS n_eval_docs
-FROM tr JOIN ev ON tr.h = ev.h
-GROUP BY tr.doc_id
-""")
+@_q("decontaminate_bloom", _DECONTAMINATE_ORACLE)
 def q_decontaminate_bloom(spark, sf_dir):
     """The decontamination pass routed through the distributed Bloom
     prefilter (operators.bloom): same exact output as `decontaminate`
@@ -4705,6 +4695,59 @@ def q_decontaminate_bloom(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 50 != 0)
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     return contamination.bloom_contamination_report(train, ev, k=3)
+
+
+@_q("stream_decontaminate", _DECONTAMINATE_ORACLE)
+def q_stream_decontaminate(spark, sf_dir):
+    """Decontamination AT INGEST (r8 debut): the eval-set Bloom filter
+    builds offline (distributed bit_or, operators.bloom), broadcasts
+    into the document stream, and every micro-batch is screened by a
+    fully STATELESS plan — shingle explode (array-transform form; the
+    window-based shingle_rows cannot run on a stream), JVM word_hash,
+    Arrow bit-gather probe — so only suspect shingle rows (true hits +
+    fpp·batch) ever reach the sink, where the exact verify join
+    removes the false positives. Same oracle as `decontaminate` /
+    `decontaminate_bloom`: no false negatives in the screen + exact
+    verify + an AvailableNow drain that replays the whole corpus means
+    all three must emit the identical report. This is the "screen the
+    crawl as it lands" deployment: at 100 TB/day the corpus never
+    rests unscreened, per-batch work is map-side only, and the
+    sink-side shuffle is suspect-sized, not corpus-sized."""
+    import tempfile
+    import uuid
+
+    from . import cache
+    from .operators import contamination
+    from .operators.bloom import bloom_build, bloom_dims
+    from .operators.dedup import shingle_rows
+    from .operators.text import word_hash
+    from .streaming import windows as sw
+
+    docs = _t(spark, sf_dir, "documents")
+    ev_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    ev = cache.persist(
+        shingle_rows(ev_docs, "text", "doc_id", 3)
+        .select(F.col("id").alias("e_id"),
+                word_hash(F.col("s")).alias("h")))
+    m_bits, n_hash = bloom_dims(ev.count())
+    bf = bloom_build(ev.select("h"), "h", m_bits, n_hash)
+
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id",
+                                                          "text")
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/documents.parquet")
+    staging = _staged_stream_parquet(train, f"{sf_dir}/documents.parquet",
+                                     "decon", n_files=n_files)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+    suspects = contamination.stream_bloom_suspects(stream, bf, k=3)
+    name = f"stream_decon_{uuid.uuid4().hex[:12]}"
+    out = sw.run_available_now(
+        suspects, query_name=name,
+        checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+        output_mode="append")
+    return contamination.report_from_suspects(out, ev)
 
 
 @_q("sequence_packing", r"""
@@ -4831,12 +4874,15 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh", "dedup_minhash_estimate",
     "decontaminate_fuzzy", "dedup_incremental", "decontaminate_bloom",
     "ann_lsh_topk", "ann_recall", "ann_ivf_topk",
+    # (b2) r8 debut (debut-with-a-driver-row rule)
+    "stream_decontaminate",
     # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
-    # — agg_salted, asof_join_events, c4_line_filter — yielded their
-    # slots to the (b) ANN changes; next round)
+    # — agg_salted, asof_join_events, c4_line_filter — and
+    # length_histogram yielded their slots to the (b) ANN changes and
+    # the debut; next round)
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
     "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
-    "heavy_hitters", "length_histogram",
+    "heavy_hitters",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -397,3 +397,47 @@ def test_file_sink_drain_is_exactly_once_on_resume(spark, tmp_path):
         .write.parquet(str(src / "f2"))
     n2 = drain().count()
     assert n2 == len([i for i in range(150) if i % 7 < 5])
+
+
+def test_stream_decontaminate_matches_batch_report(spark, tmp_path):
+    """r8 in-stream decontamination: the drained Bloom-suspect rows,
+    exact-verified at the sink, must reproduce the batch
+    contamination_report EXACTLY — the no-false-negative screen plus
+    exact verify plus a full AvailableNow drain leaves no room for
+    divergence. Also pins the screen's statelessness: the plan drains
+    in append mode with no state store (a window or dedup in the
+    screen would refuse append mode without watermarks)."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import contamination
+    from rivulus_spark.operators.bloom import bloom_build, bloom_dims
+    from rivulus_spark.operators.dedup import shingle_rows
+    from rivulus_spark.operators.text import word_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev_docs = docs.filter(F.col("doc_id") % 10 == 0)
+
+    d = tmp_path / "train_stream"
+    train.select("doc_id", "text").repartition(3) \
+        .write.mode("overwrite").parquet(str(d))
+
+    ev = (shingle_rows(ev_docs, "text", "doc_id", 3)
+          .select(F.col("id").alias("e_id"),
+                  word_hash(F.col("s")).alias("h"))).cache()
+    m_bits, n_hash = bloom_dims(ev.count())
+    bf = bloom_build(ev.select("h"), "h", m_bits, n_hash)
+
+    stream = (spark.readStream
+              .schema(spark.read.parquet(str(d)).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d)))
+    suspects = contamination.stream_bloom_suspects(stream, bf, k=3)
+    drained = run_available_now(suspects, "t_stream_decon",
+                                str(tmp_path / "ckpt"),
+                                output_mode="append")
+    got = sorted(map(tuple, contamination.report_from_suspects(
+        drained, ev).collect()))
+    want = sorted(map(tuple, contamination.contamination_report(
+        train, ev_docs, k=3).collect()))
+    assert got == want and len(got) > 0

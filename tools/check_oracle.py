@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--json-out", default=None,
                     help="write per-query results (pass/fail/skip + "
                          "reason + rows + seconds) as a JSON artifact")
+    ap.add_argument("--duck-mem", default=None,
+                    help="DuckDB memory_limit (e.g. 24GB). At sf10 the "
+                         "default 80%%-of-RAM limit plus the Spark JVM "
+                         "can exceed physical memory and thrash the "
+                         "host (r8: a 4-query batch hit 103 GB RSS); "
+                         "a cap makes DuckDB spill instead")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -77,6 +83,8 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    if args.duck_mem:
+        con.execute(f"SET memory_limit='{args.duck_mem}'")
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
