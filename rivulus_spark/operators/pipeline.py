@@ -27,7 +27,8 @@ from .text import bpe_token_count, token_count
 def curate_corpus(df: DataFrame, min_tokens: int = 20,
                   near_threshold: float = 0.8,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  band_widths: list[int] | None = None) -> DataFrame:
     """Curated corpus: rows of ``df`` that survive quality filtering,
     exact dedup, and near-dedup; adds n_tokens / n_bpe_tokens columns.
 
@@ -37,7 +38,10 @@ def curate_corpus(df: DataFrame, min_tokens: int = 20,
     3. near-dedup: MinHash+LSH candidate pairs verified at
        ``near_threshold`` exact Jaccard; the larger id of each
        surviving pair is dropped (left anti join — no shuffle larger
-       than the near-dup pair set).
+       than the near-dup pair set). ``band_widths`` sizes the banding
+       for large corpora (dedup.adaptive_minhash_bands over the input
+       row count, r8) — pass it so the operator bands IDENTICALLY to
+       the workload oracle's banded replica.
 
     The token budgets are computed ONCE in the head projection (fused
     into the scan stage) and carried as two long columns, instead of
@@ -59,7 +63,8 @@ def curate_corpus(df: DataFrame, min_tokens: int = 20,
     uniq = q.join(keep_exact, id_col, "semi")
 
     pairs = dedup.minhash_lsh_dedup(uniq, threshold=near_threshold,
-                                    text_col=text_col, id_col=id_col)
+                                    text_col=text_col, id_col=id_col,
+                                    band_widths=band_widths)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = uniq.join(losers, id_col, "anti")
 

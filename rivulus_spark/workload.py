@@ -3744,10 +3744,14 @@ FROM kept
 def q_pipeline_curate(spark, sf_dir):
     """Full curation pipeline (quality >= 20 tokens, exact dedup,
     MinHash near-dedup at 0.8) as one lazy plan; emits the surviving
-    doc ids with token budgets."""
+    doc ids with token budgets. Near-dedup banding is corpus-adaptive
+    (r8), derived from the same _doc_rows count the oracle's banded
+    replica uses so the two band identically."""
     from .operators import pipeline
 
-    out = pipeline.curate_corpus(_t(spark, sf_dir, "documents"))
+    out = pipeline.curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
     return out.select("doc_id", "n_tokens", "n_bpe_tokens")
 
 
@@ -3756,8 +3760,9 @@ def q_pipeline_stats(spark, sf_dir):
     """Training-budget summary of the curated corpus (one row)."""
     from .operators import pipeline
 
-    return pipeline.corpus_stats(
-        pipeline.curate_corpus(_t(spark, sf_dir, "documents")))
+    return pipeline.corpus_stats(pipeline.curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir))))
 
 
 # ======================================================================

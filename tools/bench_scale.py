@@ -64,6 +64,8 @@ QUERIES_TO_RUN = [
     "stream_curate_sink",
     # offline fit + stateless in-stream scoring
     "stream_quality_score",
+    # r8: Bloom-screened ingest (stateless probe, suspect-sized sink)
+    "stream_decontaminate",
     # one-pass moment accumulation: linear scan, k-row barrier
     "embedding_pca_spectrum",
 ]
@@ -87,7 +89,7 @@ HUGE_QUERIES = [
     "source_similarity_matrix", "corpus_datacard",
     "quality_classifier_weights", "quality_classifier_filter",
     "event_rate_anomalies", "stream_curate_sink",
-    "stream_quality_score",
+    "stream_quality_score", "stream_decontaminate",
 ]
 
 
