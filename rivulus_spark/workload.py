@@ -934,7 +934,8 @@ def q_stream_sessionize(spark, sf_dir):
     name = f"stream_sess_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8))
+                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8,
+                                            rows_per_part=20_000))
     try:
         out = sw.run_available_now(
             sessions, query_name=name,
@@ -978,7 +979,8 @@ def q_stream_events_hourly(spark, sf_dir):
     # quarter of the default checkpoint fan-out, growing with volume
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8))
+                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8,
+                                            rows_per_part=20_000))
     try:
         out = sw.run_available_now(
             agg, query_name=name,
@@ -1029,7 +1031,8 @@ def q_stream_interval_join(spark, sf_dir):
     name = f"stream_ij_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8))
+                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8,
+                                            rows_per_part=20_000))
     try:
         out = sw.run_available_now(
             j, query_name=name,
@@ -1132,7 +1135,8 @@ def q_stream_dedup_watermark(spark, sf_dir):
     name = f"stream_wmd_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8))
+                   _stream_state_partitions(f"{sf_dir}/events.parquet", 8,
+                                            rows_per_part=20_000))
     try:
         out = sw.run_available_now(
             stateful.watermark_dedup(
@@ -2064,32 +2068,43 @@ _PII_SUFFIX_SQL = ("' contact user' || doc_id || '@example.com from 10.0.' "
                    "|| (doc_id % 200) || '.7 ssn 123-45-6789 tel 555-867-5309'")
 
 
-def _stream_state_partitions(source: str, base: int) -> str:
+def _stream_state_partitions(source: str, base: int,
+                             rows_per_part: int = 2_000) -> str:
     """State-store instance count sized to the input ROW count: one
-    partition per ~2k rows, clamped to [base, 32]. The count is FIXED
-    at stream start from shuffle.partitions, so it must be chosen
-    per-source — a constant that is right at sf0.1 starves the Python
-    state sweep at sf10 (32 cores idle behind 4 partitions), while an
-    unconditionally large count pays checkpoint fan-out on tiny
-    inputs (VERDICT r4 item 5).
+    partition per ``rows_per_part`` rows, clamped to [base, 32]. The
+    count is FIXED at stream start from shuffle.partitions, so it must
+    be chosen per-source — a constant that is right at sf0.1 starves
+    the Python state sweep at sf10 (32 cores idle behind 4
+    partitions), while an unconditionally large count pays checkpoint
+    fan-out on tiny inputs (VERDICT r4 item 5).
 
-    Rows, not bytes (r8): the dominant stateful cost is the
-    applyInPandasWithState PER-GROUP Python invocation, which tracks
-    key count — the r8 stage probe measured the state sweep at 13.4s
-    of stream_dedup's 14.2s sf1 drain while fixed machinery (an
-    identical no-state drain) was 0.5s. The old 2 MB-of-compressed-
-    bytes rule left heavily-compressed text at 8 partitions for 50k
-    state keys (24 cores idle); per-row sizing raised it to 25 and
-    cut the sf1 drain 14.2 -> 5.5s (2.6x, same output). On a real
-    cluster this would be sized to executor slots instead of local
-    cores."""
+    Rows, not bytes (r8): the dominant stateful cost for the
+    applyInPandasWithState queries is the PER-GROUP Python
+    invocation, which tracks key count — the r8 stage probe measured
+    the state sweep at 13.4s of stream_dedup's 14.2s sf1 drain while
+    fixed machinery (an identical no-state drain) was 0.5s. The old
+    2 MB-of-compressed-bytes rule left heavily-compressed text at 8
+    partitions for 50k state keys (24 cores idle); per-row sizing
+    raised it to 25 and cut the sf1 drain 14.2 -> 5.5s (2.6x, same
+    output).
+
+    ``rows_per_part`` is the Python/JVM split (r8 bench follow-up):
+    the 2k default suits Python-swept state, but JVM state stores
+    (dropDuplicatesWithinWatermark, stream-stream joins, windowed
+    aggs) have no per-group Python cost — their small-scale term is
+    per-partition checkpoint commits, and the dense default measured
+    stream_interval_join 2.7 -> 8.6s at sf0.1 (32 state partitions
+    for a 150k-row input). Those callers pass rows_per_part=20_000,
+    which restores base at sf0.1 and still reaches 32 by sf1. On a
+    real cluster both tiers would key on executor slots instead of
+    local cores."""
     try:
         rows = _parquet_rows(source, 0)
     except Exception:
         rows = 0
     if rows <= 0:
         return str(base)
-    return str(max(base, min(32, rows // 2000)))
+    return str(max(base, min(32, rows // rows_per_part)))
 
 
 def _stream_file_plan(source: str, base_files: int = 4) -> tuple[int, int]:

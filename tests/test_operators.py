@@ -484,6 +484,53 @@ def test_adaptive_ann_params_and_probe_masks():
     assert all(bin(m).count("1") <= 3 for m in m3)
 
 
+def test_multiprobe_recall_model_holds_at_design_sim(spark):
+    """Empirical check of the r8 recall-model claim that the measured
+    curve could not validate (the testdata's exact top-5 sits at
+    cos ~0.5, below the design point): plant 60 pairs at >= the 0.85
+    design similarity among background noise, index with the exact
+    adaptive_ann_params the 20k-row corpus tier would get (11 bits,
+    radius 3), and require the Hamming-ball multiprobe to retrieve
+    >= 85% of the planted partners (model: >= 0.9; margin for the
+    finite per-pair sample). Deterministic inputs — no flaky seeds."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, n_pairs = 16, 60
+    rows = []
+    for i in range(n_pairs):
+        a = rng.randn(dim)
+        a /= np.linalg.norm(a)
+        noise = rng.randn(dim) * 0.22  # cos(a, a+noise) ~ 0.9
+        b = a + noise
+        b /= np.linalg.norm(b)
+        if float(a @ b) < 0.85:  # keep every pair at/above design sim
+            b = a + noise * 0.5
+            b /= np.linalg.norm(b)
+        rows.append((2 * i, [float(x) for x in a]))
+        rows.append((2 * i + 1, [float(x) for x in b]))
+    for j in range(400):  # background
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bits, radius = similarity.adaptive_ann_params(20_000)
+    assert bits == 11 and radius >= 3  # the 600-mask budget tier
+    queries = df.filter((F.col("vec_id") < 2 * n_pairs)
+                        & (F.col("vec_id") % 2 == 0))
+    got = similarity.ann_cosine_lsh_multiprobe(
+        df, queries, k=5, dim=dim, n_planes=bits, radius=radius)
+    hits = {(r.q_id, r.n_id) for r in got.collect()}
+    found = sum((2 * i, 2 * i + 1) in hits for i in range(n_pairs))
+    # the planted partner is the true nearest neighbor; missing it
+    # means the Hamming ball failed to reach the partner's bucket
+    assert found >= math.floor(0.85 * n_pairs), \
+        f"design-sim recall {found}/{n_pairs} below the model's 0.9"
+
+
 def test_adaptive_ivf_params():
     """stride ~ sqrt(n) keeps nlist near sqrt(n); nprobe scales with
     nlist so the probed corpus fraction is pinned (r8 — the fixed
