@@ -450,6 +450,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
     form, so band hashes are unchanged)."""
     exploded = band_hash_rows(sigs, id_col, sig_col, rows_per_band,
                               num_perm, band_widths)
+    # measured negative result (r8): prefiltering to colliding buckets
+    # (groupBy(bh).count > 1 -> semi-join -> self-join the remainder)
+    # to spare singleton rows the join read 8.5 -> 11.6s at sf10 — the
+    # extra aggregation + semi-join shuffle costs more than the hash
+    # join spends absorbing singletons. Keep the plain self-join.
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(r, (F.col("l.bh") == F.col("r.bh"))

@@ -154,3 +154,70 @@ def datacard(df: DataFrame, group_col: str = "source",
                     (F.floor(F.col("stop_milli") / F.col("n_docs"))
                      / 1000).alias("mean_stopword_ratio"),
                     f3(F.col("lang_entropy")).alias("lang_entropy")))
+
+
+def population_stability(old: DataFrame, new: DataFrame,
+                         value: Column | str,
+                         group_col: str | None = None,
+                         n_bins: int = 16,
+                         eps: float = 1e-4) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    corpus feature — THE standard drift audit a training-data pipeline
+    runs per release (did the token-length / quality-score / document-
+    size mix move between yesterday's corpus and today's?). Output:
+    one row per (``group_col``...,) bin with the old/new mass and the
+    bin's PSI term, plus the bin bounds for reporting; ``sum(psi_term)
+    over the group`` is the headline index (< 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted — the classic scorecard thresholds).
+
+    Binning is FIXED log2-scale — bin = floor(log2(1+floor(x))),
+    computed as the INTEGER bit length of 1+floor(x) (length of the
+    binary string), so bin assignment is exact integer arithmetic on
+    both engines, with no libm-log2 last-ulp risk at power-of-two
+    boundaries — not quantile-based: percentile sketches are
+    engine-specific (GK accuracy) and release-over-release audits need
+    the SAME bin edges on both sides anyway (a quantile re-fit per
+    release would make indices incomparable across releases). Values
+    floor to a long first (token counts / doc sizes are integers;
+    scale fractional scores up before auditing); negatives clamp to
+    bin 0. Masses and the PSI term floor-truncate to 6 decimals — the
+    cross-engine convention — and ``eps`` replaces empty-bin masses so
+    ln(p/q) stays finite (the standard PSI smoothing).
+
+    Scale shape: one partial-aggregated group-by per snapshot over
+    (group, bin) — shuffle rows are k-row histograms, never documents
+    — then a full-outer join of two tiny histogram tables. No windows,
+    no Python, no driver loop."""
+    from pyspark.sql import Window
+
+    v = F.col(value) if isinstance(value, str) else value
+    gcols = [group_col] if group_col else []
+
+    def hist(df: DataFrame, tag: str) -> DataFrame:
+        x = F.greatest(F.lit(0), F.floor(v.cast("double")).cast("long"))
+        b = F.least(F.lit(n_bins - 1),
+                    (F.length(F.bin(x + 1)) - 1).cast("int")).alias("bin")
+        return (df.select(*gcols, b)
+                .groupBy(*gcols, "bin")
+                .agg(F.count("*").alias(f"n_{tag}")))
+
+    j = hist(old, "old").join(hist(new, "new"), gcols + ["bin"],
+                              "full_outer")
+    # per-group totals over the joined k-bin histogram — a window over
+    # <= n_bins rows per group (an aggregate output by construction;
+    # the ungrouped form sees one n_bins-row table total)
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    f6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
+    n_old = F.coalesce(F.col("n_old"), F.lit(0))
+    n_new = F.coalesce(F.col("n_new"), F.lit(0))
+    p_old = n_old / F.sum(n_old).over(w)
+    p_new = n_new / F.sum(n_new).over(w)
+    po = F.greatest(F.lit(float(eps)), p_old)
+    pn = F.greatest(F.lit(float(eps)), p_new)
+    term = (pn - po) * F.log(pn / po)
+    return (j.select(*gcols, "bin",
+                     (F.pow(F.lit(2.0), F.col("bin")) - 1).alias("lo"),
+                     f6(p_old).alias("p_old"),
+                     f6(p_new).alias("p_new"),
+                     f6(term).alias("psi_term"))
+            .orderBy(*gcols, "bin"))

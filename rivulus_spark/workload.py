@@ -4485,6 +4485,66 @@ def q_dataset_diff(spark, sf_dir):
     return snapshot.diff_report(old, new, by=["source"])
 
 
+@_q("dataset_drift_psi", r"""
+WITH o AS (
+  SELECT source,
+         least(15, length(bin((1 + greatest(0,
+             floor(n_chars::DOUBLE)::BIGINT))::BIGINT)) - 1) AS bin
+  FROM documents),
+nw AS (
+  SELECT source,
+         least(15, length(bin((1 + greatest(0, floor((n_chars *
+             CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+           )::DOUBLE)::BIGINT))::BIGINT)) - 1) AS bin
+  FROM documents WHERE doc_id % 17 <> 0),
+ho AS (SELECT source, bin, count(*)::BIGINT AS n_old
+       FROM o GROUP BY source, bin),
+hn AS (SELECT source, bin, count(*)::BIGINT AS n_new
+       FROM nw GROUP BY source, bin),
+j AS (
+  SELECT coalesce(ho.source, hn.source) AS source,
+         coalesce(ho.bin, hn.bin) AS bin, n_old, n_new
+  FROM ho FULL OUTER JOIN hn
+       ON ho.source = hn.source AND ho.bin = hn.bin),
+p AS (
+  SELECT source, bin,
+         coalesce(n_old, 0) / sum(coalesce(n_old, 0))
+             OVER (PARTITION BY source) AS p_o,
+         coalesce(n_new, 0) / sum(coalesce(n_new, 0))
+             OVER (PARTITION BY source) AS p_n
+  FROM j)
+SELECT source, bin, power(2.0, bin) - 1 AS lo,
+       floor(p_o * 1000000) / 1000000 AS p_old,
+       floor(p_n * 1000000) / 1000000 AS p_new,
+       floor((greatest(0.0001, p_n) - greatest(0.0001, p_o))
+             * ln(greatest(0.0001, p_n) / greatest(0.0001, p_o))
+             * 1000000) / 1000000 AS psi_term
+FROM p
+""")
+def q_dataset_drift_psi(spark, sf_dir):
+    """Release-over-release drift audit (snapshot.population_stability,
+    r8 debut): Population Stability Index of the per-source document-
+    size distribution between the corpus and a synthetic next release
+    (every 17th doc dropped, every 5th doubled in size — a growth
+    drift). One row per (source, log2-size bin) with old/new mass and
+    the PSI term; sum(psi_term) per source is the scorecard index
+    (< 0.1 stable / > 0.25 shifted). Binning is integer bit-length —
+    exact on both engines — and the only shuffles are two k-row
+    histogram group-bys plus their outer join; windows run over
+    <= n_bins-row histogram groups."""
+    from .operators import snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("source", "n_chars")
+    new = (docs.filter(F.col("doc_id") % 17 != 0)
+           .select("source",
+                   (F.col("n_chars")
+                    * F.when(F.col("doc_id") % 5 == 0, 2).otherwise(1))
+                   .alias("n_chars")))
+    return snapshot.population_stability(old, new, "n_chars",
+                                         group_col="source")
+
+
 @_q("temperature_mix", """
 WITH per AS (
   SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens
@@ -4915,15 +4975,14 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh", "dedup_minhash_estimate",
     "decontaminate_fuzzy", "dedup_incremental", "decontaminate_bloom",
     "ann_lsh_topk", "ann_recall", "ann_ivf_topk",
-    # (b2) r8 debut (debut-with-a-driver-row rule)
-    "stream_decontaminate",
+    # (b2) r8 debuts (debut-with-a-driver-row rule)
+    "stream_decontaminate", "dataset_drift_psi",
     # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
-    # — agg_salted, asof_join_events, c4_line_filter — and
-    # length_histogram yielded their slots to the (b) ANN changes and
-    # the debut; next round)
+    # — agg_salted, asof_join_events, c4_line_filter — plus
+    # length_histogram and heavy_hitters yielded their slots to the
+    # (b) ANN changes and the two debuts; next round)
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
     "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
-    "heavy_hitters",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

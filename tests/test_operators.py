@@ -940,6 +940,59 @@ def test_dataset_diff_statuses_and_carry(spark):
     assert rep[("s1", "removed")] == 1 and rep[("s3", "added")] == 1
 
 
+def test_population_stability_hand_bins(spark):
+    """Hand-checked PSI: integer bit-length binning (bin =
+    bitlen(1+floor(x))-1, so 0->0, 1 and 2->1, 3..6->2, 7..14->3),
+    eps smoothing only enters the term (reported masses stay raw),
+    and a vanished bin scores the same PSI as a newly-appeared one of
+    equal mass."""
+    import math as m
+
+    from rivulus_spark.operators import snapshot
+
+    # bins: x=0 -> bin(1)='1' -> 0; x=1 -> '10' -> 1; x=2 -> '11' -> 1;
+    # x=7 -> '1000' -> 3
+    old = spark.createDataFrame([("A", 0), ("A", 1), ("B", 2), ("B", 7)],
+                                "source string, v long")
+    new = spark.createDataFrame([("A", 0), ("A", 7), ("B", 7), ("B", 7)],
+                                "source string, v long")
+    got = {(r.source, r.bin): r for r in snapshot.population_stability(
+        old, new, "v", group_col="source").collect()}
+    assert set(got) == {("A", 0), ("A", 1), ("A", 3), ("B", 1), ("B", 3)}
+
+    def term(po, pn):
+        po, pn = max(1e-4, po), max(1e-4, pn)
+        return m.floor((pn - po) * m.log(pn / po) * 1e6) / 1e6
+
+    a0 = got[("A", 0)]          # stable bin: 0.5 -> 0.5
+    assert (a0.p_old, a0.p_new, a0.psi_term, a0.lo) == (0.5, 0.5, 0.0, 0.0)
+    a1 = got[("A", 1)]          # vanished bin: raw mass 0.0, eps in term
+    assert (a1.p_old, a1.p_new) == (0.5, 0.0)
+    assert a1.psi_term == term(0.5, 0.0)
+    a3 = got[("A", 3)]          # appeared bin — symmetric PSI term
+    assert (a3.p_old, a3.p_new, a3.lo) == (0.0, 0.5, 7.0)
+    assert a3.psi_term == a1.psi_term == term(0.0, 0.5)
+    b3 = got[("B", 3)]          # grew 0.5 -> 1.0
+    assert b3.psi_term == term(0.5, 1.0)
+    # headline index: every group here is 'shifted' (> 0.25)
+    assert sum(r.psi_term for k, r in got.items() if k[0] == "A") > 0.25
+
+
+def test_population_stability_clamps_and_ungrouped(spark):
+    """Negatives clamp to bin 0, huge values cap at n_bins-1 (lo =
+    2^15-1), identical snapshots score zero PSI everywhere; the
+    ungrouped form's window runs over one <=n_bins-row histogram."""
+    from rivulus_spark.operators import snapshot
+
+    df = spark.createDataFrame([(-5.0,), (0.25,), (1e12,)], "v double")
+    got = {r.bin: r for r in
+           snapshot.population_stability(df, df, "v").collect()}
+    assert set(got) == {0, 15}          # -5 and 0.25 clamp/floor to 0
+    assert got[15].lo == 32767.0
+    assert all(r.psi_term == 0.0 for r in got.values())
+    assert got[0].p_old == got[0].p_new  # 2/3 floored identically
+
+
 def test_temperature_mix_matches_greedy_waterline(spark):
     """temperature_mix_plan's closed-form water level must equal an
     INDEPENDENT greedy waterline solver (iterate strata in exact
