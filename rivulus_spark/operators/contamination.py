@@ -176,6 +176,48 @@ def report_from_suspects(suspects: DataFrame, ev_shingles: DataFrame,
                     "n_shared_ngrams", "n_eval_docs"))
 
 
+def overlap_severity(train: DataFrame, eval_df: DataFrame,
+                     k: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination SEVERITY: for every training document
+    sharing at least one k-gram shingle with the eval set, the fraction
+    of its distinct shingles that leak — ``(doc_id, n_shingles,
+    n_shared, overlap_frac)``. Where :func:`contamination_report`
+    answers "which documents touch the eval set", this answers "how
+    much of each document IS eval content": a doc quoting one common
+    phrase scores ~0, a wholesale eval copy scores ~1 — the number a
+    drop-vs-quarantine policy actually thresholds on (the
+    GPT-3 appendix-C treatment removes only the contaminated *spans*
+    when the fraction is low and the whole doc when it is high).
+    ``overlap_frac`` floor-truncates to 3 decimals (the cross-engine
+    convention).
+
+    Scale shape: the training corpus reduces ONCE to distinct
+    ``(t_id, h)`` shingle-hash rows (codegen lead-window shingling),
+    persisted because two aggregations consume it: the per-doc
+    denominator (keyed on t_id) and the eval-intersection numerator
+    (semi-join keyed on the 60-bit hash — AQE broadcasts the
+    deduplicated eval shingle set while it fits). Only contaminated
+    docs reach the final |hits|-row join; shuffle rows are 16-byte
+    (hash, id) pairs, never text."""
+    tr = cache.persist(
+        shingle_rows(train, text_col, id_col, k)
+        .select(F.col("id").alias("t_id"),
+                word_hash(F.col("s")).alias("h")))
+    totals = tr.groupBy("t_id").agg(F.count("*").alias("n_shingles"))
+    ev = (shingle_rows(eval_df, text_col, id_col, k)
+          .select(word_hash(F.col("s")).alias("h")).distinct())
+    # (t_id, h) is distinct by construction, so after the semi-join a
+    # plain count IS the distinct shared-shingle count
+    shared = (tr.join(ev, "h", "left_semi")
+              .groupBy("t_id").agg(F.count("*").alias("n_shared")))
+    return (shared.join(totals, "t_id")
+            .select(F.col("t_id").alias(id_col), "n_shingles", "n_shared",
+                    (F.floor(F.col("n_shared") * 1000
+                             / F.col("n_shingles")) / 1000)
+                    .alias("overlap_frac")))
+
+
 def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
                         threshold: float = 0.8, k: int = 3,
                         text_col: str = "text",

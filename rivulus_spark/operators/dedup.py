@@ -135,6 +135,45 @@ def exact_dup_edges(df: DataFrame, text_col: str = "text",
             .filter(F.col("doc_a").isNotNull()))
 
 
+def duplication_scores(df: DataFrame, k: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplication score (the Dolma/RefinedWeb per-doc
+    dup-fraction report): for every document with at least one k-gram
+    shingle, the fraction of its DISTINCT shingles that also occur in
+    at least one OTHER document — ``(doc_id, n_shingles, dup_shingles,
+    dup_frac)``. Pair-level dedup (exact/MinHash) answers "which docs
+    are near-copies of each other"; this answers "how much of THIS doc
+    is boilerplate the corpus already has" — the per-doc signal
+    quality-filter pipelines threshold on (a doc that is 95% repeated
+    shingles is template spam even when no single other doc matches it
+    end to end). ``dup_frac`` floor-truncates to 3 decimals.
+
+    Scale shape: ONE distinct (id, shingle-hash) reduction of the
+    corpus (codegen lead-window shingling), persisted for its two
+    consumers: the corpus-wide shingle frequency table (keyed on the
+    60-bit hash; (id, h) distinct per doc, so ``count(*)`` IS the
+    doc-frequency) and the per-doc re-aggregation after the frequency
+    join. Shuffle rows are 16-byte (hash, id/count) pairs throughout —
+    never text, never pairs of documents — so cost is linear in
+    distinct-shingle volume regardless of how duplicated the corpus
+    is (the trap a pair-join formulation falls into at 100 TB)."""
+    sh = cache.persist(
+        shingle_rows(df, text_col, id_col, k)
+        .select("id", word_hash(F.col("s")).alias("h")))
+    freq = sh.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (sh.join(freq, "h")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.when(F.col("n_docs") >= 2, 1)
+                       .otherwise(0)).alias("dup_shingles"))
+            .select(F.col("id").alias(id_col), "n_shingles",
+                    "dup_shingles",
+                    (F.floor(F.col("dup_shingles") * 1000
+                             / F.col("n_shingles")) / 1000)
+                    .alias("dup_frac")))
+
+
 # ----------------------------------------------------------------------
 # n-gram Jaccard (exact baseline; O(n^2) — use LSH at scale)
 # ----------------------------------------------------------------------

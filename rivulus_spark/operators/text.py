@@ -209,6 +209,67 @@ def corpus_ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
             .filter(F.col("rank") <= k))
 
 
+def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``(bigram, pair_count, pmi, rank)`` for bigrams occurring at least
+    ``min_count`` times, PMI descending. PMI(x,y) = ln(p(x,y) /
+    (p(x)·p(y))) with p(x,y) = c_xy/M over the bigram stream and
+    p(x) = c_x/N over the token stream — the classic collocation
+    statistic (Church & Hanks 1990): high-PMI pairs are multi-word
+    units ("Hong Kong", "et al"), the vocabulary a tokenizer or a
+    phrase-mining pass should treat as one symbol. ``min_count``
+    guards the low-frequency blowup (a pair seen once by two rare
+    words maxes PMI); PMI floor-truncates to 6 decimals and the rank
+    tie-breaks on the bigram string, so the cut is deterministic
+    cross-engine.
+
+    Scale shape: one token stream feeds both count tables (unigram
+    counts keyed on the token; lead-window bigram counts keyed on the
+    pair — map-side partial aggregation collapses each partition to
+    its distinct grams). The two scalar totals ride in as broadcast
+    1-row crossJoins; the min_count-filtered pair table hash-joins the
+    unigram table twice (vocabulary-sized, shuffles (term, count)
+    rows). The final rank window is unpartitioned but Catalyst's
+    group-limit rewrite bounds it to k rows (same shape as
+    corpus_ngram_topk). No Python, nothing driver-side."""
+    from ..partitioning import spread
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    toks = spread(df).select(F.col("doc_id").alias("__id"),
+                             F.posexplode(tokens(text_col))
+                             .alias("__pos", "__tok"))
+    toks = cache.persist(toks)
+    uni = cache.persist(
+        toks.groupBy(F.col("__tok").alias("t"))
+        .agg(F.count("*").alias("c")))
+    n_total = uni.agg(F.sum("c").alias("n"))
+    pairs = (toks.select(F.col("__tok").alias("x"),
+                         F.lead("__tok", 1).over(w).alias("y"))
+             .filter(F.col("y").isNotNull()))
+    cxy = (pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy")))
+    m_total = cxy.agg(F.sum("c_xy").alias("m"))
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    # ln-sum form (never multiplies counts: c_xy*N*N overflows a long
+    # under ANSI at corpus scale); term order matches the SQL oracle
+    # exactly so the doubles round identically
+    pmi = (F.log(F.col("c_xy").cast("double")) - F.log(F.col("m").cast("double"))
+           - F.log(F.col("c_x").cast("double")) - F.log(F.col("c_y").cast("double"))
+           + F.lit(2.0) * F.log(F.col("n").cast("double")))
+    scored = (cxy.filter(F.col("c_xy") >= min_count)
+              .join(ux, "x").join(uy, "y")
+              .crossJoin(F.broadcast(n_total))
+              .crossJoin(F.broadcast(m_total))
+              .select(F.concat_ws(" ", "x", "y").alias("bigram"),
+                      F.col("c_xy").alias("pair_count"),
+                      (F.floor(pmi * 1_000_000) / 1_000_000).alias("pmi")))
+    wr = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return (scored.select("bigram", "pair_count", "pmi",
+                          F.row_number().over(wr).alias("rank"))
+            .filter(F.col("rank") <= k))
+
+
 def top_distinctive_terms(df: DataFrame, k: int = 3,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

@@ -2689,6 +2689,38 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+@_q("doc_duplication_score", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                               for i in range(1, len(words)-1)])) AS s
+  FROM w),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM sh),
+freq AS (SELECT h, count(*)::BIGINT AS n_docs FROM h GROUP BY h)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS dup_shingles,
+       floor(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000
+             / count(*)) / 1000 AS dup_frac
+FROM h JOIN freq USING (h)
+GROUP BY doc_id
+""")
+def q_doc_duplication_score(spark, sf_dir):
+    """Per-document duplication fraction (dedup.duplication_scores, r8
+    debut): share of each doc's distinct 3-gram shingles that occur in
+    >= 2 documents corpus-wide — the Dolma-style per-doc boilerplate
+    signal a quality filter thresholds on. One distinct (id, hash)
+    reduction feeds the corpus frequency table and the per-doc
+    re-aggregation; shuffles carry 16-byte rows, never doc pairs."""
+    return dedup.duplication_scores(_t(spark, sf_dir, "documents"), k=3)
+
+
 _NGRAM_JACCARD_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -3215,6 +3247,44 @@ def q_ngram_topk(spark, sf_dir):
     planned as explode -> partial-agg -> group-limit."""
     out = text_ops.corpus_ngram_topk(_t(spark, sf_dir, "documents"),
                                      n=2, k=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("pmi_collocations", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+t AS (SELECT unnest(words) AS tok FROM w),
+uni AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY tok),
+b AS (SELECT unnest([words[i] || ' ' || words[i+1]
+                     for i in range(1, len(words))]) AS g
+      FROM w),
+cxy AS (SELECT g, count(*)::BIGINT AS c_xy FROM b
+        GROUP BY g HAVING count(*) >= 5),
+tot AS (SELECT (SELECT sum(c) FROM uni)::DOUBLE AS n,
+               (SELECT count(*) FROM b)::DOUBLE AS m),
+p AS (
+  SELECT g AS bigram, c_xy,
+         floor((ln(c_xy::DOUBLE) - ln(m) - ln(ux.c::DOUBLE)
+                - ln(uy.c::DOUBLE) + 2.0 * ln(n)) * 1000000)
+             / 1000000 AS pmi
+  FROM cxy
+  JOIN uni ux ON ux.tok = split_part(g, ' ', 1)
+  JOIN uni uy ON uy.tok = split_part(g, ' ', 2)
+  CROSS JOIN tot)
+SELECT bigram, c_xy AS pair_count, pmi,
+       row_number() OVER (ORDER BY pmi DESC, bigram) AS rank
+FROM p QUALIFY rank <= 20
+""")
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information
+    (text.pmi_collocations, r8 debut): the Church-&-Hanks multi-word-
+    unit miner — pairs that co-occur far above chance, min-count 5.
+    One token stream feeds both count tables; totals ride in as 1-row
+    broadcast crossJoins; ln-sum form avoids ANSI long overflow; the
+    group-limit rewrite bounds the rank window to k rows."""
+    out = text_ops.pmi_collocations(_t(spark, sf_dir, "documents"),
+                                    k=20, min_count=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -4780,6 +4850,45 @@ def q_decontaminate(spark, sf_dir):
     return contamination.contamination_report(train, ev, k=3)
 
 
+@_q("contamination_severity", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                               for i in range(1, len(words)-1)])) AS s
+  FROM w),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM sh),
+tr AS (SELECT doc_id, h FROM h WHERE doc_id % 50 <> 0),
+ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 50 = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+        FROM tr GROUP BY doc_id),
+shr AS (SELECT doc_id, count(*)::BIGINT AS n_shared
+        FROM tr WHERE h IN (SELECT h FROM ev)
+        GROUP BY doc_id)
+SELECT shr.doc_id, n_shingles, n_shared,
+       floor(n_shared * 1000 / n_shingles) / 1000 AS overlap_frac
+FROM shr JOIN tot ON shr.doc_id = tot.doc_id
+""")
+def q_contamination_severity(spark, sf_dir):
+    """Per-doc contamination severity (contamination.overlap_severity,
+    r8 debut): for each training doc touching the eval set (every 50th
+    doc), the FRACTION of its distinct 3-gram shingles that leak — the
+    number the drop-vs-quarantine policy thresholds on, versus
+    decontaminate's boolean touch report. One persisted (t_id, h)
+    reduction feeds the denominator aggregation and the eval semi-join
+    numerator; AQE broadcasts the distinct eval shingle set."""
+    from .operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination.overlap_severity(train, ev, k=3)
+
+
 @_q("decontaminate_bloom", _DECONTAMINATE_ORACLE)
 def q_decontaminate_bloom(spark, sf_dir):
     """The decontamination pass routed through the distributed Bloom
@@ -4977,12 +5086,14 @@ _PRIORITY: list[str] = [
     "ann_lsh_topk", "ann_recall", "ann_ivf_topk",
     # (b2) r8 debuts (debut-with-a-driver-row rule)
     "stream_decontaminate", "dataset_drift_psi",
+    "pmi_collocations", "doc_duplication_score",
+    "contamination_severity",
     # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
     # — agg_salted, asof_join_events, c4_line_filter — plus
-    # length_histogram and heavy_hitters yielded their slots to the
-    # (b) ANN changes and the two debuts; next round)
+    # length_histogram, heavy_hitters, csv_sink_roundtrip,
+    # csv_source_roundtrip and filter_compound yielded their slots to
+    # the (b) ANN changes and the five debuts; next round)
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
-    "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -940,6 +940,80 @@ def test_dataset_diff_statuses_and_carry(spark):
     assert rep[("s1", "removed")] == 1 and rep[("s3", "added")] == 1
 
 
+def test_duplication_scores_hand_corpus(spark):
+    """Per-doc dup fraction: a shingle shared by two docs marks both
+    (corpus-wide doc-frequency >= 2), unique shingles don't, and docs
+    shorter than k tokens vanish (no shingles, no row)."""
+    from rivulus_spark.operators import dedup
+
+    docs = spark.createDataFrame([
+        (0, "a b c d"),        # shingles {a b c, b c d}
+        (1, "a b c e"),        # {a b c, b c e} — shares 'a b c' with 0
+        (2, "x y z w q"),      # 3 unique shingles
+        (3, "a b"),            # too short: no row
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.duplication_scores(docs, k=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_shingles, got[0].dup_shingles, got[0].dup_frac) \
+        == (2, 1, 0.5)
+    assert (got[1].n_shingles, got[1].dup_shingles, got[1].dup_frac) \
+        == (2, 1, 0.5)
+    assert (got[2].n_shingles, got[2].dup_shingles, got[2].dup_frac) \
+        == (3, 0, 0.0)
+
+
+def test_overlap_severity_hand_corpus(spark):
+    """Severity = leaked-shingle fraction per train doc: a one-shingle
+    graze scores 0.5 on a 2-shingle doc, a wholesale eval copy scores
+    1.0, an untouched doc emits no row."""
+    from rivulus_spark.operators import contamination
+
+    train = spark.createDataFrame([
+        (0, "a b c d"),        # {a b c, b c d} — shares 'b c d'
+        (1, "p q r s t"),      # disjoint from eval
+        (2, "b c d e"),        # exact eval copy
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "b c d e")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           contamination.overlap_severity(train, ev, k=3).collect()}
+    assert set(got) == {0, 2}
+    assert (got[0].n_shingles, got[0].n_shared, got[0].overlap_frac) \
+        == (2, 1, 0.5)
+    assert (got[2].n_shingles, got[2].n_shared, got[2].overlap_frac) \
+        == (2, 2, 1.0)
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    """Hand-checked PMI on one doc 'a a a a b': unigrams a:4 b:1
+    (N=5), bigrams 'a a':3 'a b':1 (M=4); PMI('a b') = ln(.25/.16) >
+    PMI('a a') = ln(.75/.64), both via the ln-sum form; min_count
+    drops the singleton pair."""
+    import math as m
+
+    from rivulus_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([(0, "a a a a b")],
+                                 "doc_id long, text string")
+    got = {r.bigram: r for r in text_ops.pmi_collocations(
+        docs, k=10, min_count=1).collect()}
+    assert set(got) == {"a a", "a b"}
+
+    def pmi(cxy, cx, cy, n, mm):
+        v = (m.log(cxy) - m.log(mm) - m.log(cx) - m.log(cy)
+             + 2.0 * m.log(n))
+        return m.floor(v * 1_000_000) / 1_000_000
+
+    assert got["a a"].pair_count == 3
+    assert got["a a"].pmi == pmi(3, 4, 4, 5, 4)
+    assert got["a b"].pmi == pmi(1, 4, 1, 5, 4)
+    assert got["a b"].rank == 1 and got["a a"].rank == 2  # higher PMI
+    # min_count guard: the singleton 'a b' pair is cut
+    only = text_ops.pmi_collocations(docs, k=10, min_count=2).collect()
+    assert [r.bigram for r in only] == ["a a"]
+
+
 def test_population_stability_hand_bins(spark):
     """Hand-checked PSI: integer bit-length binning (bin =
     bitlen(1+floor(x))-1, so 0->0, 1 and 2->1, 3..6->2, 7..14->3),

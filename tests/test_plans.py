@@ -469,6 +469,7 @@ def _subtree(plan: str, idx: int) -> str:
 #               because the measured input is under its 64 MB gate
 _WINDOW_JUSTIFICATION = {
     "ngram_topk": "topk",
+    "pmi_collocations": "topk",
     "vocab_topk": "topk",
     "heavy_hitters": "topk",
     "encode_docs": "topk",
