@@ -135,6 +135,69 @@ def exact_dup_edges(df: DataFrame, text_col: str = "text",
             .filter(F.col("doc_a").isNotNull()))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from every window of ``w``
+    consecutive k-gram hashes, select the RIGHTMOST MINIMAL hash;
+    output the distinct selected ``(doc_id, pos, h)`` positions. The
+    winnowing guarantee: any token run of length >= w+k-1 shared by
+    two documents shares at least one selected fingerprint, at an
+    expected density of only 2/(w+1) of the gram stream — the
+    index-size/recall dial full shingle sets don't have (a plagiarism
+    or overlap index at 100 TB stores ~2/(w+1) of the grams instead
+    of all of them, with a provable detection floor instead of LSH's
+    probabilistic one).
+
+    The rightmost-min window selection is ONE bounded window function:
+    each gram packs into ``h32 * 2^31 + (2^31-1-pos)`` (hash reduced
+    to 32 bits — winnowing's guarantee needs only equality, and the
+    pack must fit a signed 64-bit long under ANSI mode), so the
+    trailing ``min`` over ``w`` rows IS the rightmost minimal gram
+    (equal hashes leave the larger pos with the smaller packed key —
+    exactly the MOSS tie rule), and unpacking the min recovers (pos,
+    hash) exactly. Window ends run from w-1 (the first full window)
+    plus the last gram of shorter documents (whole-doc window), so
+    every doc with >= 1 gram yields >= 1 fingerprint.
+
+    Scale shape: per-doc windows only — one (id)-keyed exchange for
+    the gram stream (same as shingle_rows), one BOUNDED w-row frame,
+    one distinct. No corpus-wide state, no joins, no Python; output
+    volume is ~2/(w+1) of the gram stream by the winnowing density
+    theorem."""
+    from ..partitioning import spread
+
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {w}")
+    wt = Window.partitionBy("id").orderBy("pos")
+    toks = spread(df).select(F.col(id_col).alias("id"),
+                             F.posexplode(tokens(text_col))
+                             .alias("pos", "tok"))
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wt)
+                              for i in range(1, k)]
+    grams = (toks.select("id", "pos",
+                         F.concat_ws(" ", *parts).alias("s"),
+                         parts[-1].isNotNull().alias("__full"))
+             .filter(F.col("__full")))
+    h32 = word_hash(F.col("s")) % F.lit(4294967296)
+    key = h32 * F.lit(2147483648) + (F.lit(2147483647) - F.col("pos"))
+    frame = (Window.partitionBy("id").orderBy("pos")
+             .rowsBetween(-(w - 1), 0))
+    keyed = grams.select(
+        "id", "pos",
+        F.min(key).over(frame).alias("fp"),
+        F.max("pos").over(Window.partitionBy("id")).alias("max_pos"))
+    return (keyed
+            .filter((F.col("pos") >= w - 1)
+                    | (F.col("pos") == F.col("max_pos")))
+            .select(F.col("id").alias(id_col),
+                    (F.lit(2147483647)
+                     - F.col("fp") % F.lit(2147483648)).alias("pos"),
+                    F.expr("fp DIV 2147483648").alias("h"))
+            .distinct())
+
+
 def duplication_scores(df: DataFrame, k: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:

@@ -2721,6 +2721,44 @@ def q_doc_duplication_score(spark, sf_dir):
     return dedup.duplication_scores(_t(spark, sf_dir, "documents"), k=3)
 
 
+@_q("winnow_fingerprints", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([{'p': i - 1,
+                  's': words[i] || ' ' || words[i+1] || ' '
+                       || words[i+2]}
+                 for i in range(1, len(words) - 1)]) AS u
+  FROM w),
+hp AS (SELECT doc_id, u.p AS pos,
+              ('0x' || substr(md5(u.s), 1, 15))::BIGINT
+                  % 4294967296 AS h32
+       FROM g),
+keyed AS (
+  SELECT doc_id, pos,
+         min(h32 * 2147483648 + (2147483647 - pos))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         max(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM hp)
+SELECT DISTINCT doc_id, 2147483647 - (fp % 2147483648) AS pos,
+       fp // 2147483648 AS h
+FROM keyed WHERE pos >= 3 OR pos = max_pos
+""")
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (dedup.winnow_fingerprints, r8 debut —
+    the MOSS algorithm, Schleimer et al. 2003): rightmost-minimal
+    3-gram hash per 4-gram window, selected by ONE bounded w-row
+    window min over a packed (hash, pos) key — any shared token run
+    of length >= w+k-1 = 6 is guaranteed a shared fingerprint at
+    ~2/(w+1) index density. Per-doc windows only; no joins, no
+    corpus-wide state."""
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                                     k=3, w=4)
+
+
 _NGRAM_JACCARD_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -5087,13 +5125,14 @@ _PRIORITY: list[str] = [
     # (b2) r8 debuts (debut-with-a-driver-row rule)
     "stream_decontaminate", "dataset_drift_psi",
     "pmi_collocations", "doc_duplication_score",
-    "contamination_severity",
+    "contamination_severity", "winnow_fingerprints",
     # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
     # — agg_salted, asof_join_events, c4_line_filter — plus
     # length_histogram, heavy_hitters, csv_sink_roundtrip,
-    # csv_source_roundtrip and filter_compound yielded their slots to
-    # the (b) ANN changes and the five debuts; next round)
-    "approx_distinct_sketch", "argmax_per_group", "column_profile",
+    # csv_source_roundtrip, filter_compound and column_profile
+    # yielded their slots to the (b) ANN changes and the six debuts;
+    # next round)
+    "approx_distinct_sketch", "argmax_per_group",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

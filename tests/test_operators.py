@@ -940,6 +940,75 @@ def test_dataset_diff_statuses_and_carry(spark):
     assert rep[("s1", "removed")] == 1 and rep[("s3", "added")] == 1
 
 
+def _winnow_reference(text: str, k: int, w: int) -> set:
+    """Independent plain-winnowing reference (Schleimer et al. 2003,
+    Fig. 5 semantics): every window of w consecutive k-gram hashes
+    selects its rightmost minimal hash; short docs (< w grams) winnow
+    their single whole-doc window."""
+    import hashlib
+    import re
+
+    toks = re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 2**32
+          for g in grams]
+    if not hs:
+        return set()
+    sel = set()
+    ends = range(w - 1, len(hs)) if len(hs) >= w else [len(hs) - 1]
+    for e in ends:
+        lo = max(0, e - w + 1)
+        window = hs[lo:e + 1]
+        m = min(window)
+        # rightmost occurrence of the min
+        pos = lo + max(i for i, h in enumerate(window) if h == m)
+        sel.add((pos, m))
+    return sel
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """The relational winnower (packed-key bounded-window min) must
+    equal the textbook sequential algorithm exactly — positions,
+    hashes, tie handling (repeated grams), and the short-doc
+    whole-window case — over a mixed corpus including pathological
+    repetition."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a b a b a b a b a b"),        # equal-hash ties everywhere
+        (2, "x y z"),                       # exactly one gram (< w)
+        (3, "p q r s"),                     # two grams (< w)
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "a a a a a a a a"),             # single repeated gram
+    ]
+    from rivulus_spark.operators import dedup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+    exp = {i: _winnow_reference(t, 3, 4) for i, t in docs}
+    exp = {i: s for i, s in exp.items() if s}
+    assert got == exp
+    # density sanity on the long doc: far fewer picks than grams
+    assert 1 <= len(got[0]) <= len(docs[0][1].split()) - 2
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing THEOREM: two docs sharing a token run of length
+    >= w+k-1 share at least one selected (hash) fingerprint."""
+    from rivulus_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = spark.createDataFrame([
+        (0, "intro words here " + shared + " trailing stuff"),
+        (1, shared + " completely different ending tokens"),
+    ], "doc_id long, text string")
+    by_doc = {}
+    for r in dedup.winnow_fingerprints(df, k=3, w=4).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert by_doc[0] & by_doc[1]
+
+
 def test_duplication_scores_hand_corpus(spark):
     """Per-doc dup fraction: a shingle shared by two docs marks both
     (corpus-wide doc-frequency >= 2), unique shingles don't, and docs

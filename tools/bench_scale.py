@@ -68,6 +68,13 @@ QUERIES_TO_RUN = [
     "stream_decontaminate",
     # one-pass moment accumulation: linear scan, k-row barrier
     "embedding_pca_spectrum",
+    # r8 second wave: PSI is two scans + k-row histograms (expected
+    # ~scan-bound); the three shingle/token-stream operators are
+    # distinct-shingle-volume-bound (one reduction, hash-keyed aggs)
+    "dataset_drift_psi", "pmi_collocations",
+    "doc_duplication_score", "contamination_severity",
+    # bounded per-doc window selection: ~2/(w+1) of the gram stream
+    "winnow_fingerprints",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -90,6 +97,10 @@ HUGE_QUERIES = [
     "quality_classifier_weights", "quality_classifier_filter",
     "event_rate_anomalies", "stream_curate_sink",
     "stream_quality_score", "stream_decontaminate",
+    "dataset_drift_psi", "pmi_collocations",
+    "doc_duplication_score", "contamination_severity",
+    # bounded per-doc window selection: ~2/(w+1) of the gram stream
+    "winnow_fingerprints",
 ]
 
 
