@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+from .text import tokens
+
 
 def dataset_diff(old: DataFrame, new: DataFrame,
                  id_col: str = "doc_id",
@@ -221,3 +224,71 @@ def population_stability(old: DataFrame, new: DataFrame,
                      f6(p_new).alias("p_new"),
                      f6(term).alias("psi_term"))
             .orderBy(*gcols, "bin"))
+
+
+def source_term_divergence(df: DataFrame, v: int = 64,
+                           text_col: str = "text",
+                           group_col: str = "source") -> DataFrame:
+    """Per-source CONTENT divergence from the corpus: Jensen-Shannon
+    divergence terms between each source's token distribution and the
+    corpus-wide one, over the global top-``v`` vocabulary plus an
+    ``<other>`` bucket — one row per (source, bucket) with the
+    source mass ``p``, corpus mass ``q``, and the bucket's JS term;
+    ``sum(js_term)`` per source is the headline (0 = identical mix,
+    ln 2 = disjoint). Where :func:`population_stability` audits a
+    NUMERIC feature's drift between releases, this audits each
+    source's *content* against the corpus — the distributional-outlier
+    signal domain-weighting and source-triage passes rank on (a
+    source whose top-term mix diverges hard is machine spam, a wrong
+    language, or a mislabeled crawl).
+
+    JS (not KL): bounded, symmetric, and defined at p=0 with no eps
+    smoothing — a zero-mass bucket contributes ``q/2 · ln 2`` exactly,
+    so the per-bucket terms are exact and the caller's sum needs no
+    floor-order caveat beyond the terms' own 6-decimal truncation.
+    The bucket set is data-defined (top-v global terms + ``<other>``
+    iff tail terms exist), so every bucket has q > 0 by construction.
+
+    Scale shape: ONE token-stream aggregation to (source, token)
+    counts — the only corpus-sized shuffle, map-side partial-combined
+    — then vocabulary-sized work: the global top-v cut (group-limit
+    rank over the aggregated term table), a broadcast bucket
+    remapping, and a (sources × ≤v+1)-row grid built from two tiny
+    aggregates so zero-mass buckets surface as rows. Windows run over
+    ≤ v+1 rows per source."""
+    from pyspark.sql import Window
+
+    f6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
+    toks = df.select(F.col(group_col).alias("src"),
+                     F.explode(tokens(text_col)).alias("t"))
+    counts = cache.persist(
+        toks.groupBy("src", "t").agg(F.count("*").alias("c")))
+    glob = counts.groupBy("t").agg(F.sum("c").alias("gc"))
+    wr = Window.orderBy(F.col("gc").desc(), F.col("t").asc())
+    topv = (glob.select("t", F.row_number().over(wr).alias("r"))
+            .filter(F.col("r") <= v).select("t", F.lit(1).alias("__top")))
+    bucketed = (counts.join(F.broadcast(topv), "t", "left")
+                .select("src",
+                        F.when(F.col("__top") == 1, F.col("t"))
+                        .otherwise(F.lit("<other>")).alias("bucket"),
+                        "c")
+                .groupBy("src", "bucket").agg(F.sum("c").alias("n")))
+    bucketed = cache.persist(bucketed)
+    qdist = (bucketed.groupBy("bucket").agg(F.sum("n").alias("gn")))
+    # grid: every (source, bucket) pair, so buckets a source lacks
+    # emit p=0 rows (their q/2·ln2 mass is real divergence)
+    grid = (bucketed.select("src").distinct()
+            .crossJoin(F.broadcast(qdist)))
+    ws = Window.partitionBy("src")
+    j = (grid.join(bucketed, ["src", "bucket"], "left")
+         .select("src", "bucket", "gn",
+                 F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    p = F.col("n") / F.sum("n").over(ws)
+    q = F.col("gn") / F.sum("gn").over(ws)
+    m = (p + q) / 2
+    js = (F.when(F.col("n") > 0, p * F.log(p / m) / 2).otherwise(F.lit(0.0))
+          + q * F.log(q / m) / 2)
+    return (j.select(F.col("src").alias(group_col), "bucket",
+                     f6(p).alias("p"), f6(q).alias("q"),
+                     f6(js).alias("js_term"))
+            .orderBy(group_col, "bucket"))

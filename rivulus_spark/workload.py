@@ -4653,6 +4653,57 @@ def q_dataset_drift_psi(spark, sf_dir):
                                          group_col="source")
 
 
+@_q("source_term_divergence", r"""
+WITH t AS (
+  SELECT source AS src,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+counts AS (SELECT src, tok, count(*)::BIGINT AS c
+           FROM t GROUP BY src, tok),
+gl AS (SELECT tok, sum(c)::BIGINT AS gc FROM counts GROUP BY tok),
+topv AS (SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY gc DESC, tok) AS r
+    FROM gl) WHERE r <= 64),
+bucketed AS (
+  SELECT src,
+         CASE WHEN tok IN (SELECT tok FROM topv) THEN tok
+              ELSE '<other>' END AS bucket,
+         sum(c)::BIGINT AS n
+  FROM counts GROUP BY src, bucket),
+qdist AS (SELECT bucket, sum(n)::BIGINT AS gn
+          FROM bucketed GROUP BY bucket),
+grid AS (SELECT src, bucket, gn
+         FROM (SELECT DISTINCT src FROM bucketed) CROSS JOIN qdist),
+j AS (SELECT grid.src, grid.bucket, gn, coalesce(n, 0) AS n
+      FROM grid LEFT JOIN bucketed
+           ON grid.src = bucketed.src AND grid.bucket = bucketed.bucket),
+pq AS (SELECT src, bucket, n,
+              n / sum(n) OVER (PARTITION BY src) AS p,
+              gn / sum(gn) OVER (PARTITION BY src) AS q
+       FROM j)
+SELECT src AS source, bucket,
+       floor(p * 1000000) / 1000000 AS p,
+       floor(q * 1000000) / 1000000 AS q,
+       floor((CASE WHEN n > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+              ELSE 0.0 END
+              + q * ln(q / ((p + q) / 2)) / 2) * 1000000)
+           / 1000000 AS js_term
+FROM pq
+""")
+def q_source_term_divergence(spark, sf_dir):
+    """Per-source content divergence (snapshot.source_term_divergence,
+    r8 debut): Jensen-Shannon terms between each source's token mix
+    and the corpus-wide one over the global top-64 vocabulary + an
+    <other> bucket — the distributional-outlier signal domain
+    weighting ranks on; sum(js_term) per source is the headline. One
+    corpus-sized (source, token) aggregation; everything after is
+    vocabulary-sized, and the window sums are exact integer counts."""
+    from .operators import snapshot
+
+    return snapshot.source_term_divergence(
+        _t(spark, sf_dir, "documents"), v=64)
+
+
 @_q("temperature_mix", """
 WITH per AS (
   SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens
@@ -5126,13 +5177,14 @@ _PRIORITY: list[str] = [
     "stream_decontaminate", "dataset_drift_psi",
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
+    "source_term_divergence",
     # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
     # — agg_salted, asof_join_events, c4_line_filter — plus
     # length_histogram, heavy_hitters, csv_sink_roundtrip,
-    # csv_source_roundtrip, filter_compound and column_profile
-    # yielded their slots to the (b) ANN changes and the six debuts;
-    # next round)
-    "approx_distinct_sketch", "argmax_per_group",
+    # csv_source_roundtrip, filter_compound, column_profile and
+    # argmax_per_group yielded their slots to the (b) ANN changes and
+    # the seven debuts; next round)
+    "approx_distinct_sketch",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1083,6 +1083,59 @@ def test_pmi_collocations_hand_corpus(spark):
     assert [r.bigram for r in only] == ["a a"]
 
 
+def test_source_term_divergence_hand_corpus(spark):
+    """Hand-checked JS terms: masses are exact integer-count ratios, a
+    bucket a source lacks still emits a row whose term is exactly
+    q/2·ln2 (no eps), and sum(js_term) is 0 only for a source whose
+    mix equals the corpus."""
+    import math as m
+
+    from rivulus_spark.operators import snapshot
+
+    docs = spark.createDataFrame([
+        ("A", "x x y"),
+        ("B", "x z"),
+    ], "source string, text string")
+    got = {(r.source, r.bucket): r for r in
+           snapshot.source_term_divergence(docs, v=10).collect()}
+    # global: x3 y1 z1 (total 5) -> q = .6/.2/.2; no <other> bucket
+    assert set(got) == {("A", "x"), ("A", "y"), ("A", "z"),
+                        ("B", "x"), ("B", "y"), ("B", "z")}
+
+    def js(n, p, q):
+        mm = (p + q) / 2
+        t = ((p * m.log(p / mm) / 2 if n > 0 else 0.0)
+             + q * m.log(q / mm) / 2)
+        return m.floor(t * 1_000_000) / 1_000_000
+
+    f6 = lambda x: m.floor(x * 1_000_000) / 1_000_000  # noqa: E731
+    a_x = got[("A", "x")]
+    assert (a_x.p, a_x.q) == (f6(2 / 3), 0.6)
+    assert a_x.js_term == js(2, 2 / 3, 0.6)
+    a_z = got[("A", "z")]                 # absent bucket: p = 0
+    assert (a_z.p, a_z.q) == (0.0, 0.2)
+    assert a_z.js_term == js(0, 0.0, 0.2) == f6(0.2 * m.log(2) / 2)
+    b_y = got[("B", "y")]
+    assert b_y.js_term == js(0, 0.0, 0.2)
+    assert got[("B", "x")].js_term == js(1, 0.5, 0.6)
+
+
+def test_source_term_divergence_other_bucket(spark):
+    """Tail terms past the top-v cut collapse into <other>, and a
+    source identical to the corpus (the only source) scores 0
+    everywhere."""
+    from rivulus_spark.operators import snapshot
+
+    docs = spark.createDataFrame(
+        [("A", "x x x y z")], "source string, text string")
+    got = {r.bucket: r for r in
+           snapshot.source_term_divergence(docs, v=1).collect()}
+    # top-1 vocabulary = {x}; y and z collapse into <other>
+    assert set(got) == {"x", "<other>"}
+    assert got["<other>"].p == got["<other>"].q
+    assert all(r.js_term == 0.0 for r in got.values())
+
+
 def test_population_stability_hand_bins(spark):
     """Hand-checked PSI: integer bit-length binning (bin =
     bitlen(1+floor(x))-1, so 0->0, 1 and 2->1, 3..6->2, 7..14->3),

@@ -470,6 +470,7 @@ def _subtree(plan: str, idx: int) -> str:
 _WINDOW_JUSTIFICATION = {
     "ngram_topk": "topk",
     "pmi_collocations": "topk",
+    "source_term_divergence": "topk",
     "vocab_topk": "topk",
     "heavy_hitters": "topk",
     "encode_docs": "topk",

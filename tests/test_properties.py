@@ -382,3 +382,77 @@ def test_bpe_train_then_encode_matches_reference(spark, texts):
     got = {r.doc_id: (r.n_tokens, r.n_pieces) for r in
            bpe.encode_docs_with_merges(df, merges_df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# round-8 operators
+# ---------------------------------------------------------------------
+
+@given(texts=docs_strategy,
+       w=st.integers(min_value=1, max_value=5))
+@SET
+def test_winnow_matches_sequential_reference(spark, texts, w):
+    """winnow_fingerprints == the textbook sequential winnower
+    (rightmost minimal k-gram hash per w-window, whole-doc window for
+    short docs) for ANY corpus and window width — positions, hashes,
+    and equal-hash tie handling all exact."""
+    import hashlib
+
+    from rivulus_spark.operators.dedup import winnow_fingerprints
+
+    k = 2
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+
+    want: dict = {}
+    for d, t in enumerate(texts):
+        ws_ = t.split()
+        grams = [" ".join(ws_[i:i + k]) for i in range(len(ws_) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 2**32
+              for g in grams]
+        if not hs:
+            continue
+        sel = set()
+        ends = range(w - 1, len(hs)) if len(hs) >= w else [len(hs) - 1]
+        for e in ends:
+            lo = max(0, e - w + 1)
+            win = hs[lo:e + 1]
+            m = min(win)
+            pos = lo + max(i for i, h in enumerate(win) if h == m)
+            sel.add((pos, m))
+        want[d] = sel
+    assert got == want
+
+
+@given(texts=docs_strategy)
+@SET
+def test_duplication_scores_match_bruteforce(spark, texts):
+    """duplication_scores == a Python replay: per doc, the fraction of
+    its DISTINCT k-shingles whose corpus doc-frequency is >= 2
+    (floor-truncated to 3 decimals)."""
+    import math as m
+    from collections import Counter
+
+    from rivulus_spark.operators.dedup import duplication_scores
+
+    k = 2
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.dup_shingles, r.dup_frac)
+           for r in duplication_scores(df, k=k).collect()}
+
+    sets = {}
+    for d, t in enumerate(texts):
+        ws_ = t.split()
+        s = {" ".join(ws_[i:i + k]) for i in range(len(ws_) - k + 1)}
+        if s:
+            sets[d] = s
+    freq = Counter(sh for s in sets.values() for sh in s)
+    want = {}
+    for d, s in sets.items():
+        dup = sum(1 for sh in s if freq[sh] >= 2)
+        want[d] = (len(s), dup, m.floor(dup * 1000 / len(s)) / 1000)
+    assert got == want

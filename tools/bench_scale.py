@@ -75,6 +75,8 @@ QUERIES_TO_RUN = [
     "doc_duplication_score", "contamination_severity",
     # bounded per-doc window selection: ~2/(w+1) of the gram stream
     "winnow_fingerprints",
+    # one corpus-sized (source, token) agg; vocabulary-sized after
+    "source_term_divergence",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -101,6 +103,8 @@ HUGE_QUERIES = [
     "doc_duplication_score", "contamination_severity",
     # bounded per-doc window selection: ~2/(w+1) of the gram stream
     "winnow_fingerprints",
+    # one corpus-sized (source, token) agg; vocabulary-sized after
+    "source_term_divergence",
 ]
 
 
