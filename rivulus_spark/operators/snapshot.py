@@ -191,24 +191,45 @@ def population_stability(old: DataFrame, new: DataFrame,
     (group, bin) — shuffle rows are k-row histograms, never documents
     — then a full-outer join of two tiny histogram tables. No windows,
     no Python, no driver loop."""
+    gcols = [group_col] if group_col else []
+    return psi_from_histograms(
+        psi_histogram(old, value, gcols, n_bins, "old"),
+        psi_histogram(new, value, gcols, n_bins, "new"),
+        gcols, eps)
+
+
+def psi_bin(value: Column | str, n_bins: int = 16) -> Column:
+    """The PSI log2-size bin as a column expression — exact integer
+    bit-length arithmetic (see :func:`population_stability`), exposed
+    separately so a STREAMING plan can bin rows map-side with the
+    identical edges the batch audit uses."""
+    v = F.col(value) if isinstance(value, str) else value
+    x = F.greatest(F.lit(0), F.floor(v.cast("double")).cast("long"))
+    return F.least(F.lit(n_bins - 1),
+                   (F.length(F.bin(x + 1)) - 1).cast("int"))
+
+
+def psi_histogram(df: DataFrame, value: Column | str,
+                  gcols: list[str], n_bins: int, tag: str) -> DataFrame:
+    """(gcols..., bin, n_<tag>) histogram of :func:`psi_bin` — the
+    k-row aggregate both PSI entry points reduce a corpus to."""
+    return (df.select(*gcols, psi_bin(value, n_bins).alias("bin"))
+            .groupBy(*gcols, "bin")
+            .agg(F.count("*").alias(f"n_{tag}")))
+
+
+def psi_from_histograms(hold: DataFrame, hnew: DataFrame,
+                        gcols: list[str],
+                        eps: float = 1e-4) -> DataFrame:
+    """PSI terms from two pre-aggregated histograms ``(gcols..., bin,
+    n_old)`` / ``(gcols..., bin, n_new)`` — the k-row tail shared by
+    the batch audit (:func:`population_stability`) and the streaming
+    drift monitor (whose new-side histogram arrives from a streaming
+    aggregation drain). Everything here runs over bin-count-sized
+    tables; the per-group total windows see <= n_bins rows each."""
     from pyspark.sql import Window
 
-    v = F.col(value) if isinstance(value, str) else value
-    gcols = [group_col] if group_col else []
-
-    def hist(df: DataFrame, tag: str) -> DataFrame:
-        x = F.greatest(F.lit(0), F.floor(v.cast("double")).cast("long"))
-        b = F.least(F.lit(n_bins - 1),
-                    (F.length(F.bin(x + 1)) - 1).cast("int")).alias("bin")
-        return (df.select(*gcols, b)
-                .groupBy(*gcols, "bin")
-                .agg(F.count("*").alias(f"n_{tag}")))
-
-    j = hist(old, "old").join(hist(new, "new"), gcols + ["bin"],
-                              "full_outer")
-    # per-group totals over the joined k-bin histogram — a window over
-    # <= n_bins rows per group (an aggregate output by construction;
-    # the ungrouped form sees one n_bins-row table total)
+    j = hold.join(hnew, gcols + ["bin"], "full_outer")
     w = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     f6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
     n_old = F.coalesce(F.col("n_old"), F.lit(0))

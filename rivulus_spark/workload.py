@@ -2699,8 +2699,9 @@ sh AS (
                                || words[i+2]
                                for i in range(1, len(words)-1)])) AS s
   FROM w),
-h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-      FROM sh),
+h AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh),
 freq AS (SELECT h, count(*)::BIGINT AS n_docs FROM h GROUP BY h)
 SELECT doc_id,
        count(*)::BIGINT AS n_shingles,
@@ -4593,7 +4594,7 @@ def q_dataset_diff(spark, sf_dir):
     return snapshot.diff_report(old, new, by=["source"])
 
 
-@_q("dataset_drift_psi", r"""
+_DRIFT_PSI_ORACLE = r"""
 WITH o AS (
   SELECT source,
          least(15, length(bin((1 + greatest(0,
@@ -4628,7 +4629,10 @@ SELECT source, bin, power(2.0, bin) - 1 AS lo,
              * ln(greatest(0.0001, p_n) / greatest(0.0001, p_o))
              * 1000000) / 1000000 AS psi_term
 FROM p
-""")
+"""
+
+
+@_q("dataset_drift_psi", _DRIFT_PSI_ORACLE)
 def q_dataset_drift_psi(spark, sf_dir):
     """Release-over-release drift audit (snapshot.population_stability,
     r8 debut): Population Stability Index of the per-source document-
@@ -4651,6 +4655,67 @@ def q_dataset_drift_psi(spark, sf_dir):
                    .alias("n_chars")))
     return snapshot.population_stability(old, new, "n_chars",
                                          group_col="source")
+
+
+@_q("stream_drift_psi", _DRIFT_PSI_ORACLE)
+def q_stream_drift_psi(spark, sf_dir):
+    """The SAME drift audit computed with the new release arriving AS
+    A STREAM — the deployment where drift is an ingest-time alarm, not
+    a post-hoc batch job: each micro-batch bins its rows map-side with
+    the identical integer bit-length edges (snapshot.psi_bin), a
+    streaming groupBy(source, bin) count carries the release histogram
+    as state, and the drained complete-mode aggregate joins the batch
+    baseline histogram through the shared psi_from_histograms tail.
+    Output (and oracle) identical to dataset_drift_psi because binning
+    is row-local and counting is order-insensitive.
+
+    Scale note: the state store holds at most sources x n_bins rows
+    REGARDLESS of corpus size — the streaming-native shape for a
+    drift monitor (the per-batch work is a stateless projection plus
+    a partial count); state partitions stay at a fixed handful
+    because the keyspace, not the row volume, bounds the state."""
+    import tempfile
+    import uuid
+
+    from .operators import snapshot
+    from .streaming import windows as sw
+
+    docs = _t(spark, sf_dir, "documents")
+    old_hist = snapshot.psi_histogram(
+        docs.select("source", "n_chars"), "n_chars", ["source"], 16,
+        "old")
+    new = (docs.filter(F.col("doc_id") % 17 != 0)
+           .select("source",
+                   (F.col("n_chars")
+                    * F.when(F.col("doc_id") % 5 == 0, 2).otherwise(1))
+                   .alias("n_chars")))
+    n_files, per_trigger = _stream_file_plan(
+        f"{sf_dir}/documents.parquet")
+    staging = _staged_stream_parquet(new, f"{sf_dir}/documents.parquet",
+                                     "driftpsi", n_files=n_files)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+    hist = (stream
+            .select("source",
+                    snapshot.psi_bin("n_chars", 16).alias("bin"))
+            .groupBy("source", "bin")
+            .agg(F.count("*").alias("n_new")))
+    name = f"stream_driftpsi_{uuid.uuid4().hex[:12]}"
+    # state keyspace is sources x n_bins (~hundreds) at ANY corpus
+    # size: a fixed small instance count avoids checkpoint fan-out,
+    # and the map-side partial count keeps the exchange tiny
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        new_hist = sw.run_available_now(
+            hist, query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return snapshot.psi_from_histograms(old_hist, new_hist, ["source"])
 
 
 @_q("source_term_divergence", r"""
@@ -4949,9 +5014,10 @@ sh AS (
                                || words[i+2]
                                for i in range(1, len(words)-1)])) AS s
   FROM w),
-h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-      FROM sh),
-tr AS (SELECT doc_id, h FROM h WHERE doc_id % 50 <> 0),
+h AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh),
+tr AS MATERIALIZED (SELECT doc_id, h FROM h WHERE doc_id % 50 <> 0),
 ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 50 = 0),
 tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
         FROM tr GROUP BY doc_id),
@@ -5177,14 +5243,15 @@ _PRIORITY: list[str] = [
     "stream_decontaminate", "dataset_drift_psi",
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
-    "source_term_divergence",
-    # (c) oldest-first backfill: r4 vintage (the three oldest r6 rows
-    # — agg_salted, asof_join_events, c4_line_filter — plus
+    "source_term_divergence", "stream_drift_psi",
+    # (c) backfill: fully displaced this round — the eight debuts and
+    # the (b) ANN re-verifications consumed every slot the r4-vintage
+    # remainder (agg_salted, asof_join_events, c4_line_filter,
     # length_histogram, heavy_hitters, csv_sink_roundtrip,
-    # csv_source_roundtrip, filter_compound, column_profile and
-    # argmax_per_group yielded their slots to the (b) ANN changes and
-    # the seven debuts; next round)
-    "approx_distinct_sketch",
+    # csv_source_roundtrip, filter_compound, column_profile,
+    # argmax_per_group, approx_distinct_sketch) would take; they are
+    # first in line next round (all green in this round's judge sweep
+    # and ORACLE_SF1)
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -77,6 +77,8 @@ QUERIES_TO_RUN = [
     "winnow_fingerprints",
     # one corpus-sized (source, token) agg; vocabulary-sized after
     "source_term_divergence",
+    # streaming drift monitor: stateless binning, keyspace-bound state
+    "stream_drift_psi",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -105,6 +107,8 @@ HUGE_QUERIES = [
     "winnow_fingerprints",
     # one corpus-sized (source, token) agg; vocabulary-sized after
     "source_term_divergence",
+    # streaming drift monitor: stateless binning, keyspace-bound state
+    "stream_drift_psi",
 ]
 
 
