@@ -226,6 +226,37 @@ HEADLINE = {
                                "reduced by a slot-keyed sum — only "
                                "the 2145-double moment vector reaches "
                                "the driver eigendecomposition"),
+    "dataset_drift_psi": ("PSI drift audit: two scans fold to k-row "
+                          "(source, bin) histograms via exact integer "
+                          "bit-length binning; the outer join and the "
+                          "total windows run on bin-count-sized tables"),
+    "doc_duplication_score": ("per-doc dup fraction: ONE distinct "
+                              "(id, hash) shingle reduction feeds the "
+                              "corpus frequency table and the per-doc "
+                              "re-aggregation — 16-byte shuffle rows "
+                              "regardless of how duplicated the corpus "
+                              "is"),
+    "contamination_severity": ("leaked-shingle fraction: the persisted "
+                               "(t_id, h) reduction feeds the per-doc "
+                               "denominator and the eval semi-join "
+                               "numerator; AQE broadcasts the distinct "
+                               "eval shingle set"),
+    "pmi_collocations": ("collocation mining: one token stream feeds "
+                         "unigram and lead-window bigram counts, "
+                         "totals ride as 1-row broadcast crossJoins, "
+                         "the rank window lowers to "
+                         "TakeOrderedAndProject"),
+    "winnow_fingerprints": ("MOSS winnowing: rightmost-minimal gram "
+                            "per window from ONE bounded w-row window "
+                            "min over a packed (h32, pos) key — "
+                            "per-doc windows only, no joins, no "
+                            "corpus-wide state"),
+    "source_term_divergence": ("JS content divergence: one map-side-"
+                               "combined (source, token) agg is the "
+                               "only corpus-sized stage; the top-v "
+                               "cut, bucket remap, and source x bucket "
+                               "grid are vocabulary-sized with exact "
+                               "integer window sums"),
 }
 
 SF = "/root/testdata/sf0.001"
