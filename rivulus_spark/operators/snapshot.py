@@ -234,8 +234,15 @@ def psi_from_histograms(hold: DataFrame, hnew: DataFrame,
     f6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
     n_old = F.coalesce(F.col("n_old"), F.lit(0))
     n_new = F.coalesce(F.col("n_new"), F.lit(0))
-    p_old = n_old / F.sum(n_old).over(w)
-    p_new = n_new / F.sum(n_new).over(w)
+    # a side (or a group's side) with ZERO rows must alarm, not crash:
+    # unguarded 0/0 raises DIVIDE_BY_ZERO under Spark 4's ANSI default
+    # exactly when the audit matters most (a source vanished from the
+    # new release / an upstream shipped an empty snapshot). Zero total
+    # -> every mass 0 -> eps drives each term to its maximum.
+    tot_old = F.sum(n_old).over(w)
+    tot_new = F.sum(n_new).over(w)
+    p_old = F.when(tot_old > 0, n_old / tot_old).otherwise(F.lit(0.0))
+    p_new = F.when(tot_new > 0, n_new / tot_new).otherwise(F.lit(0.0))
     po = F.greatest(F.lit(float(eps)), p_old)
     pn = F.greatest(F.lit(float(eps)), p_new)
     term = (pn - po) * F.log(pn / po)

@@ -1083,6 +1083,34 @@ def test_pmi_collocations_hand_corpus(spark):
     assert [r.bigram for r in only] == ["a a"]
 
 
+def test_population_stability_empty_side_alarms(spark):
+    """Regression (r8): an empty snapshot side — or a group that
+    vanished from one release — must produce maximal-drift rows, not a
+    DIVIDE_BY_ZERO crash (Spark 4 ANSI). Masses on the empty side are
+    0 and eps drives the terms."""
+    import math as m
+
+    from rivulus_spark.operators import snapshot
+
+    old = spark.createDataFrame([("A", 1), ("A", 5), ("B", 2)],
+                                "source string, v long")
+    # source B vanishes from the new release entirely
+    new = spark.createDataFrame([("A", 1), ("A", 5)],
+                                "source string, v long")
+    got = {(r.source, r.bin): r for r in snapshot.population_stability(
+        old, new, "v", group_col="source").collect()}
+    b = got[("B", 1)]                    # v=2 -> bin 1
+    assert (b.p_old, b.p_new) == (1.0, 0.0)
+    assert b.psi_term == m.floor((1e-4 - 1.0) * m.log(1e-4 / 1.0)
+                                 * 1e6) / 1e6
+    assert all(r.psi_term == 0.0 for k, r in got.items() if k[0] == "A")
+    # a completely empty new snapshot: every group alarms, none crash
+    empty = spark.createDataFrame([], "source string, v long")
+    rows = snapshot.population_stability(old, empty, "v",
+                                         group_col="source").collect()
+    assert rows and all(r.p_new == 0.0 and r.psi_term > 2 for r in rows)
+
+
 def test_source_term_divergence_hand_corpus(spark):
     """Hand-checked JS terms: masses are exact integer-count ratios, a
     bucket a source lacks still emits a row whose term is exactly
