@@ -112,3 +112,87 @@ def charlm_score(df: DataFrame, model: DataFrame | None = None,
     return (joined.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.avg(logp).alias("charlm_logprob")))
+
+
+def _word_transitions(df: DataFrame, text_col: str,
+                      id_col: str) -> DataFrame:
+    """(id, prev, w) word-bigram transition rows via the codegen
+    posexplode + lead-window stream (same trade as dedup.shingle_rows:
+    the array-transform form evaluates interpreted per element)."""
+    from pyspark.sql import Window
+
+    from ..partitioning import spread
+    from .text import tokens
+
+    win = Window.partitionBy("id").orderBy("pos")
+    toks = spread(df).select(F.col(id_col).alias("id"),
+                             F.posexplode(tokens(text_col))
+                             .alias("pos", "tok"))
+    return (toks.select("id", F.col("tok").alias("prev"),
+                        F.lead("tok", 1).over(win).alias("w"))
+            .filter(F.col("w").isNotNull()))
+
+
+def wordlm_score(df: DataFrame, train_df: DataFrame | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 alpha: float = 0.4) -> DataFrame:
+    """WORD-bigram LM scoring with stupid backoff (Brants et al. 2007
+    — the smoothing large-scale LMs actually shipped, and the engine-
+    level stand-in for CCNet's KenLM wikipedia-perplexity filter):
+    ``(id, n_transitions, wordlm_logprob)`` where the score is the
+    mean log score over a doc's word transitions,
+
+        S(w | prev) = c(prev w) / c(prev)          if the bigram is in
+                                                   the model
+                    = alpha * (c(w)+1) / (N + V)   otherwise (add-one
+                                                   floor covers words
+                                                   the model never saw)
+
+    trained on ``train_df`` (default: the scored corpus itself — but
+    the interesting deployment trains on a REFERENCE corpus, e.g.
+    yesterday's curated release or wikipedia, so low-scoring docs are
+    "unlike the reference", the CCNet quality split). Documents with
+    fewer than 2 tokens emit no row (no transitions), matching
+    charlm_score's contract.
+
+    Versus charlm_score: word-level (catches fluent-gibberish word
+    salad that has perfectly natural CHARACTER statistics) and the
+    model is vocabulary²-bounded, NOT broadcastable by fiat — the
+    bigram lookup is a plain hash join keyed on (prev, w) that AQE
+    broadcasts only when the trained table actually fits, which is
+    the honest 100 TB posture (a web-scale bigram table does not
+    broadcast; the transition stream shuffles once on the pair key).
+    Totals (N, V) ride in as a 1-row broadcast crossJoin; unigram
+    context/backoff lookups join the vocabulary-sized count table
+    twice. No Python anywhere."""
+    from .. import cache
+    from .text import tokens as _tokens
+
+    if train_df is None:
+        train_df = df
+    # unigram counts over the FULL token stream (first tokens count as
+    # context mass too), transition counts over the lead pairs
+    toks = train_df.select(F.explode(_tokens(text_col)).alias("tok"))
+    uni = cache.persist(
+        toks.groupBy("tok").agg(F.count("*").alias("c")))
+    bg = (_word_transitions(train_df, text_col, id_col)
+          .groupBy("prev", "w").agg(F.count("*").alias("c_bg")))
+    tot = uni.agg(F.sum("c").cast("double").alias("n"),
+                  F.count("*").alias("v"))
+    trans = _word_transitions(df, text_col, id_col)
+    cp = uni.select(F.col("tok").alias("prev"), F.col("c").alias("c_prev"))
+    cw = uni.select(F.col("tok").alias("w"), F.col("c").alias("c_w"))
+    j = (trans.join(bg, ["prev", "w"], "left")
+         .join(cp, "prev", "left")
+         .join(cw, "w", "left")
+         .crossJoin(F.broadcast(tot)))
+    logp = F.when(
+        F.col("c_bg").isNotNull(),
+        F.log(F.col("c_bg").cast("double") / F.col("c_prev"))
+    ).otherwise(
+        F.log(F.lit(float(alpha))
+              * (F.coalesce(F.col("c_w"), F.lit(0)) + 1).cast("double")
+              / (F.col("n") + F.col("v"))))
+    return (j.groupBy(F.col("id").alias(id_col))
+            .agg(F.count("*").cast("long").alias("n_transitions"),
+                 F.avg(logp).alias("wordlm_logprob")))

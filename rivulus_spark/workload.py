@@ -4407,6 +4407,58 @@ def q_charlm_quality(spark, sf_dir):
                       .alias("charlm_logprob"))
 
 
+@_q("wordlm_quality", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+tr AS MATERIALIZED (
+  SELECT doc_id, unnest([{'p': words[i-1], 'x': words[i]}
+                         for i in range(2, len(words) + 1)]) AS u
+  FROM w),
+t AS MATERIALIZED (SELECT doc_id, u.p AS prev, u.x AS w FROM tr),
+uc AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM (SELECT unnest(words) AS tok FROM w WHERE doc_id % 2 = 0)
+  GROUP BY tok),
+bg AS MATERIALIZED (
+  SELECT prev, w, count(*)::BIGINT AS c_bg
+  FROM t WHERE doc_id % 2 = 0 GROUP BY prev, w),
+tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::BIGINT AS v FROM uc)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_transitions,
+       floor(avg(CASE WHEN c_bg IS NOT NULL
+                 THEN ln(c_bg::DOUBLE / cp.c)
+                 ELSE ln(0.4 * (coalesce(cw.c, 0) + 1)::DOUBLE
+                         / (n + v))
+                 END) * 10000) / 10000 AS wordlm_logprob
+FROM t
+LEFT JOIN bg ON t.prev = bg.prev AND t.w = bg.w
+LEFT JOIN uc cp ON cp.tok = t.prev
+LEFT JOIN uc cw ON cw.tok = t.w
+CROSS JOIN tot
+GROUP BY t.doc_id
+""")
+def q_wordlm_quality(spark, sf_dir):
+    """Word-bigram LM quality scoring with stupid backoff
+    (lm.wordlm_score, r8 debut — Brants et al. 2007, the engine-level
+    CCNet/KenLM reference-perplexity filter): the model trains on the
+    even-id half of the corpus (a stand-in for a curated reference
+    release), every document scores by mean log transition score, and
+    unseen bigrams exercise the alpha·(c(w)+1)/(N+V) backoff floor.
+    The bigram lookup is a plain hash join (NOT a forced broadcast —
+    web-scale bigram tables don't broadcast); totals ride as a 1-row
+    crossJoin. floor-4 output, matching charlm_quality's float
+    convention."""
+    from .operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm.wordlm_score(docs,
+                          train_df=docs.filter(F.col("doc_id") % 2 == 0))
+    return out.select("doc_id", "n_transitions",
+                      (F.floor(F.col("wordlm_logprob") * 10000) / 10000)
+                      .alias("wordlm_logprob"))
+
+
 @_q("vocab_topk", r"""
 WITH t AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -5234,16 +5286,19 @@ _PRIORITY: list[str] = [
     "kmeans_assign_sizes", "kmeans_cluster_sizes", "sketch_quantiles",
     "text_quality", "intra_doc_dedup", "dedup_simhash",
     "dedup_clusters", "embedding_neardup", "stream_dedup",
-    # (b) code/oracle changed in r8 (adaptive banding, bloom seam,
-    # ANN multiprobe radius model + IVF probe-fraction scaling)
+    # (b) code/oracle changed in r8 (adaptive banding, ANN multiprobe
+    # radius model + IVF probe-fraction scaling). decontaminate_bloom's
+    # r8 change is the failure-path-only except-narrowing in
+    # bloom_build; it yielded its slot to the wordlm debut and is
+    # covered by this round's sf1 (12/12) and sf10 re-verifications.
     "dedup_minhash_lsh", "dedup_minhash_estimate",
-    "decontaminate_fuzzy", "dedup_incremental", "decontaminate_bloom",
+    "decontaminate_fuzzy", "dedup_incremental",
     "ann_lsh_topk", "ann_recall", "ann_ivf_topk",
     # (b2) r8 debuts (debut-with-a-driver-row rule)
     "stream_decontaminate", "dataset_drift_psi",
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
-    "source_term_divergence", "stream_drift_psi",
+    "source_term_divergence", "stream_drift_psi", "wordlm_quality",
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

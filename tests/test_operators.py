@@ -1083,6 +1083,38 @@ def test_pmi_collocations_hand_corpus(spark):
     assert [r.bigram for r in only] == ["a a"]
 
 
+def test_wordlm_score_hand_model(spark):
+    """Hand-checked stupid backoff: seen transitions score
+    c(prev w)/c(prev), unseen ones fall back to alpha·(c(w)+1)/(N+V)
+    with the add-one floor covering OOV words; short docs emit no
+    row."""
+    import math as m
+
+    import pytest as pt
+
+    from rivulus_spark.operators import lm
+
+    train = spark.createDataFrame([(0, "a b a c")],
+                                  "doc_id long, text string")
+    score = spark.createDataFrame([(1, "a b x"), (2, "solo")],
+                                  "doc_id long, text string")
+    # model: uni a2 b1 c1 (N=4, V=3); bigrams (a,b)(b,a)(a,c) all 1
+    got = {r.doc_id: r for r in
+           lm.wordlm_score(score, train_df=train).collect()}
+    assert set(got) == {1}               # 'solo' has no transitions
+    r = got[1]
+    assert r.n_transitions == 2
+    want = (m.log(1 / 2)                     # (a,b): 1 / c(a)=2
+            + m.log(0.4 * (0 + 1) / (4 + 3))  # (b,x): OOV backoff
+            ) / 2
+    assert r.wordlm_logprob == pt.approx(want, rel=1e-12)
+    # self-trained: every transition seen
+    self_scored = {r.doc_id: r for r in
+                   lm.wordlm_score(train).collect()}
+    want0 = (m.log(1 / 2) + m.log(1 / 1) + m.log(1 / 2)) / 3
+    assert self_scored[0].wordlm_logprob == pt.approx(want0, rel=1e-12)
+
+
 def test_population_stability_empty_side_alarms(spark):
     """Regression (r8): an empty snapshot side — or a group that
     vanished from one release — must produce maximal-drift rows, not a

@@ -79,6 +79,9 @@ QUERIES_TO_RUN = [
     "source_term_divergence",
     # streaming drift monitor: stateless binning, keyspace-bound state
     "stream_drift_psi",
+    # word-bigram stupid-backoff LM: transition stream joins the
+    # (non-broadcast-by-fiat) bigram table once
+    "wordlm_quality",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -109,6 +112,9 @@ HUGE_QUERIES = [
     "source_term_divergence",
     # streaming drift monitor: stateless binning, keyspace-bound state
     "stream_drift_psi",
+    # word-bigram stupid-backoff LM: transition stream joins the
+    # (non-broadcast-by-fiat) bigram table once
+    "wordlm_quality",
 ]
 
 
