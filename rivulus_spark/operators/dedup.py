@@ -198,6 +198,41 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
             .distinct())
 
 
+def winnow_overlap_pairs(df: DataFrame, k: int = 3, w: int = 4,
+                         min_shared: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The winnowing index put to its purpose (MOSS pairwise overlap):
+    document pairs sharing at least ``min_shared`` distinct selected
+    fingerprints — ``(doc_a, doc_b, n_shared)``, a < b. By the
+    winnowing guarantee every shared token run of length >= w+k-1
+    lands at least one shared fingerprint, so a pair with substantial
+    overlap can't score 0; and because the index holds only ~2/(w+1)
+    of the gram stream, the pair join touches ~(2/(w+1))² of the
+    volume the full-shingle pair join (:func:`ngram_jaccard_pairs`)
+    would — the dial that makes pairwise overlap affordable when full
+    Jaccard isn't.
+
+    Scale shape: per-doc winnowing (bounded window, no corpus state) →
+    distinct (id, h) → ONE equi-join on the fingerprint hash → pair
+    count with map-side partials. Fan-out on a universally-hot
+    fingerprint is the same worst case as every shingle-keyed pair
+    method; winnowing already thins it by the density factor, and
+    ``min_shared`` cuts the single-boilerplate-hit tail. At true
+    corpus scale cap candidates with minhash_lsh_dedup; this operator
+    is the exact-overlap middle ground."""
+    fps = (winnow_fingerprints(df, k, w, text_col, id_col)
+           .select(F.col(id_col).alias("id"), "h").distinct())
+    fps = cache.persist(fps)
+    return (fps.alias("a")
+            .join(fps.alias("b"), (F.col("a.h") == F.col("b.h"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("doc_a"),
+                     F.col("b.id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def duplication_scores(df: DataFrame, k: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:

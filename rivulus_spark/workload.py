@@ -2760,6 +2760,47 @@ def q_winnow_fingerprints(spark, sf_dir):
                                      k=3, w=4)
 
 
+@_q("winnow_overlap_pairs", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([{'p': i - 1,
+                  's': words[i] || ' ' || words[i+1] || ' '
+                       || words[i+2]}
+                 for i in range(1, len(words) - 1)]) AS u
+  FROM w),
+hp AS (SELECT doc_id, u.p AS pos,
+              ('0x' || substr(md5(u.s), 1, 15))::BIGINT
+                  % 4294967296 AS h32
+       FROM g),
+keyed AS (
+  SELECT doc_id, pos,
+         min(h32 * 2147483648 + (2147483647 - pos))
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         max(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM hp),
+sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp // 2147483648 AS h
+  FROM keyed WHERE pos >= 3 OR pos = max_pos)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+""")
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """MOSS pairwise overlap (dedup.winnow_overlap_pairs, r8 debut):
+    doc pairs sharing >= 2 distinct winnowing fingerprints — the
+    guaranteed-detection exact-overlap report at ~(2/(w+1))² of the
+    full-shingle pair-join volume. One hash-keyed equi-join over the
+    thinned index; map-side partial pair counts."""
+    return dedup.winnow_overlap_pairs(_t(spark, sf_dir, "documents"),
+                                      k=3, w=4, min_shared=2)
+
+
 _NGRAM_JACCARD_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -5299,6 +5340,9 @@ _PRIORITY: list[str] = [
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
+    # winnow_overlap_pairs (r8 late debut) could not fit the 50-slot
+    # window; it is verified at sf0.01/sf1 in PROGRESS and debuts in
+    # the r9 window first.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

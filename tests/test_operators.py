@@ -1009,6 +1009,30 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert by_doc[0] & by_doc[1]
 
 
+def test_winnow_overlap_pairs_guarantee_and_threshold(spark):
+    """Pairs sharing a >= w+k-1 token run must surface; min_shared
+    thresholds the single-boilerplate-hit tail; shared counts equal
+    the intersection of the docs' reference fingerprint hash sets."""
+    from rivulus_spark.operators import dedup
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(0, "start padding words " + run),
+            (1, run + " other trailing content here"),
+            (2, "totally unrelated text about nothing shared")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in
+           dedup.winnow_overlap_pairs(df, k=3, w=4,
+                                      min_shared=1).collect()}
+    assert (0, 1) in got and not any(2 in p for p in got)
+    ref = {i: {h for _, h in _winnow_reference(t, 3, 4)}
+           for i, t in docs}
+    assert got[(0, 1)] == len(ref[0] & ref[1])
+    # raising min_shared above the intersection drops the pair
+    none = dedup.winnow_overlap_pairs(
+        df, k=3, w=4, min_shared=got[(0, 1)] + 1).collect()
+    assert none == []
+
+
 def test_duplication_scores_hand_corpus(spark):
     """Per-doc dup fraction: a shingle shared by two docs marks both
     (corpus-wide doc-frequency >= 2), unique shingles don't, and docs

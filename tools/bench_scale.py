@@ -82,6 +82,8 @@ QUERIES_TO_RUN = [
     # word-bigram stupid-backoff LM: transition stream joins the
     # (non-broadcast-by-fiat) bigram table once
     "wordlm_quality",
+    # MOSS pair overlap over the thinned winnow index
+    "winnow_overlap_pairs",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -115,6 +117,8 @@ HUGE_QUERIES = [
     # word-bigram stupid-backoff LM: transition stream joins the
     # (non-broadcast-by-fiat) bigram table once
     "wordlm_quality",
+    # MOSS pair overlap over the thinned winnow index
+    "winnow_overlap_pairs",
 ]
 
 
