@@ -257,6 +257,16 @@ HEADLINE = {
                                "cut, bucket remap, and source x bucket "
                                "grid are vocabulary-sized with exact "
                                "integer window sums"),
+    "wordlm_quality": ("stupid-backoff word LM: the transition stream "
+                       "hash-joins the trained bigram table (AQE "
+                       "broadcasts only while it fits — web-scale "
+                       "bigram tables don't); totals ride as a 1-row "
+                       "broadcast crossJoin"),
+    "winnow_overlap_pairs": ("MOSS pair overlap: ONE equi-join on the "
+                             "fingerprint hash over the 2/(w+1)-thinned "
+                             "winnow index; map-side pair-count "
+                             "partials, min_shared cuts the single-hit "
+                             "tail"),
 }
 
 SF = "/root/testdata/sf0.001"
