@@ -320,3 +320,48 @@ def source_term_divergence(df: DataFrame, v: int = 64,
                      f6(p).alias("p"), f6(q).alias("q"),
                      f6(js).alias("js_term"))
             .orderBy(group_col, "bucket"))
+
+
+def vocabulary_diff(old: DataFrame, new: DataFrame,
+                    min_count: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """Term-level release diff — the vocabulary-churn audit that
+    completes the release suite (doc-level :func:`dataset_diff`, size
+    drift :func:`population_stability`, content mix
+    :func:`source_term_divergence`): one row per term whose count
+    reaches ``min_count`` in EITHER snapshot, with both counts, the
+    new/old ratio, and a status in ``added | vanished | grew | shrunk
+    | stable``. A release where thousands of terms 'appeared' is a new
+    crawl source (or an encoding bug); one where they 'vanished' is an
+    over-aggressive filter rule — exactly the diff a data-release
+    review reads.
+
+    Status thresholds are INTEGER comparisons (grew: 2·c_new ≥
+    3·c_old, i.e. ratio ≥ 1.5; shrunk symmetric), so classification is
+    engine-exact with no float boundary; the reported ``ratio``
+    floor-truncates to 3 decimals and is null for added terms (no old
+    mass to divide by — and the unguarded divide would raise under
+    ANSI).
+
+    Scale shape: one map-side-combined token count per snapshot (the
+    only corpus-sized stages), a full-outer join of two
+    vocabulary-sized count tables keyed on the term, and a pure
+    projection. No windows, no Python, no driver state."""
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return (df.select(F.explode(tokens(text_col)).alias("term"))
+                .groupBy("term").agg(F.count("*").alias(f"c_{tag}")))
+
+    j = counts(old, "old").join(counts(new, "new"), "term",
+                                "full_outer")
+    c_old = F.coalesce(F.col("c_old"), F.lit(0))
+    c_new = F.coalesce(F.col("c_new"), F.lit(0))
+    status = (F.when(c_old == 0, F.lit("added"))
+              .when(c_new == 0, F.lit("vanished"))
+              .when(2 * c_new >= 3 * c_old, F.lit("grew"))
+              .when(2 * c_old >= 3 * c_new, F.lit("shrunk"))
+              .otherwise(F.lit("stable")))
+    ratio = F.when(c_old > 0,
+                   F.floor(c_new * 1000 / c_old) / 1000)
+    return (j.filter((c_old >= min_count) | (c_new >= min_count))
+            .select("term", c_old.alias("c_old"), c_new.alias("c_new"),
+                    ratio.alias("ratio"), status.alias("status")))

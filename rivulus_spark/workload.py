@@ -4750,6 +4750,50 @@ def q_dataset_drift_psi(spark, sf_dir):
                                          group_col="source")
 
 
+@_q("vocabulary_diff", r"""
+WITH o AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+n AS (
+  SELECT unnest(regexp_split_to_array(trim(
+           CASE WHEN doc_id % 13 = 0 THEN text || ' release8_tag'
+                ELSE text END), '\s+')) AS term
+  FROM documents WHERE doc_id % 17 <> 0),
+co AS (SELECT term, count(*)::BIGINT AS c_old FROM o GROUP BY term),
+cn AS (SELECT term, count(*)::BIGINT AS c_new FROM n GROUP BY term),
+j AS (SELECT coalesce(co.term, cn.term) AS term,
+             coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      FROM co FULL OUTER JOIN cn ON co.term = cn.term)
+SELECT term, c_old, c_new,
+       CASE WHEN c_old > 0 THEN floor(c_new * 1000 / c_old) / 1000
+            END AS ratio,
+       CASE WHEN c_old = 0 THEN 'added'
+            WHEN c_new = 0 THEN 'vanished'
+            WHEN 2 * c_new >= 3 * c_old THEN 'grew'
+            WHEN 2 * c_old >= 3 * c_new THEN 'shrunk'
+            ELSE 'stable' END AS status
+FROM j WHERE c_old >= 5 OR c_new >= 5
+""")
+def q_vocabulary_diff(spark, sf_dir):
+    """Term-level release diff (snapshot.vocabulary_diff, r8 debut —
+    completes the release-audit suite next to dataset_diff / PSI / JS
+    divergence): vocabulary churn between the corpus and a synthetic
+    next release (every 17th doc dropped; every 13th doc gains a new
+    marker term, so 'added' is exercised). Status thresholds are
+    integer comparisons (engine-exact); the only corpus-sized stages
+    are the two token counts."""
+    from .operators import snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 17 != 0)
+           .select(F.when(F.col("doc_id") % 13 == 0,
+                          F.concat(F.col("text"),
+                                   F.lit(" release8_tag")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot.vocabulary_diff(docs.select("text"), new,
+                                    min_count=5)
+
+
 @_q("stream_drift_psi", _DRIFT_PSI_ORACLE)
 def q_stream_drift_psi(spark, sf_dir):
     """The SAME drift audit computed with the new release arriving AS

@@ -1167,6 +1167,28 @@ def test_population_stability_empty_side_alarms(spark):
     assert rows and all(r.p_new == 0.0 and r.psi_term > 2 for r in rows)
 
 
+def test_vocabulary_diff_statuses(spark):
+    """Hand-checked churn: added/vanished/grew/shrunk/stable classify
+    by exact integer thresholds (ratio >= 1.5 / <= 2/3), added terms
+    carry a null ratio (no ANSI divide), and sub-min_count terms on
+    BOTH sides are cut."""
+    from rivulus_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [("a a a a a b gone gone gone gone gone same same same same same",)],
+        "text string")
+    new = spark.createDataFrame(
+        [("a a a a a a a a c c c c c same same same same same",)],
+        "text string")
+    got = {r.term: r for r in
+           snapshot.vocabulary_diff(old, new, min_count=5).collect()}
+    assert set(got) == {"a", "gone", "c", "same"}   # b: max count 1
+    assert (got["a"].status, got["a"].ratio) == ("grew", 1.6)
+    assert (got["gone"].status, got["gone"].ratio) == ("vanished", 0.0)
+    assert got["c"].status == "added" and got["c"].ratio is None
+    assert (got["same"].status, got["same"].ratio) == ("stable", 1.0)
+
+
 def test_source_term_divergence_hand_corpus(spark):
     """Hand-checked JS terms: masses are exact integer-count ratios, a
     bucket a source lacks still emits a row whose term is exactly

@@ -456,3 +456,80 @@ def test_duplication_scores_match_bruteforce(spark, texts):
         dup = sum(1 for sh in s if freq[sh] >= 2)
         want[d] = (len(s), dup, m.floor(dup * 1000 / len(s)) / 1000)
     assert got == want
+
+
+@given(texts=docs_strategy)
+@SET
+def test_pmi_matches_bruteforce(spark, texts):
+    """pmi_collocations == a Python replay (same ln-sum order, floor6,
+    rank by floored PMI desc then bigram) for ANY corpus, including
+    empty-string docs (Spark's split(trim(x)) yields [''] — the replay
+    must model that token)."""
+    import math as m
+    import re
+    from collections import Counter
+
+    from rivulus_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.bigram: (r.pair_count, r.pmi, r.rank) for r in
+           pmi_collocations(df, k=1000, min_count=1).collect()}
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        toks = ws.split(t.strip(" "))
+        uni.update(toks)
+        bg.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n, mm = sum(uni.values()), sum(bg.values())
+    want = {}
+    for g, c in bg.items():
+        x, y = g.split(" ", 1)
+        v = (m.log(c) - m.log(mm) - m.log(uni[x]) - m.log(uni[y])
+             + 2.0 * m.log(n))
+        want[g] = (c, m.floor(v * 1_000_000) / 1_000_000)
+    order = sorted(want, key=lambda g: (-want[g][1], g))
+    want = {g: (want[g][0], want[g][1], i + 1)
+            for i, g in enumerate(order)}
+    assert got == want
+
+
+@given(texts=docs_strategy)
+@SET
+def test_overlap_severity_matches_bruteforce(spark, texts):
+    """overlap_severity == a Python replay: per train doc (odd ids),
+    the floor3 fraction of its distinct k-shingles present in the eval
+    (even ids) shingle union; untouched docs emit no row."""
+    import math as m
+    import re
+
+    from rivulus_spark.operators.contamination import overlap_severity
+
+    k = 2
+    df = list(enumerate(texts))
+    train = [(i, t) for i, t in df if i % 2 == 1]
+    ev = [(i, t) for i, t in df if i % 2 == 0]
+    if not train or not ev:
+        return
+    sdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_shared, r.overlap_frac)
+           for r in overlap_severity(sdf, edf, k=k).collect()}
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def sh(t):
+        toks = ws.split(t.strip(" "))
+        return {" ".join(toks[i:i + k])
+                for i in range(len(toks) - k + 1)}
+
+    ev_set = set().union(*(sh(t) for _, t in ev)) if ev else set()
+    want = {}
+    for i, t in train:
+        s = sh(t)
+        shared = len(s & ev_set)
+        if s and shared:
+            want[i] = (len(s), shared,
+                       m.floor(shared * 1000 / len(s)) / 1000)
+    assert got == want

@@ -84,6 +84,8 @@ QUERIES_TO_RUN = [
     "wordlm_quality",
     # MOSS pair overlap over the thinned winnow index
     "winnow_overlap_pairs",
+    # vocabulary churn: two token counts + a vocab-sized outer join
+    "vocabulary_diff",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -119,6 +121,8 @@ HUGE_QUERIES = [
     "wordlm_quality",
     # MOSS pair overlap over the thinned winnow index
     "winnow_overlap_pairs",
+    # vocabulary churn: two token counts + a vocab-sized outer join
+    "vocabulary_diff",
 ]
 
 
