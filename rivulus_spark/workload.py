@@ -5384,9 +5384,10 @@ _PRIORITY: list[str] = [
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
-    # winnow_overlap_pairs (r8 late debut) could not fit the 50-slot
-    # window; it is verified at sf0.01/sf1 in PROGRESS and debuts in
-    # the r9 window first.
+    # winnow_overlap_pairs and vocabulary_diff (r8 late debuts) could
+    # not fit the 50-slot window; both are verified at sf0.01, sf1
+    # (ORACLE_SF1) and sf10 (ORACLE_SF10) this round and debut in the
+    # r9 window first.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,
