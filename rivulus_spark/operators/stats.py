@@ -171,3 +171,51 @@ def rate_anomalies(df, ts_col: str = "ts", group_col: str = "event_type",
             .filter(F.abs(z) > F.lit(z_threshold))
             .select(F.col("grp").alias(group_col), "hour", "n_events",
                     (F.floor(z * 1000) / 1000).alias("z_score")))
+
+
+def zipf_slope(df: DataFrame, k: int = 100, text_col: str = "text",
+               group_col: str = "source") -> DataFrame:
+    """Per-group Zipf power-law fit — the corpus-health audit that
+    catches machine-generated and template-spam sources: natural text
+    follows c(rank) ∝ rank^s with s ≈ -1 (Zipf's law), so each
+    group's OLS slope of ln(count) on ln(rank) over its top-``k``
+    terms is a one-number fingerprint of "does this source read like
+    language". Output ``(group, n_terms, zipf_slope)``: slopes far
+    above -1 (flat — a bot cycling a fixed vocabulary uniformly) or
+    far below (one token dominating everything) both flag the source
+    for triage. Slope floor-truncates to 3 decimals; groups with
+    fewer than 2 distinct terms emit a null slope (the OLS
+    denominator is zero, and the unguarded divide would raise under
+    ANSI — same seam class as the PSI empty-side fix).
+
+    Scale shape: ONE corpus-sized (group, term) count (map-side
+    partial combine) — everything after runs on k-row tables: the
+    per-group rank is a PARTITIONED group-limit window (count desc,
+    term tie-break, deterministic), and the OLS reduces each group to
+    five aggregates in one pass. No Python, no driver math."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    counts = (df.select(F.col(group_col).alias("grp"),
+                        F.explode(tokens(text_col)).alias("term"))
+              .groupBy("grp", "term").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(),
+                                          F.col("term").asc())
+    top = (counts.select("grp", "c",
+                         F.row_number().over(w).alias("r"))
+           .filter(F.col("r") <= k))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = (top.groupBy("grp")
+           .agg(F.count("*").cast("double").alias("n"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx")))
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / denom)
+    return (agg.select(F.col("grp").alias(group_col),
+                       F.col("n").cast("long").alias("n_terms"),
+                       F.when(denom > 0,
+                              F.floor(slope * 1000) / 1000)
+                       .alias("zipf_slope")))

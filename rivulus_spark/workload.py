@@ -4750,6 +4750,41 @@ def q_dataset_drift_psi(spark, sf_dir):
                                          group_col="source")
 
 
+@_q("zipf_slope_audit", r"""
+WITH t AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents),
+c AS (SELECT grp, term, count(*)::BIGINT AS c
+      FROM t GROUP BY grp, term),
+r AS (SELECT grp, c,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY c DESC, term) AS r
+      FROM c QUALIFY r <= 100),
+a AS (SELECT grp, count(*)::DOUBLE AS n,
+             sum(ln(r::DOUBLE)) AS sx, sum(ln(c::DOUBLE)) AS sy,
+             sum(ln(r::DOUBLE) * ln(c::DOUBLE)) AS sxy,
+             sum(ln(r::DOUBLE) * ln(r::DOUBLE)) AS sxx
+      FROM r GROUP BY grp)
+SELECT grp AS source, n::BIGINT AS n_terms,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       * 1000) / 1000
+            END AS zipf_slope
+FROM a
+""")
+def q_zipf_slope_audit(spark, sf_dir):
+    """Per-source Zipf power-law fit (stats.zipf_slope, r8 debut):
+    OLS slope of ln(count) on ln(rank) over each source's top-100
+    terms — natural text sits near -1; flat or cliff slopes flag
+    machine-generated or single-token-dominated sources. One corpus-
+    sized (source, term) count; the rank is a partitioned group-limit
+    and the OLS is five aggregates over k-row groups."""
+    from .operators import stats
+
+    return stats.zipf_slope(_t(spark, sf_dir, "documents"), k=100)
+
+
 @_q("vocabulary_diff", r"""
 WITH o AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -5384,10 +5419,10 @@ _PRIORITY: list[str] = [
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
-    # winnow_overlap_pairs and vocabulary_diff (r8 late debuts) could
-    # not fit the 50-slot window; both are verified at sf0.01, sf1
-    # (ORACLE_SF1) and sf10 (ORACLE_SF10) this round and debut in the
-    # r9 window first.
+    # winnow_overlap_pairs, vocabulary_diff and zipf_slope_audit (r8
+    # late debuts) could not fit the 50-slot window; all are verified
+    # at sf0.01 and sf1 (ORACLE_SF1) — the first two also at sf10
+    # (ORACLE_SF10) — this round, and debut in the r9 window first.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

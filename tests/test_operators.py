@@ -1167,6 +1167,26 @@ def test_population_stability_empty_side_alarms(spark):
     assert rows and all(r.p_new == 0.0 and r.psi_term > 2 for r in rows)
 
 
+def test_zipf_slope_perfect_law_and_degenerate(spark):
+    """A source whose counts are exactly 12/r fits slope -1 (within
+    one floor-3 ulp of the exact fit); a single-term source emits a
+    null slope instead of an ANSI divide-by-zero."""
+    from rivulus_spark.operators import stats
+
+    # counts 12,6,4,3 = 12/r for r=1..4 — exact integer Zipf
+    zipf_text = " ".join(["w1"] * 12 + ["w2"] * 6 + ["w3"] * 4
+                         + ["w4"] * 3)
+    docs = spark.createDataFrame(
+        [("Z", zipf_text), ("D", "only only only")],
+        "source string, text string")
+    got = {r.source: r for r in stats.zipf_slope(docs, k=10).collect()}
+    z = got["Z"]
+    assert z.n_terms == 4
+    assert -1.001 <= z.zipf_slope <= -1.0   # exact fit is -1; fp ulp
+    d = got["D"]                            # one distinct term
+    assert d.n_terms == 1 and d.zipf_slope is None
+
+
 def test_vocabulary_diff_statuses(spark):
     """Hand-checked churn: added/vanished/grew/shrunk/stable classify
     by exact integer thresholds (ratio >= 1.5 / <= 2/3), added terms

@@ -86,6 +86,8 @@ QUERIES_TO_RUN = [
     "winnow_overlap_pairs",
     # vocabulary churn: two token counts + a vocab-sized outer join
     "vocabulary_diff",
+    # power-law fit: one (group, term) count, then k-row OLS
+    "zipf_slope_audit",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -123,6 +125,8 @@ HUGE_QUERIES = [
     "winnow_overlap_pairs",
     # vocabulary churn: two token counts + a vocab-sized outer join
     "vocabulary_diff",
+    # power-law fit: one (group, term) count, then k-row OLS
+    "zipf_slope_audit",
 ]
 
 
