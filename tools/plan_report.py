@@ -267,6 +267,12 @@ HEADLINE = {
                              "winnow index; map-side pair-count "
                              "partials, min_shared cuts the single-hit "
                              "tail"),
+    "vocabulary_diff": ("term churn: two map-side-combined token "
+                        "counts, one vocabulary-sized outer join, "
+                        "integer-exact status classification"),
+    "zipf_slope_audit": ("power-law fit: one (source, term) count, "
+                         "partitioned group-limit rank, five "
+                         "aggregates per k-row group"),
 }
 
 SF = "/root/testdata/sf0.001"
