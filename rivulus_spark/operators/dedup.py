@@ -135,6 +135,54 @@ def exact_dup_edges(df: DataFrame, text_col: str = "text",
             .filter(F.col("doc_a").isNotNull()))
 
 
+def containment_pairs(df: DataFrame, threshold: float = 0.5,
+                      k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """ASYMMETRIC containment (Broder 1997's complement to
+    resemblance): directed pairs ``(doc_id, container_id, n_inter,
+    containment)`` where containment = |shingles(doc) ∩
+    shingles(container)| / |shingles(doc)| >= ``threshold``. Jaccard
+    systematically under-scores a SMALL doc living inside a big one
+    (a quoted paragraph, a wrapped article, a chapter inside a book
+    dump): the pair's Jaccard is tiny while the small doc is 100%
+    redundant — containment is the score that catches it, and dedup
+    policy drops the contained side, not the container. Both
+    directions of a pair are evaluated; ``containment``
+    floor-truncates to 3 decimals and the threshold applies to the
+    floored value (engine-exact cut).
+
+    Scale shape: same relational skeleton as
+    :func:`ngram_jaccard_pairs` — distinct (id, shingle-hash) rows,
+    candidates from ONE equi-join on the hash (volume ∝ shared-
+    shingle incidence, pairs sharing nothing never materialize), the
+    pair table joined to the two k-row size tables. Worst case (one
+    universally-hot shingle) degenerates like every exact pair
+    method; at corpus scale pre-filter candidates with
+    minhash_lsh_dedup or the thinned winnow index."""
+    rows = cache.persist(
+        shingle_rows(df, text_col, id_col, k)
+        .select("id", word_hash(F.col("s")).alias("h")))
+    sizes = rows.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (rows.alias("a")
+             .join(rows.alias("b"), (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("ia"),
+                      F.col("b.id").alias("ib"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("id").alias("ia"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("ib"), F.col("n").alias("nb"))
+    scored = cache.persist(inter.join(sa, "ia").join(sb, "ib"))
+    f3 = lambda c: F.floor(c * 1000) / 1000  # noqa: E731
+    fwd = scored.select(
+        F.col("ia").alias(id_col), F.col("ib").alias("container_id"),
+        "n_inter", f3(F.col("n_inter") / F.col("na")).alias("containment"))
+    rev = scored.select(
+        F.col("ib").alias(id_col), F.col("ia").alias("container_id"),
+        "n_inter", f3(F.col("n_inter") / F.col("nb")).alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold))
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -831,3 +831,56 @@ def ann_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "n_id", "rank", "sim"))
+
+
+def centroid_drift(old: DataFrame, new: DataFrame,
+                   group_col: str = "label",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding-space drift between two snapshots: cosine
+    similarity of each group's MEAN vector across releases —
+    ``(group, n_old, n_new, centroid_cos)``, rounded to 4 decimals
+    (the embedding-aggregate convention, see embedding_label_stats).
+    The release audit an ANN/IVF index owner runs before deciding
+    whether to rebuild: a re-embedded or drifted corpus moves the
+    per-cluster centroids, and cos < ~0.99 on any cell means the
+    trained centroids/quantizers no longer match the data. Groups
+    present in only one snapshot emit null cos (nothing to compare;
+    the n_old/n_new columns carry the vanished/appeared signal).
+
+    Scale shape: ONE posexplode per snapshot folding to (group, slot)
+    slot-mean tables — the only corpus-sized stages, map-side
+    partial-combined, shuffle rows ≤ groups × dim — then a
+    (groups × dim)-row join and a dim-row-per-group reduction to the
+    cosine. No Python, no windows, no driver state."""
+    def slot_means(df: DataFrame, tag: str) -> DataFrame:
+        return (df.select(F.col(group_col).alias("g"),
+                          F.posexplode(_as_double(F.col(vec_col)))
+                          .alias("slot", "v"))
+                .groupBy("g", "slot")
+                .agg(F.avg("v").alias(f"m_{tag}")))
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy(F.col(group_col).alias("g"))
+                .agg(F.count("*").alias(f"n_{tag}")))
+
+    j = (slot_means(old, "old").join(slot_means(new, "new"),
+                                     ["g", "slot"], "full_outer"))
+    per_group = (j.groupBy("g")
+                 .agg(F.sum(F.col("m_old") * F.col("m_new")).alias("ab"),
+                      F.sum(F.col("m_old") * F.col("m_old")).alias("aa"),
+                      F.sum(F.col("m_new") * F.col("m_new")).alias("bb"),
+                      F.max(F.col("m_old").isNull().cast("int"))
+                      .alias("miss_old"),
+                      F.max(F.col("m_new").isNull().cast("int"))
+                      .alias("miss_new")))
+    cos = F.when((F.col("miss_old") == 0) & (F.col("miss_new") == 0)
+                 & (F.col("aa") > 0) & (F.col("bb") > 0),
+                 F.round(F.col("ab")
+                         / (F.sqrt("aa") * F.sqrt("bb")), 4))
+    return (per_group
+            .join(counts(old, "old"), "g", "full_outer")
+            .join(counts(new, "new"), "g", "full_outer")
+            .select(F.col("g").alias(group_col),
+                    F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                    cos.alias("centroid_cos")))

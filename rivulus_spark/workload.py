@@ -2760,6 +2760,48 @@ def q_winnow_fingerprints(spark, sf_dir):
                                      k=3, w=4)
 
 
+@_q("containment_pairs", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                               for i in range(1, len(words) - 1)])) AS s
+  FROM w),
+h AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh),
+sizes AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n FROM h GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*)::BIGINT AS n_inter
+  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sc AS MATERIALIZED (
+  SELECT ia, ib, n_inter, sa.n AS na, sb.n AS nb
+  FROM inter JOIN sizes sa ON sa.doc_id = ia
+             JOIN sizes sb ON sb.doc_id = ib)
+SELECT doc_id, container_id, n_inter, containment FROM (
+  SELECT ia AS doc_id, ib AS container_id, n_inter,
+         floor(n_inter * 1000 / na) / 1000 AS containment FROM sc
+  UNION ALL
+  SELECT ib, ia, n_inter, floor(n_inter * 1000 / nb) / 1000 FROM sc)
+WHERE containment >= 0.5
+""")
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment pairs (dedup.containment_pairs, r8
+    debut — Broder 1997): directed (doc, container) pairs where
+    >= 50% of the doc's distinct 3-gram shingles live in the
+    container — the quoted/wrapped/subsumed-doc signal symmetric
+    Jaccard under-scores; dedup policy drops the contained side. Same
+    relational skeleton as ngram_jaccard (hash-keyed candidate join,
+    k-row size tables); threshold applies to the floored value."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"),
+                                   threshold=0.5, k=3)
+
+
 @_q("winnow_overlap_pairs", r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
@@ -4370,6 +4412,66 @@ def q_ann_recall(spark, sf_dir):
                  (F.count("a_n") / F.lit(5.0)).alias("recall_at_5")))
 
 
+@_q("embedding_centroid_drift", r"""
+WITH o AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+nw AS (SELECT label,
+              CASE WHEN label < 3
+                   THEN list_prepend(e[1] + 0.5, e[2:]) ELSE e END AS e
+       FROM (SELECT label, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id % 7 <> 0)),
+om AS (SELECT label, u.s AS slot, avg(u.v) AS m_old
+       FROM (SELECT label,
+                    unnest([{'s': i, 'v': e[i]}
+                            for i in range(1, len(e) + 1)]) AS u
+             FROM o)
+       GROUP BY label, u.s),
+nm AS (SELECT label, u.s AS slot, avg(u.v) AS m_new
+       FROM (SELECT label,
+                    unnest([{'s': i, 'v': e[i]}
+                            for i in range(1, len(e) + 1)]) AS u
+             FROM nw)
+       GROUP BY label, u.s),
+j AS (SELECT coalesce(om.label, nm.label) AS label, m_old, m_new
+      FROM om FULL OUTER JOIN nm
+           ON om.label = nm.label AND om.slot = nm.slot),
+pg AS (SELECT label, sum(m_old * m_new) AS ab,
+              sum(m_old * m_old) AS aa, sum(m_new * m_new) AS bb,
+              max(CASE WHEN m_old IS NULL THEN 1 ELSE 0 END) AS miss_o,
+              max(CASE WHEN m_new IS NULL THEN 1 ELSE 0 END) AS miss_n
+       FROM j GROUP BY label),
+co AS (SELECT label, count(*)::BIGINT AS n_old
+       FROM embeddings GROUP BY label),
+cn AS (SELECT label, count(*)::BIGINT AS n_new
+       FROM embeddings WHERE vec_id % 7 <> 0 GROUP BY label)
+SELECT pg.label, coalesce(n_old, 0) AS n_old,
+       coalesce(n_new, 0) AS n_new,
+       CASE WHEN miss_o = 0 AND miss_n = 0 AND aa > 0 AND bb > 0
+            THEN round(ab / (sqrt(aa) * sqrt(bb)), 4)
+            END AS centroid_cos
+FROM pg LEFT JOIN co ON pg.label = co.label
+        LEFT JOIN cn ON pg.label = cn.label
+""")
+def q_embedding_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift (similarity.centroid_drift,
+    r8 debut): cosine of each label's mean vector between the corpus
+    and a synthetic re-release (every 7th vector dropped; labels 0-2
+    shifted +0.5 on slot 0) — the rebuild-the-IVF-index audit. The
+    shift is a codegen concat+slice (no interpreted array transform);
+    the operator's only corpus-sized stages are the two slot-mean
+    folds."""
+    from .operators import similarity as sim_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    old = emb.select("label", e.alias("embedding"))
+    first = (F.when(F.col("label") < 3, e.getItem(0) + 0.5)
+             .otherwise(e.getItem(0)))
+    shifted = F.concat(F.array(first), F.slice(e, 2, F.size(e) - 1))
+    new = (emb.filter(F.col("vec_id") % 7 != 0)
+           .select("label", shifted.alias("embedding")))
+    return sim_ops.centroid_drift(old, new)
+
+
 @_q("embedding_label_stats", """
 SELECT label, count(*) AS n_vecs,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
@@ -5419,10 +5521,11 @@ _PRIORITY: list[str] = [
     "pmi_collocations", "doc_duplication_score",
     "contamination_severity", "winnow_fingerprints",
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
-    # winnow_overlap_pairs, vocabulary_diff and zipf_slope_audit (r8
-    # late debuts) could not fit the 50-slot window; all are verified
-    # at sf0.01 and sf1 (ORACLE_SF1) — the first two also at sf10
-    # (ORACLE_SF10) — this round, and debut in the r9 window first.
+    # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
+    # containment_pairs and embedding_centroid_drift (r8 late debuts)
+    # could not fit the 50-slot window; all are verified at sf0.01
+    # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
+    # this round, and debut in the r9 window first.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

@@ -1009,6 +1009,46 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert by_doc[0] & by_doc[1]
 
 
+def test_containment_pairs_asymmetric(spark):
+    """Containment catches what Jaccard under-scores: a small doc
+    fully inside a big one scores 1.0 in its direction and only
+    |A∩B|/|B| in the container's; the threshold applies to the
+    floored value per direction."""
+    from rivulus_spark.operators import dedup
+
+    docs = spark.createDataFrame([
+        (0, "a b c d e f"),   # shingles {abc,bcd,cde,def}
+        (1, "a b c d"),       # {abc,bcd} — fully inside doc 0
+        (2, "x y z w"),       # disjoint
+    ], "doc_id long, text string")
+    got = {(r.doc_id, r.container_id): (r.n_inter, r.containment)
+           for r in dedup.containment_pairs(docs, threshold=0.5,
+                                            k=3).collect()}
+    assert got == {(1, 0): (2, 1.0), (0, 1): (2, 0.5)}
+    tight = {(r.doc_id, r.container_id) for r in
+             dedup.containment_pairs(docs, threshold=0.6, k=3).collect()}
+    assert tight == {(1, 0)}   # the container direction falls below
+
+
+def test_centroid_drift_hand_vectors(spark):
+    """Per-label centroid cosine: identical mean directions score 1.0,
+    a vanished label reports null cos with its n_old/n_new counts."""
+    from rivulus_spark.operators import similarity
+
+    old = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [1.0, 1.0])],
+        "label int, embedding array<double>")
+    new = spark.createDataFrame(
+        [(0, [1.0, 1.0])],                  # mean dir equals old's
+        "label int, embedding array<double>")
+    got = {r.label: r for r in
+           similarity.centroid_drift(old, new).collect()}
+    a = got[0]
+    assert (a.n_old, a.n_new, a.centroid_cos) == (2, 1, 1.0)
+    b = got[1]                               # vanished label
+    assert (b.n_old, b.n_new, b.centroid_cos) == (1, 0, None)
+
+
 def test_winnow_overlap_pairs_guarantee_and_threshold(spark):
     """Pairs sharing a >= w+k-1 token run must surface; min_shared
     thresholds the single-boilerplate-hit tail; shared counts equal

@@ -88,6 +88,10 @@ QUERIES_TO_RUN = [
     "vocabulary_diff",
     # power-law fit: one (group, term) count, then k-row OLS
     "zipf_slope_audit",
+    # hash-keyed candidate join, volume ∝ shared-shingle incidence
+    "containment_pairs",
+    # two slot-mean folds, (groups x dim)-row tail
+    "embedding_centroid_drift",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -127,6 +131,10 @@ HUGE_QUERIES = [
     "vocabulary_diff",
     # power-law fit: one (group, term) count, then k-row OLS
     "zipf_slope_audit",
+    # hash-keyed candidate join, volume ∝ shared-shingle incidence
+    "containment_pairs",
+    # two slot-mean folds, (groups x dim)-row tail
+    "embedding_centroid_drift",
 ]
 
 
