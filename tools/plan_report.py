@@ -273,6 +273,14 @@ HEADLINE = {
     "zipf_slope_audit": ("power-law fit: one (source, term) count, "
                          "partitioned group-limit rank, five "
                          "aggregates per k-row group"),
+    "containment_pairs": ("asymmetric containment: hash-keyed "
+                          "candidate equi-join (volume ∝ shared-"
+                          "shingle incidence), two k-row size joins, "
+                          "directed union"),
+    "embedding_centroid_drift": ("centroid drift: two posexplode "
+                                 "slot-mean folds (map-side partials), "
+                                 "(label, slot) join, dim-row cosine "
+                                 "reduction per label"),
 }
 
 SF = "/root/testdata/sf0.001"
