@@ -77,24 +77,16 @@ def shingle_hashes(col: str | Column, k: int = 3) -> Column:
 
 def shingle_rows(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct (id, s) k-gram shingle rows, built relationally:
-    posexplode(tokens) -> lead window -> distinct. The array-transform
-    form (``shingles``) evaluates interpreted per element; this one
-    stays in whole-stage codegen end to end, which is ~10x on corpus
-    scans. Shuffles: one narrow (id)-keyed exchange for the window plus
-    the partial-distinct — both carry ~20-byte rows."""
-    from pyspark.sql import Window
+    """Distinct (id, s) k-gram shingle rows over the shared positional
+    gram stream (text.gram_stream — codegen posexplode + lead window;
+    the array-transform form evaluates interpreted per element, ~10x
+    slower on corpus scans). Shuffles: one narrow (id)-keyed exchange
+    for the window plus the partial-distinct — both carry ~20-byte
+    rows."""
+    from .text import gram_concat, gram_stream
 
-    from ..partitioning import spread
-
-    w = Window.partitionBy("id").orderBy("pos")
-    toks = spread(df).select(F.col(id_col).alias("id"),
-                             F.posexplode(tokens(text_col)).alias("pos", "tok"))
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    return (toks.select("id", F.concat_ws(" ", *parts).alias("s"),
-                        parts[-1].isNotNull().alias("__full"))
-            .filter(F.col("__full"))
-            .select("id", "s")
+    return (gram_stream(df, k, text_col, id_col)
+            .select("id", gram_concat(k).alias("s"))
             .distinct())
 
 
@@ -172,13 +164,20 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
     sa = sizes.select(F.col("id").alias("ia"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("ib"), F.col("n").alias("nb"))
     scored = cache.persist(inter.join(sa, "ia").join(sb, "ib"))
-    f3 = lambda c: F.floor(c * 1000) / 1000  # noqa: E731
+    # multiply-first floor (r8 review): ONE rounding path, textually
+    # identical to the SQL oracle and to the sibling ratio operators
+    # (duplication_scores, overlap_severity) — the divide-first form
+    # rounds twice and is the only expression whose order would not
+    # match its oracle
+    f3 = lambda n, d: F.floor(n * 1000 / d) / 1000  # noqa: E731
     fwd = scored.select(
         F.col("ia").alias(id_col), F.col("ib").alias("container_id"),
-        "n_inter", f3(F.col("n_inter") / F.col("na")).alias("containment"))
+        "n_inter",
+        f3(F.col("n_inter"), F.col("na")).alias("containment"))
     rev = scored.select(
         F.col("ib").alias(id_col), F.col("ia").alias("container_id"),
-        "n_inter", f3(F.col("n_inter") / F.col("nb")).alias("containment"))
+        "n_inter",
+        f3(F.col("n_inter"), F.col("nb")).alias("containment"))
     return (fwd.unionByName(rev)
             .filter(F.col("containment") >= threshold))
 
@@ -214,20 +213,12 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, w: int = 4,
     one distinct. No corpus-wide state, no joins, no Python; output
     volume is ~2/(w+1) of the gram stream by the winnowing density
     theorem."""
-    from ..partitioning import spread
+    from .text import gram_concat, gram_stream
 
     if w < 1:
         raise ValueError(f"window must be >= 1, got {w}")
-    wt = Window.partitionBy("id").orderBy("pos")
-    toks = spread(df).select(F.col(id_col).alias("id"),
-                             F.posexplode(tokens(text_col))
-                             .alias("pos", "tok"))
-    parts = [F.col("tok")] + [F.lead("tok", i).over(wt)
-                              for i in range(1, k)]
-    grams = (toks.select("id", "pos",
-                         F.concat_ws(" ", *parts).alias("s"),
-                         parts[-1].isNotNull().alias("__full"))
-             .filter(F.col("__full")))
+    grams = (gram_stream(df, k, text_col, id_col)
+             .select("id", "pos", gram_concat(k).alias("s")))
     h32 = word_hash(F.col("s")) % F.lit(4294967296)
     key = h32 * F.lit(2147483648) + (F.lit(2147483647) - F.col("pos"))
     frame = (Window.partitionBy("id").orderBy("pos")

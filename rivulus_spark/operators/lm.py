@@ -116,21 +116,13 @@ def charlm_score(df: DataFrame, model: DataFrame | None = None,
 
 def _word_transitions(df: DataFrame, text_col: str,
                       id_col: str) -> DataFrame:
-    """(id, prev, w) word-bigram transition rows via the codegen
-    posexplode + lead-window stream (same trade as dedup.shingle_rows:
-    the array-transform form evaluates interpreted per element)."""
-    from pyspark.sql import Window
+    """(id, prev, w) word-bigram transition rows over the shared
+    positional gram stream (text.gram_stream)."""
+    from .text import gram_stream
 
-    from ..partitioning import spread
-    from .text import tokens
-
-    win = Window.partitionBy("id").orderBy("pos")
-    toks = spread(df).select(F.col(id_col).alias("id"),
-                             F.posexplode(tokens(text_col))
-                             .alias("pos", "tok"))
-    return (toks.select("id", F.col("tok").alias("prev"),
-                        F.lead("tok", 1).over(win).alias("w"))
-            .filter(F.col("w").isNotNull()))
+    return (gram_stream(df, 2, text_col, id_col)
+            .select("id", F.col("t0").alias("prev"),
+                    F.col("t1").alias("w")))
 
 
 def wordlm_score(df: DataFrame, train_df: DataFrame | None = None,

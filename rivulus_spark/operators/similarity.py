@@ -853,15 +853,17 @@ def centroid_drift(old: DataFrame, new: DataFrame,
     (groups × dim)-row join and a dim-row-per-group reduction to the
     cosine. No Python, no windows, no driver state."""
     def slot_means(df: DataFrame, tag: str) -> DataFrame:
+        # per-(group, slot) row count rides the same aggregation: with
+        # fixed-dim vectors every slot of a group sees exactly the
+        # group's vector count, so no second corpus scan is needed for
+        # n_old/n_new (r8 review — the separate counts() pass doubled
+        # the scan cost the docstring claims this operator doesn't pay)
         return (df.select(F.col(group_col).alias("g"),
                           F.posexplode(_as_double(F.col(vec_col)))
                           .alias("slot", "v"))
                 .groupBy("g", "slot")
-                .agg(F.avg("v").alias(f"m_{tag}")))
-
-    def counts(df: DataFrame, tag: str) -> DataFrame:
-        return (df.groupBy(F.col(group_col).alias("g"))
-                .agg(F.count("*").alias(f"n_{tag}")))
+                .agg(F.avg("v").alias(f"m_{tag}"),
+                     F.count("*").alias(f"cnt_{tag}")))
 
     j = (slot_means(old, "old").join(slot_means(new, "new"),
                                      ["g", "slot"], "full_outer"))
@@ -869,6 +871,8 @@ def centroid_drift(old: DataFrame, new: DataFrame,
                  .agg(F.sum(F.col("m_old") * F.col("m_new")).alias("ab"),
                       F.sum(F.col("m_old") * F.col("m_old")).alias("aa"),
                       F.sum(F.col("m_new") * F.col("m_new")).alias("bb"),
+                      F.max("cnt_old").alias("n_old_raw"),
+                      F.max("cnt_new").alias("n_new_raw"),
                       F.max(F.col("m_old").isNull().cast("int"))
                       .alias("miss_old"),
                       F.max(F.col("m_new").isNull().cast("int"))
@@ -877,10 +881,8 @@ def centroid_drift(old: DataFrame, new: DataFrame,
                  & (F.col("aa") > 0) & (F.col("bb") > 0),
                  F.round(F.col("ab")
                          / (F.sqrt("aa") * F.sqrt("bb")), 4))
-    return (per_group
-            .join(counts(old, "old"), "g", "full_outer")
-            .join(counts(new, "new"), "g", "full_outer")
-            .select(F.col("g").alias(group_col),
-                    F.coalesce("n_old", F.lit(0)).alias("n_old"),
-                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
-                    cos.alias("centroid_cos")))
+    return per_group.select(
+        F.col("g").alias(group_col),
+        F.coalesce("n_old_raw", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new_raw", F.lit(0)).alias("n_new"),
+        cos.alias("centroid_cos"))

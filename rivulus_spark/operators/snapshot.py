@@ -202,9 +202,20 @@ def psi_bin(value: Column | str, n_bins: int = 16) -> Column:
     """The PSI log2-size bin as a column expression — exact integer
     bit-length arithmetic (see :func:`population_stability`), exposed
     separately so a STREAMING plan can bin rows map-side with the
-    identical edges the batch audit uses."""
-    v = F.col(value) if isinstance(value, str) else value
-    x = F.greatest(F.lit(0), F.floor(v.cast("double")).cast("long"))
+    identical edges the batch audit uses.
+
+    Non-finite and huge inputs clamp BEFORE the long cast (r8 review):
+    an unguarded double->long cast raises CAST_OVERFLOW under Spark
+    4's ANSI default for values >= 2^63, +/-inf, or NaN — and a drift
+    audit crashing on the degenerate feature values an upstream bug
+    produces is exactly the alarm-not-crash contract violation the
+    empty-side fix removed. The 1e15 ceiling is semantically free:
+    any value >= 2^(n_bins-1) already lands in the top bin (Spark's
+    float ordering puts NaN above +inf, so least() absorbs both into
+    the ceiling; -inf clamps to 0 via greatest)."""
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    safe = F.greatest(F.lit(0.0), F.least(v, F.lit(1.0e15)))
+    x = F.floor(safe).cast("long")
     return F.least(F.lit(n_bins - 1),
                    (F.length(F.bin(x + 1)) - 1).cast("int"))
 
@@ -274,8 +285,13 @@ def source_term_divergence(df: DataFrame, v: int = 64,
     smoothing — a zero-mass bucket contributes ``q/2 · ln 2`` exactly,
     so the per-bucket terms are exact and the caller's sum needs no
     floor-order caveat beyond the terms' own 6-decimal truncation.
-    The bucket set is data-defined (top-v global terms + ``<other>``
-    iff tail terms exist), so every bucket has q > 0 by construction.
+    The bucket set is data-defined (top-v global terms + a tail
+    bucket iff tail terms exist), so every bucket has q > 0 by
+    construction. The tail sentinel is ``"< other terms >"`` — it
+    CONTAINS SPACES, so no whitespace-split token can ever collide
+    with it (r8 review: a markup corpus where the literal token
+    ``<other>`` ranks top-v would otherwise silently merge that
+    term's mass into the tail).
 
     Scale shape: ONE token-stream aggregation to (source, token)
     counts — the only corpus-sized shuffle, map-side partial-combined
@@ -298,7 +314,8 @@ def source_term_divergence(df: DataFrame, v: int = 64,
     bucketed = (counts.join(F.broadcast(topv), "t", "left")
                 .select("src",
                         F.when(F.col("__top") == 1, F.col("t"))
-                        .otherwise(F.lit("<other>")).alias("bucket"),
+                        .otherwise(F.lit("< other terms >"))
+                        .alias("bucket"),
                         "c")
                 .groupBy("src", "bucket").agg(F.sum("c").alias("n")))
     bucketed = cache.persist(bucketed)

@@ -128,6 +128,42 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gram_stream(df: DataFrame, k: int, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The shared positional k-gram token stream: ``(id, pos, t0 ..
+    t{k-1})`` rows via posexplode + lead window — the one skeleton
+    behind shingling, winnowing, corpus n-gram counting, PMI pairs,
+    and word-bigram LM transitions (r8 review: five near-identical
+    copies of this block existed; a fix to the stream now lands
+    once). Rows whose k-th token is null (past the doc end) are
+    dropped, so ``pos`` values are exactly 0..n_tokens-k per doc;
+    ``k=1`` is the plain positional token stream.
+
+    Codegen end to end except the one (id)-keyed window exchange; the
+    array-transform alternative evaluates its lambda interpreted per
+    element (~10x slower on corpus scans — measured, see
+    dedup.shingle_rows' history). ``spread`` guards under-split
+    inputs."""
+    from ..partitioning import spread
+
+    toks = spread(df).select(F.col(id_col).alias("id"),
+                             F.posexplode(tokens(text_col))
+                             .alias("pos", "t0"))
+    if k == 1:
+        return toks
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("t0")] + [F.lead("t0", i).over(w).alias(f"t{i}")
+                            for i in range(1, k)]
+    return (toks.select("id", "pos", *cols)
+            .filter(F.col(f"t{k - 1}").isNotNull()))
+
+
+def gram_concat(k: int) -> Column:
+    """Space-joined gram string over a :func:`gram_stream` row's
+    ``t0..t{k-1}`` columns — the textual shingle form."""
+    return F.concat_ws(" ", *[f"t{i}" for i in range(k)])
+
+
 def ngrams(col: str | Column, n: int) -> Column:
     """Word n-grams of a text column as ``array<string>`` (space-joined,
     order-preserving, duplicates kept — counting wants the stream, not
@@ -179,24 +215,14 @@ def corpus_ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     aggregated n-gram table — Spark plans the k-cut as a group-limit
     (TakeOrdered-style), so the driver never sees more than the
     aggregate table and the full sort never materializes."""
-    from ..partitioning import spread
-
-    # lead-window n-gram stream instead of explode(ngrams(...)): the
-    # array-transform form evaluates its lambda interpreted per element
-    # with a slice allocation per gram; this form is whole-stage
-    # codegen end to end (same trade as dedup.shingle_rows) and the
-    # (id)-keyed window spreads under-split inputs
-    w = Window.partitionBy("__id").orderBy("__pos")
-    toks = spread(df).select(F.col("doc_id").alias("__id"),
-                             F.posexplode(tokens(text_col))
-                             .alias("__pos", "__tok"))
-    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w)
-                                for i in range(1, n)]
-    grams = (toks.select("__id", F.concat_ws(" ", *parts).alias("g"),
-                         parts[-1].isNotNull().alias("__full"))
-             .filter(F.col("__full")))
+    # lead-window n-gram stream (text.gram_stream) instead of
+    # explode(ngrams(...)): the array-transform form evaluates its
+    # lambda interpreted per element with a slice allocation per gram;
+    # the shared stream is whole-stage codegen end to end
+    grams = (gram_stream(df, n, text_col)
+             .select("id", gram_concat(n).alias("g")))
     counts = (grams.groupBy("g")
-              .agg(F.countDistinct("__id").alias("n_docs"),
+              .agg(F.countDistinct("id").alias("n_docs"),
                    F.count("*").alias("total_count")))
     # rank-then-filter: Catalyst's InferWindowGroupLimit inserts a
     # TakeOrderedAndProject(limit=k) below this window (asserted in
@@ -233,20 +259,18 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     rows). The final rank window is unpartitioned but Catalyst's
     group-limit rewrite bounds it to k rows (same shape as
     corpus_ngram_topk). No Python, nothing driver-side."""
-    from ..partitioning import spread
-
-    w = Window.partitionBy("__id").orderBy("__pos")
-    toks = spread(df).select(F.col("doc_id").alias("__id"),
-                             F.posexplode(tokens(text_col))
-                             .alias("__pos", "__tok"))
-    toks = cache.persist(toks)
+    # the raw posexplode stream is deliberately NOT persisted (r8
+    # review): materializing the corpus-sized (doc, pos, token) rows
+    # to feed two aggregations costs more than the second scan at any
+    # real scale — only the vocabulary-sized count table caches (the
+    # module convention; it feeds three consumers)
     uni = cache.persist(
-        toks.groupBy(F.col("__tok").alias("t"))
+        gram_stream(df, 1, text_col)
+        .groupBy(F.col("t0").alias("t"))
         .agg(F.count("*").alias("c")))
     n_total = uni.agg(F.sum("c").alias("n"))
-    pairs = (toks.select(F.col("__tok").alias("x"),
-                         F.lead("__tok", 1).over(w).alias("y"))
-             .filter(F.col("y").isNotNull()))
+    pairs = (gram_stream(df, 2, text_col)
+             .select(F.col("t0").alias("x"), F.col("t1").alias("y")))
     cxy = (pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy")))
     m_total = cxy.agg(F.sum("c_xy").alias("m"))
     ux = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))

@@ -2722,7 +2722,7 @@ def q_doc_duplication_score(spark, sf_dir):
     return dedup.duplication_scores(_t(spark, sf_dir, "documents"), k=3)
 
 
-@_q("winnow_fingerprints", r"""
+_WINNOW_CTE = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
   FROM documents),
@@ -2744,6 +2744,10 @@ keyed AS (
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
          max(pos) OVER (PARTITION BY doc_id) AS max_pos
   FROM hp)
+"""
+
+
+@_q("winnow_fingerprints", _WINNOW_CTE + r"""
 SELECT DISTINCT doc_id, 2147483647 - (fp % 2147483648) AS pos,
        fp // 2147483648 AS h
 FROM keyed WHERE pos >= 3 OR pos = max_pos
@@ -2802,28 +2806,7 @@ def q_containment_pairs(spark, sf_dir):
                                    threshold=0.5, k=3)
 
 
-@_q("winnow_overlap_pairs", r"""
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-  FROM documents),
-g AS (
-  SELECT doc_id,
-         unnest([{'p': i - 1,
-                  's': words[i] || ' ' || words[i+1] || ' '
-                       || words[i+2]}
-                 for i in range(1, len(words) - 1)]) AS u
-  FROM w),
-hp AS (SELECT doc_id, u.p AS pos,
-              ('0x' || substr(md5(u.s), 1, 15))::BIGINT
-                  % 4294967296 AS h32
-       FROM g),
-keyed AS (
-  SELECT doc_id, pos,
-         min(h32 * 2147483648 + (2147483647 - pos))
-             OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
-         max(pos) OVER (PARTITION BY doc_id) AS max_pos
-  FROM hp),
+@_q("winnow_overlap_pairs", _WINNOW_CTE + r""",
 sel AS MATERIALIZED (
   SELECT DISTINCT doc_id, fp // 2147483648 AS h
   FROM keyed WHERE pos >= 3 OR pos = max_pos)
@@ -5006,7 +4989,7 @@ topv AS (SELECT tok FROM (
 bucketed AS (
   SELECT src,
          CASE WHEN tok IN (SELECT tok FROM topv) THEN tok
-              ELSE '<other>' END AS bucket,
+              ELSE '< other terms >' END AS bucket,
          sum(c)::BIGINT AS n
   FROM counts GROUP BY src, bucket),
 qdist AS (SELECT bucket, sum(n)::BIGINT AS gn

@@ -1287,7 +1287,9 @@ def test_source_term_divergence_hand_corpus(spark):
 
 
 def test_source_term_divergence_other_bucket(spark):
-    """Tail terms past the top-v cut collapse into <other>, and a
+    """Tail terms past the top-v cut collapse into the space-
+    containing tail sentinel (collision-proof: no whitespace-split
+    token contains a space), and a
     source identical to the corpus (the only source) scores 0
     everywhere."""
     from rivulus_spark.operators import snapshot
@@ -1296,9 +1298,9 @@ def test_source_term_divergence_other_bucket(spark):
         [("A", "x x x y z")], "source string, text string")
     got = {r.bucket: r for r in
            snapshot.source_term_divergence(docs, v=1).collect()}
-    # top-1 vocabulary = {x}; y and z collapse into <other>
-    assert set(got) == {"x", "<other>"}
-    assert got["<other>"].p == got["<other>"].q
+    # top-1 vocabulary = {x}; y and z collapse into the tail
+    assert set(got) == {"x", "< other terms >"}
+    assert got["< other terms >"].p == got["< other terms >"].q
     assert all(r.js_term == 0.0 for r in got.values())
 
 
@@ -1343,7 +1345,12 @@ def test_population_stability_hand_bins(spark):
 def test_population_stability_clamps_and_ungrouped(spark):
     """Negatives clamp to bin 0, huge values cap at n_bins-1 (lo =
     2^15-1), identical snapshots score zero PSI everywhere; the
-    ungrouped form's window runs over one <=n_bins-row histogram."""
+    ungrouped form's window runs over one <=n_bins-row histogram.
+    Non-finite and >2^63 features must BIN, not raise ANSI
+    CAST_OVERFLOW (r8 review): NaN/+inf/1e19 land in the top bin,
+    -inf in bin 0."""
+    import math as m
+
     from rivulus_spark.operators import snapshot
 
     df = spark.createDataFrame([(-5.0,), (0.25,), (1e12,)], "v double")
@@ -1353,6 +1360,14 @@ def test_population_stability_clamps_and_ungrouped(spark):
     assert got[15].lo == 32767.0
     assert all(r.psi_term == 0.0 for r in got.values())
     assert got[0].p_old == got[0].p_new  # 2/3 floored identically
+
+    ugly = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (-float("inf"),), (1e19,),
+         (3.0,)], "v double")
+    bins = {r.bin: (r.p_old, r.p_new) for r in
+            snapshot.population_stability(ugly, ugly, "v").collect()}
+    assert set(bins) == {0, 2, 15}      # -inf->0, 3->2, rest->top
+    assert m.isclose(bins[15][0], 0.6)  # nan, inf, 1e19 all top-bin
 
 
 def test_temperature_mix_matches_greedy_waterline(spark):
