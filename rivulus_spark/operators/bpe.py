@@ -180,6 +180,42 @@ def apply_merges(vocab: DataFrame, merges: list[tuple[str, str]],
     return out
 
 
+def tokenizer_fertility(df: DataFrame, merge_table: DataFrame,
+                        group_col: str = "lang", col: str = "text",
+                        id_col: str = "doc_id",
+                        chars_col: str = "n_chars") -> DataFrame:
+    """Per-group tokenizer fertility audit: how many BPE pieces the
+    trained tokenizer spends per whitespace token and how many source
+    characters each piece covers, grouped by ``group_col`` (language,
+    source, domain). THE multilingual-tokenizer acceptance check: a
+    vocabulary trained lopsidedly makes under-represented languages
+    pay 2-4x more pieces for the same text, which silently taxes their
+    effective context length and training compute share.
+
+    ``(group, n_docs, n_tokens, n_pieces, pieces_per_token,
+    chars_per_piece)`` — ratios are single divisions of exact integer
+    sums, floor-truncated to 6 decimals (cross-engine convention).
+
+    Scale shape: :func:`encode_docs_with_merges`' Heaps-law collapse
+    (merges apply to the distinct-word table, the token stream joins
+    the vocab-sized lookup) plus one id-keyed metadata join and a
+    group-by over the handful of group keys. No new heavy stage."""
+    enc = encode_docs_with_merges(df, merge_table, col, id_col)
+    meta = df.select(F.col(id_col), F.col(group_col),
+                     F.col(chars_col))
+    j = enc.join(meta, id_col)
+    ppt = (F.floor(F.sum("n_pieces").cast("double")
+                   / F.sum("n_tokens") * 1_000_000) / 1_000_000)
+    cpp = (F.floor(F.sum(chars_col).cast("double")
+                   / F.sum("n_pieces") * 1_000_000) / 1_000_000)
+    return (j.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum("n_pieces").cast("long").alias("n_pieces"),
+                 ppt.alias("pieces_per_token"),
+                 cpp.alias("chars_per_piece")))
+
+
 def encode_docs_with_merges(df: DataFrame, merge_table: DataFrame,
                             col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

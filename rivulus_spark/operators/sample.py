@@ -229,6 +229,75 @@ def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
     return df.withColumn("split", expr)
 
 
+def split_leakage_audit(df: DataFrame, splits: dict[str, float],
+                        key_col: str = "doc_id", seed: str = "",
+                        text_col: str = "text") -> DataFrame:
+    """Eval-contamination audit of a split assignment: exact-duplicate
+    content groups whose copies land in MORE THAN ONE split — the
+    failure mode :func:`assign_splits`' content-addressing cannot
+    prevent, because it keys on ``key_col``, and re-crawled or
+    re-ingested duplicates carry fresh ids. Any group it reports is a
+    train→eval leak: the eval copies measure memorization, not
+    generalization. One row per leaking split combination
+    (``leak_pair``, e.g. ``'train|val'``) with the number of duplicate
+    groups and total documents involved; an empty result is the
+    passing audit.
+
+    Scale shape: documents reduce to (16-byte MD5 fingerprint, split)
+    at the scan; one fingerprint-keyed aggregation (map-side partial),
+    then a split-combination group-by over only the leaking groups —
+    at most 2^n_splits combinations. No text shuffled, no windows, no
+    Python. Near-duplicate leakage (the stricter audit) composes the
+    same way from minhash_clusters' (id, cluster) output instead of
+    the fingerprint."""
+    assigned = assign_splits(df, splits, key_col, seed)
+    groups = (assigned
+              .select(F.md5(F.col(text_col)).alias("fp"), "split")
+              .groupBy("fp")
+              .agg(F.countDistinct("split").alias("n_splits"),
+                   F.count("*").alias("n_copies"),
+                   F.array_join(F.array_sort(F.collect_set("split")),
+                                "|").alias("leak_pair")))
+    return (groups.filter(F.col("n_splits") >= 2)
+            .groupBy("leak_pair")
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum("n_copies").cast("long").alias("n_docs")))
+
+
+def split_leakage_pairs(pairs: DataFrame, assigned: DataFrame,
+                        a_col: str = "doc_a", b_col: str = "doc_b",
+                        id_col: str = "doc_id",
+                        split_col: str = "split") -> DataFrame:
+    """The near-duplicate form of :func:`split_leakage_audit`: given a
+    verified near-dup PAIR table (minhash_lsh_dedup / simhash output)
+    and a split assignment, report every pair whose endpoints sit in
+    different splits, grouped by the unordered split combination —
+    ``(leak_pair, n_pairs, max_jacc)``. This is the audit eval-set
+    hygiene actually requires: exact-dup leakage is rare after an
+    exact dedup pass, while near-duplicate train→eval leakage
+    (re-crawls, paraphrases, boilerplate variants) is the one that
+    inflates benchmarks.
+
+    Scale shape: the pair table is ∝ near-dup incidence (already
+    LSH-bounded upstream); two id-keyed equi-joins against the
+    (id, split) projection, then a group-by over <= C(n_splits, 2)
+    keys. ``max_jacc`` is rounded to 3 decimals (cross-engine max of
+    per-pair exact Jaccards). Pairs with a jacc column keep it;
+    otherwise pass a pairs frame with a literal."""
+    sp = assigned.select(F.col(id_col), F.col(split_col))
+    sa = sp.select(F.col(id_col).alias(a_col),
+                   F.col(split_col).alias("__split_a"))
+    sb = sp.select(F.col(id_col).alias(b_col),
+                   F.col(split_col).alias("__split_b"))
+    leak = (pairs.join(sa, a_col).join(sb, b_col)
+            .filter(F.col("__split_a") != F.col("__split_b")))
+    pair_key = F.array_join(
+        F.array_sort(F.array("__split_a", "__split_b")), "|")
+    return (leak.groupBy(pair_key.alias("leak_pair"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.max("jacc"), 3).alias("max_jacc")))
+
+
 def quota_cap(df: DataFrame, strata_col: str, n: int, key_col: str,
               seed: str = "") -> DataFrame:
     """Cap each stratum at ``n`` rows, chosen deterministically: rows

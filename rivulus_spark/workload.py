@@ -1652,6 +1652,37 @@ def q_bpe_encode_corpus(spark, sf_dir):
     return bpe.encode_docs_with_merges(docs, merges)
 
 
+def _tokenizer_fertility_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return ("WITH enc AS (" + _bpe_encode_oracle(sf_dir) + """)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(enc.n_tokens)::BIGINT AS n_tokens,
+       sum(enc.n_pieces)::BIGINT AS n_pieces,
+       floor(sum(enc.n_pieces)::DOUBLE / sum(enc.n_tokens) * 1000000)
+         / 1000000 AS pieces_per_token,
+       floor(sum(d.n_chars)::DOUBLE / sum(enc.n_pieces) * 1000000)
+         / 1000000 AS chars_per_piece
+FROM enc JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""")
+
+
+@_q("tokenizer_fertility", _tokenizer_fertility_oracle)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (bpe.tokenizer_fertility, r8
+    debut): pieces per whitespace token and source chars per piece
+    under the 8-merge trained BPE — the multilingual acceptance check
+    that catches a vocabulary taxing under-represented languages.
+    Heaps-law encode (merges on the distinct-word table) + one
+    metadata join + 5-key group-by; ratios are single divisions of
+    exact integer sums. Oracle: the independent reference
+    trainer+encoder aggregated per language."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_merges_from_docs(docs, n_merges=8)
+    return bpe.tokenizer_fertility(docs, merges, group_col="lang")
+
+
 #: classifier feature columns (order matters: weights/means/stds align)
 _CLF_FEATURES = ["n_tokens", "avg_token_len", "punct_ratio",
                  "stopword_ratio"]
@@ -3393,6 +3424,59 @@ def q_pmi_collocations(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_q("dsir_select", r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(words) AS g FROM w
+  UNION ALL
+  SELECT doc_id, unnest([words[i] || ' ' || words[i+1]
+                         for i in range(1, len(words))]) AS g FROM w),
+b AS (SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS bkt
+      FROM g),
+craw AS (SELECT bkt, count(*)::BIGINT AS c_raw FROM b GROUP BY bkt),
+ctgt AS (SELECT bkt, count(*)::BIGINT AS c_tgt
+         FROM b JOIN documents USING (doc_id)
+         WHERE lang = 'zh' GROUP BY bkt),
+tot AS (SELECT (SELECT sum(c_raw) FROM craw)::DOUBLE AS r,
+               (SELECT coalesce(sum(c_tgt), 0) FROM ctgt)::DOUBLE AS t),
+lam AS (
+  SELECT craw.bkt,
+         floor((ln(coalesce(c_tgt, 0)::DOUBLE + 0.5) - ln(t + 256.0)
+                - ln(c_raw::DOUBLE + 0.5) + ln(r + 256.0))
+               * 1000000000)::BIGINT AS lam_e9
+  FROM craw LEFT JOIN ctgt USING (bkt) CROSS JOIN tot),
+dw AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_grams,
+         sum(lam_e9)::BIGINT AS s_e9
+  FROM b JOIN lam USING (bkt) GROUP BY b.doc_id),
+scored AS (
+  SELECT d.doc_id, d.source, d.lang, n_grams,
+         floor(s_e9::DOUBLE / n_grams / 1000.0) / 1000000 AS wgt
+  FROM dw JOIN documents d USING (doc_id))
+SELECT doc_id, source, lang, n_grams, wgt,
+       row_number() OVER (ORDER BY wgt DESC, doc_id) AS rank
+FROM scored QUALIFY rank <= 50
+""")
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (dsir.dsir_select, r8 debut; Xie et
+    al. 2023): score every document by the log-likelihood ratio of its
+    hashed uni+bigram stream under the target-domain (lang='zh') vs
+    raw-pool histograms, keep the top 50. The modern domain-targeted
+    data selector — two linear passes, a 512-row broadcast log-ratio
+    table, and exact-integer per-document accumulation (lam floored to
+    1e-9 as BIGINT) so summation order cannot perturb the weights on
+    either engine."""
+    from .operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir.dsir_select(docs, F.col("lang") == "zh", k=50,
+                           carry_cols=["source", "lang"])
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def _parquet_rows(path: str, default: int) -> int:
     """Row count from parquet footers — metadata only, no Spark job.
     Used to derive size-adaptive operator parameters (LSH bits/bands)
@@ -4691,6 +4775,90 @@ def q_train_eval_split(spark, sf_dir):
     return (out.groupBy("split")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+@_q("split_leakage_audit", """
+WITH s AS (
+  SELECT md5(text) AS fp,
+         CASE WHEN ('0x' || substring(md5('split1' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT % 1000000 < 900000
+                THEN 'train'
+              WHEN ('0x' || substring(md5('split1' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT % 1000000 < 950000
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+g AS (
+  SELECT fp, count(*)::BIGINT AS n_copies,
+         count(DISTINCT split) AS n_splits,
+         array_to_string(list_sort(list_distinct(list(split))), '|')
+           AS leak_pair
+  FROM s GROUP BY fp)
+SELECT leak_pair, count(*)::BIGINT AS n_groups,
+       sum(n_copies)::BIGINT AS n_docs
+FROM g WHERE n_splits >= 2 GROUP BY leak_pair
+""")
+def q_split_leakage_audit(spark, sf_dir):
+    """Eval-contamination audit (sample.split_leakage_audit, r8
+    debut): exact-duplicate groups straddling the 90/5/5 content-
+    addressed split — each is a train→eval leak the id-keyed split
+    cannot see because duplicates carry fresh ids. Fingerprint-keyed
+    aggregation of 16-byte rows; empty result = clean split."""
+    from .operators import sample
+
+    return sample.split_leakage_audit(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="doc_id", seed="split1")
+
+
+def _split_leakage_neardup_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return ("WITH sh AS MATERIALIZED ("
+            + _SH_CTE.format(src="documents") + ")"
+            + _minhash_pairs_chain(sf_dir) + """,
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substring(md5('split1' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT % 1000000 < 900000
+                THEN 'train'
+              WHEN ('0x' || substring(md5('split1' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT % 1000000 < 950000
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+leak AS (
+  SELECT least(sa.split, sb.split) || '|' || greatest(sa.split, sb.split)
+           AS leak_pair,
+         p.jacc
+  FROM pairs p
+  JOIN sp sa ON sa.doc_id = p.doc_a
+  JOIN sp sb ON sb.doc_id = p.doc_b
+  WHERE sa.split != sb.split)
+SELECT leak_pair, count(*)::BIGINT AS n_pairs,
+       round(max(jacc), 3) AS max_jacc
+FROM leak GROUP BY leak_pair
+""")
+
+
+@_q("split_leakage_neardup", _split_leakage_neardup_oracle)
+def q_split_leakage_neardup(spark, sf_dir):
+    """Near-duplicate train→eval leakage (sample.split_leakage_pairs,
+    r8 debut): MinHash-verified near-dup pairs (Jaccard >= 0.8, the
+    dedup_minhash_lsh chain — same adaptive banding, sf-conditional
+    oracle) whose endpoints the 90/5/5 content-addressed split put in
+    DIFFERENT splits — the contamination that inflates benchmarks
+    after exact dedup has already run. Pair table ∝ near-dup
+    incidence; two id-keyed joins; C(3,2)-key group-by."""
+    from .operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, threshold=0.8,
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
+    assigned = sample.assign_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="doc_id", seed="split1")
+    return sample.split_leakage_pairs(pairs, assigned)
 
 
 @_q("token_budget_mix", """

@@ -2601,3 +2601,114 @@ def test_bpe_encode_survives_trailing_whitespace(spark):
            for r in bpe.encode_docs_with_merges(docs, merges).collect()}
     # merge 1: (a,b) count 2 -> ab one piece; cd stays two chars
     assert got == {(0, 2, 2), (1, 2, 4)}
+
+
+# ----------------------------------------------------------------------
+# DSIR + split-leakage + tokenizer-fertility (r8 second wave)
+# ----------------------------------------------------------------------
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """An unlabeled document sharing the target domain's vocabulary
+    must outweigh one that doesn't; target members themselves score
+    highest; every weight is a 1e-6-floored double."""
+    import math as m
+
+    from rivulus_spark.operators import dsir
+
+    df = spark.createDataFrame([
+        (0, "alpha beta gamma delta alpha beta", "tgt"),
+        (1, "alpha beta gamma epsilon beta gamma", "tgt"),
+        (2, "alpha beta gamma zeta alpha gamma", "raw"),
+        (3, "one two three four five six", "raw"),
+    ], "doc_id long, text string, domain string")
+    w = {r.id: r.wgt for r in
+         dsir.dsir_weights(df, F.col("domain") == "tgt").collect()}
+    assert set(w) == {0, 1, 2, 3}
+    assert w[2] > w[3], "target-vocab doc must outrank unrelated doc"
+    assert min(w[0], w[1]) > w[3]
+    for v in w.values():
+        assert v == m.floor(v * 1_000_000) / 1_000_000
+
+
+def test_dsir_select_rank_and_carry(spark):
+    from rivulus_spark.operators import dsir
+
+    df = spark.createDataFrame([
+        (0, "alpha beta gamma", "tgt", "s0"),
+        (1, "alpha beta gamma", "raw", "s1"),
+        (2, "unrelated words here", "raw", "s2"),
+    ], "doc_id long, text string, domain string, source string")
+    out = dsir.dsir_select(df, F.col("domain") == "tgt", k=2,
+                           carry_cols=["source"]).collect()
+    assert [r.rank for r in out] == [1, 2]
+    assert {r.id for r in out} == {0, 1}  # identical text ties, id breaks
+    assert out[0].source == "s0"
+
+
+def test_split_leakage_pairs_hand_case(spark):
+    from rivulus_spark.operators import sample
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.85), (5, 6, 1.0)],
+        "doc_a long, doc_b long, jacc double")
+    assigned = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "train"),
+         (5, "test"), (6, "train")], "doc_id long, split string")
+    out = {r.leak_pair: (r.n_pairs, r.max_jacc) for r in
+           sample.split_leakage_pairs(pairs, assigned).collect()}
+    # pair (3,4) is train-train: not a leak; the key is order-free
+    assert out == {"train|val": (1, 0.9), "test|train": (1, 1.0)}
+
+
+def test_split_leakage_audit_exact_dups_across_splits(spark):
+    """Craft ids whose content-hash buckets land in different splits
+    (computed with the same md5 derivation assign_splits uses), then
+    verify a cross-split duplicate group is reported and a same-split
+    one is not."""
+    import hashlib
+
+    from rivulus_spark.operators import sample
+
+    def bucket(i: int) -> int:
+        h = hashlib.md5(f"leak{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    train = [i for i in range(200) if bucket(i) < 900_000]
+    evalv = [i for i in range(200) if bucket(i) >= 900_000]
+    assert len(train) >= 3 and len(evalv) >= 1
+    rows = [(train[0], "dup across"), (evalv[0], "dup across"),
+            (train[1], "dup within"), (train[2], "dup within"),
+            (train[3] if len(train) > 3 else train[0] + 0, "unique one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sample.split_leakage_audit(
+        df, {"train": 0.9, "eval": 0.1}, key_col="doc_id", seed="leak")
+    got = [(r.leak_pair, r.n_groups, r.n_docs) for r in out.collect()]
+    assert got == [("eval|train", 1, 2)]
+
+
+def test_tokenizer_fertility_matches_encode_aggregation(spark):
+    """fertility(group) must equal the per-group aggregation of
+    encode_docs_with_merges' per-doc counts, ratios floored at 1e-6."""
+    import math as m
+
+    from rivulus_spark.operators import bpe
+
+    df = spark.createDataFrame([
+        (0, "aa bb aa bb aa", "en", 14),
+        (1, "aa aa aa cc", "en", 11),
+        (2, "xx yy zz", "zh", 8),
+    ], "doc_id long, text string, lang string, n_chars long")
+    merges = bpe.train_merges_from_docs(df, n_merges=2)
+    enc = {r.doc_id: (r.n_tokens, r.n_pieces) for r in
+           bpe.encode_docs_with_merges(df, merges).collect()}
+    fert = {r.lang: r for r in
+            bpe.tokenizer_fertility(df, merges).collect()}
+    for lang, ids in (("en", [0, 1]), ("zh", [2])):
+        nt = sum(enc[i][0] for i in ids)
+        np_ = sum(enc[i][1] for i in ids)
+        nc = {0: 14, 1: 11, 2: 8}
+        assert fert[lang].n_docs == len(ids)
+        assert fert[lang].n_tokens == nt and fert[lang].n_pieces == np_
+        assert fert[lang].pieces_per_token == m.floor(np_ / nt * 1e6) / 1e6
+        assert fert[lang].chars_per_piece == \
+            m.floor(sum(nc[i] for i in ids) / np_ * 1e6) / 1e6

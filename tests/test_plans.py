@@ -312,6 +312,32 @@ def test_topk_rank_windows_are_group_limited(spark, name, k):
     assert f"TakeOrderedAndProject(limit={k}" in p, p
 
 
+def test_dsir_select_broadcasts_lam_and_is_group_limited(spark):
+    # the 512-row log-ratio table must ride a broadcast join onto the
+    # gram stream (never a shuffle of the stream by bucket), and the
+    # rank window must be group-limited to k pre-limited rows
+    p = plan(spark, "dsir_select")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject(limit=50" in p
+    assert "EvalPython" not in p
+    # the only nested-loop joins allowed are the 1-row totals riding
+    # in as broadcast crossJoins (the pmi_collocations idiom)
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "NestedLoop" in line:
+            assert "BroadcastNestedLoopJoin" in line and "Cross" in line
+
+
+@pytest.mark.parametrize("name", [
+    "split_leakage_audit", "split_leakage_neardup",
+    "tokenizer_fertility",
+])
+def test_r8_second_wave_debuts_are_jvm_only(spark, name):
+    p = plan(spark, name)
+    assert "EvalPython" not in p, name
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, name
+
+
 def test_orc_roundtrip_pushes_filter_into_scan(spark):
     # the ORC read-back must get the same pushdown treatment as parquet
     p = plan(spark, "orc_sink_roundtrip")
@@ -470,6 +496,7 @@ def _subtree(plan: str, idx: int) -> str:
 _WINDOW_JUSTIFICATION = {
     "ngram_topk": "topk",
     "pmi_collocations": "topk",
+    "dsir_select": "topk",
     "source_term_divergence": "topk",
     "vocab_topk": "topk",
     "heavy_hitters": "topk",
