@@ -129,15 +129,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def gram_stream(df: DataFrame, k: int, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                carry_cols: list[str] | None = None) -> DataFrame:
     """The shared positional k-gram token stream: ``(id, pos, t0 ..
     t{k-1})`` rows via posexplode + lead window — the one skeleton
     behind shingling, winnowing, corpus n-gram counting, PMI pairs,
-    and word-bigram LM transitions (r8 review: five near-identical
-    copies of this block existed; a fix to the stream now lands
-    once). Rows whose k-th token is null (past the doc end) are
-    dropped, so ``pos`` values are exactly 0..n_tokens-k per doc;
-    ``k=1`` is the plain positional token stream.
+    word-bigram LM transitions, and DSIR features (r8 review: five
+    near-identical copies of this block existed; a fix to the stream
+    now lands once). Rows whose k-th token is null (past the doc end)
+    are dropped, so ``pos`` values are exactly 0..n_tokens-k per doc;
+    ``k=1`` is the plain positional token stream. ``carry_cols``
+    (per-DOCUMENT constants — a domain flag, a source label) ride
+    along on every gram row, which is what lets a consumer fold two
+    conditional histograms into ONE stream pass instead of scanning
+    per condition.
 
     Codegen end to end except the one (id)-keyed window exchange; the
     array-transform alternative evaluates its lambda interpreted per
@@ -146,7 +151,8 @@ def gram_stream(df: DataFrame, k: int, text_col: str = "text",
     inputs."""
     from ..partitioning import spread
 
-    toks = spread(df).select(F.col(id_col).alias("id"),
+    carry = carry_cols or []
+    toks = spread(df).select(F.col(id_col).alias("id"), *carry,
                              F.posexplode(tokens(text_col))
                              .alias("pos", "t0"))
     if k == 1:
@@ -154,7 +160,7 @@ def gram_stream(df: DataFrame, k: int, text_col: str = "text",
     w = Window.partitionBy("id").orderBy("pos")
     cols = [F.col("t0")] + [F.lead("t0", i).over(w).alias(f"t{i}")
                             for i in range(1, k)]
-    return (toks.select("id", "pos", *cols)
+    return (toks.select("id", *carry, "pos", *cols)
             .filter(F.col(f"t{k - 1}").isNotNull()))
 
 

@@ -92,6 +92,10 @@ QUERIES_TO_RUN = [
     "containment_pairs",
     # two slot-mean folds, (groups x dim)-row tail
     "embedding_centroid_drift",
+    # r8 third wave: DSIR is two gram-stream passes + a 512-row
+    # broadcast; the near-dup leakage audit rides the MinHash chain +
+    # two id joins; fertility is the Heaps-law encode + k-key rollup
+    "dsir_select", "split_leakage_neardup", "tokenizer_fertility",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -135,6 +139,8 @@ HUGE_QUERIES = [
     "containment_pairs",
     # two slot-mean folds, (groups x dim)-row tail
     "embedding_centroid_drift",
+    # r8 third wave (see QUERIES_TO_RUN note)
+    "dsir_select", "split_leakage_neardup", "tokenizer_fertility",
 ]
 
 
