@@ -86,8 +86,10 @@ def _log_ratio_table(flagged_bkts: DataFrame,
            - F.log(F.col("t").cast("double") + ab)
            - F.log(F.col("c_raw").cast("double") + alpha)
            + F.log(F.col("r").cast("double") + ab))
+    # r/t ride along (constant per row) so a one-job collect can hand
+    # the serving path its totals; batch consumers project them away
     return joined.select(
-        "bkt", F.floor(lam * 1_000_000_000).alias("lam_e9"))
+        "bkt", F.floor(lam * 1_000_000_000).alias("lam_e9"), "r", "t")
 
 
 def dsir_weights(df: DataFrame, target: Column,
@@ -124,7 +126,8 @@ def dsir_weights(df: DataFrame, target: Column,
     flagged = df.withColumn("__tgt", target)
     flagged_bkts = hashed_gram_buckets(flagged, n_buckets, text_col,
                                        id_col, carry_cols=["__tgt"])
-    lam = _log_ratio_table(flagged_bkts, n_buckets, alpha)
+    lam = _log_ratio_table(flagged_bkts, n_buckets,
+                           alpha).select("bkt", "lam_e9")
     raw_bkts = hashed_gram_buckets(df, n_buckets, text_col, id_col)
     per_doc = (raw_bkts.join(F.broadcast(lam), "bkt")
                .groupBy("id")
@@ -163,3 +166,102 @@ def dsir_select(df: DataFrame, target: Column, k: int,
                       F.row_number().over(wr).alias("rank"))
               .filter(F.col("rank") <= k))
     return ranked.withColumn("rank", F.col("rank").cast("long"))
+
+
+def dsir_weight_expr(lam_rows: list[tuple[int, int]],
+                     default_lam_e9: int,
+                     n_buckets: int = DEFAULT_BUCKETS,
+                     text_col: str = "text") -> Column:
+    """ROW-LOCAL DSIR weight — the in-stream serving form: the offline
+    ``_log_ratio_table`` collects to ``lam_rows`` (a bucket->lam_e9
+    list, <= n_buckets entries — a k-row driver barrier like the
+    logreg weights) and rides into any projection as a map literal,
+    so scoring is stateless and shuffle-free: grams via the
+    array-transform path (tokens + text.ngrams — row-local, no lead
+    window, which a streaming plan could not host anyway), bucket
+    lookup in the literal map, exact-integer accumulation via
+    F.aggregate over BIGINTs, one final division. Produces the SAME
+    weight as :func:`dsir_weights` on the same document — the
+    integer-lam contract makes the two paths bit-equal, which is what
+    lets the stream query share the batch oracle.
+
+    ``default_lam_e9`` fills buckets the offline pool never hit
+    (impossible on a replayed corpus, expected on live data): pass
+    ``floor((ln(a) - ln(T+aB) - ln(a) + ln(R+aB)) * 1e9)`` — the
+    smoothed ratio at c_tgt = c_raw = 0.
+
+    The table ships as ONE dense ArrayType literal indexed by bucket,
+    not a 2*n_buckets-node CreateMap: a single Literal is one
+    constant reference in generated code where the node-per-entry
+    form bloats every micro-batch's codegen (measured at sf0.01:
+    0.79s vs 1.19s warm for the same 500-doc scoring)."""
+    from .text import ngrams, tokens
+
+    dense = [int(default_lam_e9)] * n_buckets
+    for bkt, lam in lam_rows:
+        dense[bkt] = int(lam)
+    arr = F.lit(dense)
+    c = F.col(text_col)
+    grams = F.concat(tokens(c), ngrams(c, 2))
+    lams = F.transform(
+        grams,
+        lambda g: F.element_at(
+            arr, (word_hash(g) % n_buckets + 1).cast("int")))
+    s_e9 = F.aggregate(lams, F.lit(0).cast("long"), lambda a, x: a + x)
+    return (F.floor(s_e9.cast("double") / F.size(grams) / 1000.0)
+            / 1_000_000)
+
+
+def dsir_model(df: DataFrame, target: Column,
+               n_buckets: int = DEFAULT_BUCKETS,
+               alpha: float = DEFAULT_ALPHA,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> tuple[list[tuple[int, int]], int]:
+    """The offline fit for in-stream serving: ONE histogram job over
+    the flagged gram stream, collected as ``(lam_rows,
+    default_lam_e9)`` for :func:`dsir_weight_expr`. The collect is an
+    <= n_buckets-row driver barrier (the logreg-weights shape). The
+    default is the smoothed ratio at c_tgt = c_raw = 0, computed
+    driver-side with the same formula — it only ever applies to
+    grams the offline pool never produced (live data), never to a
+    replayed corpus, so the libm-vs-JVM ln seam cannot reach any
+    oracle-checked row."""
+    import math
+
+    flagged = df.withColumn("__tgt", target)
+    fb = hashed_gram_buckets(flagged, n_buckets, text_col, id_col,
+                             carry_cols=["__tgt"])
+    rows = _log_ratio_table(fb, n_buckets, alpha).collect()
+    lam_rows = [(r["bkt"], r["lam_e9"]) for r in rows]
+    ab = alpha * n_buckets
+    r_tot, t_tot = (float(rows[0]["r"]), float(rows[0]["t"])) \
+        if rows else (0.0, 0.0)
+    default = math.floor(
+        (math.log(alpha) - math.log(t_tot + ab)
+         - math.log(alpha) + math.log(r_tot + ab)) * 1_000_000_000)
+    return lam_rows, default
+
+
+def dsir_batch_scores(bdf: DataFrame, lam_df: DataFrame,
+                      n_buckets: int = DEFAULT_BUCKETS,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Score a (micro-)batch against an already-FITTED lam table:
+    ``(id, n_grams, wgt)`` — :func:`dsir_weights`' weighting pass
+    alone, with the model supplied instead of refit. This is the
+    foreachBatch serving form: the gram stream and the bucket join
+    run under whole-stage codegen, where the row-local
+    :func:`dsir_weight_expr` evaluates its higher-order functions
+    interpreted per element (measured: 8.2x vs 2.3x first-decade
+    ratio on the stream bench). ``lam_df`` must carry (bkt, lam_e9)
+    covering every bucket the batch can hit — pad with the
+    :func:`dsir_model` default for live data."""
+    bkts = hashed_gram_buckets(bdf, n_buckets, text_col, id_col)
+    per_doc = (bkts.join(F.broadcast(lam_df.select("bkt", "lam_e9")),
+                         "bkt")
+               .groupBy("id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum("lam_e9").alias("s_e9")))
+    wgt = F.floor(F.col("s_e9").cast("double")
+                  / F.col("n_grams") / 1000.0) / 1_000_000
+    return per_doc.select("id", "n_grams", wgt.alias("wgt"))

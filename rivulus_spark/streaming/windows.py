@@ -254,3 +254,49 @@ def run_available_now_to_files(stream_df: DataFrame, path: str,
                 f"{timeout_s}s")
     finally:
         q.stop()
+
+
+def run_available_now_foreach_batch(stream_df: DataFrame, batch_fn,
+                                    checkpoint_dir: str,
+                                    timeout_s: int = 120) -> DataFrame:
+    """Drain the backlog through ``foreachBatch`` — the escape hatch
+    that hands every micro-batch to a full BATCH plan (windows,
+    broadcast joins, multi-stage aggregations the streaming planner
+    either rejects or could only run as interpreted row-local
+    expressions). ``batch_fn(batch_df) -> DataFrame`` must reduce its
+    micro-batch to a SMALL result (partial aggregates, not rows ∝
+    input): each result is collected (a k-row barrier per batch, the
+    logreg-weights shape) and the union of all batches returns as one
+    batch DataFrame for the caller's final rollup.
+
+    This is the scale path for compute-dense per-row scoring: inside
+    foreachBatch the plan gets whole-stage codegen, where the same
+    logic as a streaming-projection higher-order function evaluates
+    interpreted per element (measured on DSIR serving: 8.2x
+    first-decade ratio row-local vs 2.3x through foreachBatch).
+    Exactly-once: AvailableNow + the checkpoint manifest make each
+    micro-batch id fire once per logical run; the in-memory
+    accumulator is per-call, so a caller-level rerun recomputes
+    cleanly rather than double-counting."""
+    spark = stream_df.sparkSession
+    # schema probe on an empty batch so an empty backlog still returns
+    # a typed (empty) frame
+    empty = spark.createDataFrame([], stream_df.schema)
+    out_schema = batch_fn(empty).schema
+    acc: list = []
+
+    def _sink(bdf: DataFrame, _bid: int) -> None:
+        acc.extend(batch_fn(bdf).collect())
+
+    q = (stream_df.writeStream
+         .foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"foreachBatch drain did not finish within {timeout_s}s")
+    finally:
+        q.stop()
+    return spark.createDataFrame(acc, out_schema)

@@ -2712,3 +2712,59 @@ def test_tokenizer_fertility_matches_encode_aggregation(spark):
         assert fert[lang].pieces_per_token == m.floor(np_ / nt * 1e6) / 1e6
         assert fert[lang].chars_per_piece == \
             m.floor(sum(nc[i] for i in ids) / np_ * 1e6) / 1e6
+
+
+def test_dsir_serving_paths_are_bit_equal(spark):
+    """The three DSIR weight paths — batch (explode + broadcast join),
+    row-local expression (map-free array literal), and foreachBatch
+    serving (fitted lam + dsir_batch_scores) — must produce the SAME
+    floored weight per document: the integer-lam contract is what
+    lets the stream query share the batch oracle."""
+    from rivulus_spark.operators import dsir
+
+    df = spark.createDataFrame([
+        (0, "alpha beta gamma delta alpha", "tgt"),
+        (1, "alpha beta gamma epsilon", "tgt"),
+        (2, "alpha beta zeta gamma", "raw"),
+        (3, "one two three four five", "raw"),
+        (4, "solo", "raw"),
+    ], "doc_id long, text string, domain string")
+    tgt = F.col("domain") == "tgt"
+    batch = {r.id: (r.n_grams, r.wgt)
+             for r in dsir.dsir_weights(df, tgt).collect()}
+    lam_rows, default = dsir.dsir_model(df, tgt)
+    expr = dsir.dsir_weight_expr(lam_rows, default)
+    local = {r.doc_id: r.wgt
+             for r in df.select("doc_id", expr.alias("wgt")).collect()}
+    lam_df = spark.createDataFrame(
+        [(b, int(l)) for b, l in lam_rows], "bkt long, lam_e9 long")
+    served = {r.id: (r.n_grams, r.wgt)
+              for r in dsir.dsir_batch_scores(df, lam_df).collect()}
+    assert set(batch) == set(local) == set(served) == {0, 1, 2, 3, 4}
+    for i in batch:
+        assert batch[i][1] == local[i] == served[i][1], i
+        assert batch[i][0] == served[i][0], i
+
+
+def test_foreach_batch_drain_returns_typed_empty_on_no_input(spark, tmp_path):
+    """run_available_now_foreach_batch must return a TYPED empty frame
+    when the backlog is empty (the schema probe contract), not crash
+    on an unknown schema."""
+    import pyspark.sql.functions as SF
+
+    from rivulus_spark.streaming import windows as sw
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id long, s string") \
+        .write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def agg(bdf):
+        return bdf.groupBy("s").agg(SF.count("*").alias("n"))
+
+    out = sw.run_available_now_foreach_batch(
+        stream, agg, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert [(r.s, r.n) for r in out.collect()] == [("a", 1)]
+    assert out.columns == ["s", "n"]

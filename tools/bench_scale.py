@@ -94,8 +94,10 @@ QUERIES_TO_RUN = [
     "embedding_centroid_drift",
     # r8 third wave: DSIR is two gram-stream passes + a 512-row
     # broadcast; the near-dup leakage audit rides the MinHash chain +
-    # two id joins; fertility is the Heaps-law encode + k-key rollup
+    # two id joins; fertility is the Heaps-law encode + k-key rollup;
+    # the stream scorer drains codegen micro-batches via foreachBatch
     "dsir_select", "split_leakage_neardup", "tokenizer_fertility",
+    "stream_dsir_score",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -141,6 +143,7 @@ HUGE_QUERIES = [
     "embedding_centroid_drift",
     # r8 third wave (see QUERIES_TO_RUN note)
     "dsir_select", "split_leakage_neardup", "tokenizer_fertility",
+    "stream_dsir_score",
 ]
 
 
