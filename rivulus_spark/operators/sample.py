@@ -229,6 +229,43 @@ def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
     return df.withColumn("split", expr)
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str, seed: str = "") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, size ``k``, inclusion
+    probability ∝ ``weight_col`` — Efraimidis & Spirakis (2006) A-Res:
+    every row draws a deterministic uniform u from its content hash and
+    competes on the key ``ln(u) / w`` (the log form of u^(1/w));
+    the k LARGEST keys win. One distributed top-k, which is exactly
+    the token-proportional draw a pretraining mixture makes (sample
+    documents ∝ token count so the TOKEN mix, not the document mix,
+    matches the target). Content-addressed like every sampler here:
+    re-runs, repartitions, and other engines pick the same rows;
+    ``seed`` re-draws independently.
+
+    Rows with weight <= 0 or null are EXCLUDED (a zero-weight row has
+    inclusion probability 0 by contract; a negative weight is a
+    caller bug surfaced by absence, the hash_sample null-key
+    convention). The sample key floor-truncates to 1e-9 and the rank
+    tie-breaks on ``key_col``, so the cut is deterministic
+    cross-engine. Scale shape: pure projection + Catalyst group-limit
+    top-k (TakeOrderedAndProject below the rank window) — no global
+    sort, no state."""
+    from pyspark.sql import Window
+
+    u = ((word_hash(F.concat(F.lit(seed),
+                             F.col(key_col).cast("string"))) + 1)
+         .cast("double") / float((1 << 60) + 1))
+    w = F.col(weight_col).cast("double")
+    skey = F.floor(F.log(u) / w * 1_000_000_000) / 1_000_000_000
+    ranked = (df.filter(w > 0)
+              .withColumn("skey", skey)
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("skey").desc(),
+                                 F.col(key_col).asc())))
+              .filter(F.col("rank") <= k))
+    return ranked.withColumn("rank", F.col("rank").cast("long"))
+
+
 def split_leakage_audit(df: DataFrame, splits: dict[str, float],
                         key_col: str = "doc_id", seed: str = "",
                         text_col: str = "text") -> DataFrame:

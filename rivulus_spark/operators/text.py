@@ -103,11 +103,20 @@ def punct_ratio(col: str | Column) -> Column:
 def stopword_ratio(col: str | Column) -> Column:
     """Stopword tokens (total occurrences, not distinct) / tokens,
     floor-truncated to 3 decimals. High-quality prose sits in a known
-    band; near-0 or near-1 flags keyword spam / boilerplate."""
+    band; near-0 or near-1 flags keyword spam / boilerplate.
+
+    Occurrences count as ``size(toks) - size(array_remove(toks, m))``
+    summed over the 8 markers (array_remove keeps duplicates of
+    everything else, so the size drop IS m's occurrence count) — not
+    a filter-lambda over the token array: higher-order functions
+    evaluate their lambda interpreted per element, and this column
+    sits on the quality-features hot path (classifier, datacard,
+    curation, two streams). Measured on the sf1 corpus scan: 1.0s vs
+    5.7s, bit-identical ratios (r8)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
-    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    n_stop = sum(F.size(toks) - F.size(F.array_remove(toks, m))
+                 for m in EN_MARKERS)
     ratio = n_stop.cast("double") / F.size(toks)
     return F.floor(ratio * 1000).cast("double") / 1000
 
@@ -330,19 +339,54 @@ def top_distinctive_terms(df: DataFrame, k: int = 3,
             .withColumn("rank", F.col("rank").cast("long")))
 
 
+def _en_marker_count(text_col: str | Column) -> Column:
+    """Distinct English marker tokens present, as a sum of 8
+    ``array_contains`` probes — NOT ``size(array_intersect(...))``:
+    ArrayIntersect is a CodegenFallback collection expression that
+    builds a hash set per row interpreted, while ArrayContains
+    generates straight-line code; same answer (each marker counts
+    once either way), measured 8.9s vs 0.9s on the sf1 corpus scan
+    (r8)."""
+    toks = tokens(text_col)
+    n = sum(F.array_contains(toks, F.lit(m)).cast("int")
+            for m in EN_MARKERS)
+    return n
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language-ID heuristic: counts distinct English
     marker tokens present; >= 2 distinct markers => 'en'. (A real
     pipeline would use per-language marker sets + char n-gram stats;
     the scoring scaffold is identical.)"""
-    toks = tokens(text_col)
-    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
-    n = F.size(F.array_intersect(toks, markers))
+    n = _en_marker_count(text_col)
     return df.select(
         "doc_id",
         n.alias("en_markers"),
         F.when(n >= 2, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
     )
+
+
+def lang_mismatch_audit(df: DataFrame, label_col: str = "lang",
+                        group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Label-vs-detector disagreement rollup: per ``group_col``, how
+    many documents the :func:`lang_id` heuristic scores differently
+    from their ingest-time ``label_col`` — the audit that catches a
+    crawl source shipping mislabeled or code-switched documents
+    before the labels steer per-language mixing, fertility budgets,
+    or per-lang quality thresholds. ``(group, n_docs, n_labeled_en,
+    n_pred_en, n_mismatch)``; a group with high ``n_mismatch`` gets a
+    relabel pass, not silent trust. One projection + one group-by
+    over the handful of group keys (map-side partial), no joins — the
+    detector runs inline, not against a materialized lang_id table."""
+    pred_en = _en_marker_count(text_col) >= 2
+    labeled_en = F.col(label_col) == "en"
+    as_long = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (df.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 as_long(labeled_en).alias("n_labeled_en"),
+                 as_long(pred_en).alias("n_pred_en"),
+                 as_long(labeled_en != pred_en).alias("n_mismatch")))
 
 
 def chunk_documents(df: DataFrame, max_tokens: int = 128,

@@ -2694,6 +2694,29 @@ def q_lang_id(spark, sf_dir):
     return df.select("doc_id", F.col("en_markers").cast("long"), "pred_lang")
 
 
+@_q("lang_mismatch_audit", r"""
+WITH p AS (
+  SELECT source, lang,
+         len(list_intersect(regexp_split_to_array(trim(text), '\s+'),
+             ['the','a','of','and','to','is','in','it'])) >= 2 AS pred_en
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+         AS n_labeled_en,
+       sum(CASE WHEN pred_en THEN 1 ELSE 0 END)::BIGINT AS n_pred_en,
+       sum(CASE WHEN (lang = 'en') != pred_en THEN 1 ELSE 0 END)::BIGINT
+         AS n_mismatch
+FROM p GROUP BY source
+""")
+def q_lang_mismatch_audit(spark, sf_dir):
+    """Language-label trust audit (text.lang_mismatch_audit, r8
+    debut): per-source disagreement between the ingest lang label and
+    the marker-token detector — the relabel-this-source signal before
+    labels steer mixing, fertility budgets, or per-lang thresholds.
+    One projection + one k-key group-by, no joins."""
+    return text_ops.lang_mismatch_audit(_t(spark, sf_dir, "documents"))
+
+
 @_q("doc_stats_by_source", """
 SELECT source, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -4927,6 +4950,39 @@ def q_split_leakage_neardup(spark, sf_dir):
     return sample.split_leakage_pairs(pairs, assigned)
 
 
+@_q("weighted_sample_tokens", """
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         floor(ln((('0x' || substring(md5('wsamp' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT + 1)::DOUBLE
+                  / 1152921504606846977.0)
+               / n_chars::DOUBLE * 1000000000) / 1000000000 AS skey
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, source, n_chars, skey,
+       row_number() OVER (ORDER BY skey DESC, doc_id) AS rank
+FROM s QUALIFY rank <= 100
+""")
+def q_weighted_sample_tokens(spark, sf_dir):
+    """Token-proportional weighted sampling without replacement
+    (sample.weighted_sample, r8 debut; Efraimidis & Spirakis 2006
+    A-Res): 100 documents drawn with inclusion probability ∝ n_chars
+    via the deterministic key ln(u)/w over a content-hash uniform —
+    the draw that makes a sampled TOKEN mix match the corpus token
+    mix. Pure projection + group-limit top-k; key floored to 1e-9,
+    id tie-break."""
+    from .operators import sample
+
+    # project BEFORE ranking: the rank's TakeOrderedAndProject sorts
+    # full rows, so leaving `text` in the frame drags the whole text
+    # column through the heap merge (measured 3.3s -> scan-bound
+    # without it at sf1)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    out = sample.weighted_sample(docs, k=100, weight_col="n_chars",
+                                 key_col="doc_id", seed="wsamp")
+    return out.select("doc_id", "source", "n_chars", "skey", "rank")
+
+
 @_q("token_budget_mix", """
 WITH per AS (
   SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens
@@ -5742,7 +5798,12 @@ _PRIORITY: list[str] = [
     # containment_pairs and embedding_centroid_drift (r8 late debuts)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
-    # this round, and debut in the r9 window first.
+    # this round, and debut in the r9 window first. The same holds
+    # for the r8 THIRD-wave debuts (dsir_select, split_leakage_audit,
+    # split_leakage_neardup, tokenizer_fertility, stream_dsir_score):
+    # all five verified this round at sf0.01 AND sf1 AND sf10
+    # (ORACLE_SF1/ORACLE_SF10) with three-decade scale rows; they
+    # queue for the r9 window behind the (c) backfill below.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

@@ -2768,3 +2768,42 @@ def test_foreach_batch_drain_returns_typed_empty_on_no_input(spark, tmp_path):
         stream, agg, checkpoint_dir=str(tmp_path / "ckpt"))
     assert [(r.s, r.n) for r in out.collect()] == [("a", 1)]
     assert out.columns == ["s", "n"]
+
+
+def test_weighted_sample_determinism_exclusions_and_bias(spark):
+    """A-Res weighted sampling: same seed = same rows in the same
+    order; zero/negative weights never appear; a different seed
+    re-draws; and under a 20:1 weight ratio the heavy rows must
+    dominate the sample (pinned on the deterministic draw)."""
+    from rivulus_spark.operators import sample
+
+    rows = [(i, 1) for i in range(50)] + [(i, 20) for i in range(50, 100)]
+    rows += [(100, 0), (101, -5)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    a1 = [(r.k, r.rank) for r in
+          sample.weighted_sample(df, 30, "w", "k", seed="a").collect()]
+    a2 = [(r.k, r.rank) for r in
+          sample.weighted_sample(df, 30, "w", "k", seed="a").collect()]
+    assert a1 == a2 and len(a1) == 30
+    ids = {k for k, _ in a1}
+    assert 100 not in ids and 101 not in ids
+    heavy = sum(1 for k in ids if k >= 50)
+    assert heavy >= 20, f"20x-weighted rows under-sampled: {heavy}/30"
+    b = {r.k for r in
+         sample.weighted_sample(df, 30, "w", "k", seed="b").collect()}
+    assert b != ids
+
+
+def test_lang_mismatch_audit_hand_case(spark):
+    """Labeled-en doc without markers and labeled-fr doc full of
+    markers both count as mismatches; agreeing docs don't."""
+    df = spark.createDataFrame([
+        (0, "sA", "en", "the cat sat on a mat of it"),   # en, pred en
+        (1, "sA", "en", "bonjour le monde ici"),          # en, pred other
+        (2, "sA", "fr", "the a of and to is in it"),      # fr, pred en
+        (3, "sB", "fr", "bonjour le monde encore"),       # fr, pred other
+    ], "doc_id long, source string, lang string, text string")
+    got = {r.source: r for r in text.lang_mismatch_audit(df).collect()}
+    assert (got["sA"].n_docs, got["sA"].n_labeled_en,
+            got["sA"].n_pred_en, got["sA"].n_mismatch) == (3, 2, 2, 2)
+    assert (got["sB"].n_docs, got["sB"].n_mismatch) == (1, 0)

@@ -497,6 +497,7 @@ _WINDOW_JUSTIFICATION = {
     "ngram_topk": "topk",
     "pmi_collocations": "topk",
     "dsir_select": "topk",
+    "weighted_sample_tokens": "topk",
     "source_term_divergence": "topk",
     "vocab_topk": "topk",
     "heavy_hitters": "topk",

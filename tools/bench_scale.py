@@ -98,6 +98,10 @@ QUERIES_TO_RUN = [
     # the stream scorer drains codegen micro-batches via foreachBatch
     "dsir_select", "split_leakage_neardup", "tokenizer_fertility",
     "stream_dsir_score",
+    # scan + group-limit top-k: expected scan-bound
+    "weighted_sample_tokens",
+    # one projection + k-key group-by: expected scan-bound
+    "lang_mismatch_audit",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
