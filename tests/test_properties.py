@@ -533,3 +533,53 @@ def test_overlap_severity_matches_bruteforce(spark, texts):
             want[i] = (len(s), shared,
                        m.floor(shared * 1000 / len(s)) / 1000)
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet=" \t\n\x0b\f\rabλ中.", min_size=0, max_size=24),
+    min_size=1, max_size=6),
+    lam_seed=st.integers(min_value=0, max_value=2**31))
+@SET
+def test_dsir_weight_expr_matches_python_reference(spark, texts, lam_seed):
+    """The DSIR serving path (tokens + bigrams -> md5 bucket -> dense
+    lam-array index -> exact integer sum -> one division) == a pure
+    Python replay, on adversarial whitespace/unicode text and a RANDOM
+    integer lam table. Injecting the table (instead of fitting it)
+    removes the ln seam entirely, so every mismatch is a real
+    tokenization/hashing/indexing/accumulation bug, never a 1-ulp
+    float flake. Pins the split semantics the batch path inherits:
+    SQL trim strips SPACES only, and Spark's split runs with
+    limit=-1, which KEEPS leading and trailing empty fields (unlike
+    Java String.split's default) — i.e. Python re.split exactly."""
+    import hashlib
+    import math as m
+    import re
+
+    from rivulus_spark.operators import dsir
+
+    b = 64
+    rnd = __import__("random").Random(lam_seed)
+    lam_rows = [(i, rnd.randint(-10**10, 10**10)) for i in range(b)
+                if rnd.random() < 0.8]
+    default = rnd.randint(-10**10, 10**10)
+    dense = [default] * b
+    for i, v in lam_rows:
+        dense[i] = v
+
+    def spark_tokens(text):
+        return re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+
+    def ref_weight(text):
+        toks = spark_tokens(text)
+        grams = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        s = sum(dense[int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                      % b] for g in grams)
+        return m.floor(s / len(grams) / 1000.0) / 1_000_000
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    expr = dsir.dsir_weight_expr(lam_rows, default, n_buckets=b)
+    got = {r.doc_id: r.w for r in
+           df.select("doc_id", expr.alias("w")).collect()}
+    want = {i: ref_weight(t) for i, t in enumerate(texts)}
+    assert got == want

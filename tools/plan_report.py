@@ -281,6 +281,27 @@ HEADLINE = {
                                  "slot-mean folds (map-side partials), "
                                  "(label, slot) join, dim-row cosine "
                                  "reduction per label"),
+    "dsir_select": ("DSIR: ONE conditional histogram over the target-"
+                    "flagged gram stream (512-key map-side agg), lam "
+                    "table broadcast onto the weighting pass, exact-"
+                    "integer per-doc sum, group-limit top-k"),
+    "split_leakage_neardup": ("near-dup split leakage: the adaptive "
+                              "MinHash chain's verified pair table + "
+                              "two id-keyed joins against the split "
+                              "projection; C(3,2)-key rollup"),
+    "tokenizer_fertility": ("fertility: Heaps-law BPE encode (merges "
+                            "fold over the distinct-word table, token "
+                            "stream joins the piece lookup) + one "
+                            "metadata join + 5-key rollup of integer "
+                            "sums"),
+    "weighted_sample_tokens": ("A-Res weighted sample: pure projection "
+                               "(content-hash uniform, ln(u)/w key) + "
+                               "TakeOrderedAndProject below the rank "
+                               "window — no global sort"),
+    "lang_mismatch_audit": ("label-vs-detector audit: one codegen "
+                            "projection (8 array_contains probes, no "
+                            "CodegenFallback collection exprs) + "
+                            "k-key map-side-combined group-by"),
 }
 
 SF = "/root/testdata/sf0.001"
