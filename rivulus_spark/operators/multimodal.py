@@ -12,12 +12,19 @@ Scale design:
   per-blob Python at 100 TB. Batch size is bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
   large blobs never materializes at once.
-- CODEC NOTE: the real decoders (PIL/opencv/librosa) are NOT in this
-  container. ``decode=\"fake\"`` (default) derives deterministic
-  pseudo-features from an MD5 of the bytes — the full Spark plumbing
-  (schemas, Arrow batching, partitioning, explode) is real and
-  oracle-checkable; ``decode=\"real\"`` raises NotImplementedError at
-  the point where the codec call would go.
+- CODEC NOTE: the external decoders (PIL/opencv/librosa) are NOT in
+  this container, but the STANDARD-LIBRARY formats decode for real:
+  ``decode=\"real\"`` parses RIFF/PCM WAV audio (the ``wave`` module +
+  struct — real sample rate, sample count, RMS) and binary PPM (P6)
+  images (header parse + numpy channel sums — real dimensions, real
+  mean luma). Compressed formats (JPEG/PNG/MP3/MP4) raise
+  NotImplementedError at the decode call with the honest reason —
+  they need external codecs this environment lacks. ``decode=\"fake\"``
+  (default for the plumbing queries) derives deterministic
+  pseudo-features from an MD5 of the bytes; both paths share the same
+  Arrow batching, schemas, and fan-out, and BOTH are oracle-checked
+  (the real path against closed-form expected features of
+  synthesized-then-reparsed blobs).
 """
 
 from __future__ import annotations
@@ -66,6 +73,112 @@ def _fake_fields(blob: bytes) -> tuple[int, int, int, int]:
     return width, height, luma, n_frames
 
 
+# ----------------------------------------------------------------------
+# real stdlib codecs: RIFF/PCM WAV (audio) and binary PPM P6 (image)
+# ----------------------------------------------------------------------
+
+def encode_wav_pcm16(samples: list[int], rate: int) -> bytes:
+    """Serialize 16-bit mono PCM to a valid RIFF WAV blob — the
+    synthesis half used by the real-codec oracle queries and tests
+    (production data arrives as real files; the decoder below doesn't
+    care which)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
+    """REAL audio decode, stdlib-only: RIFF/PCM via the ``wave``
+    module. Returns (rate, n_samples, duration_us, rms) where rms is
+    sqrt(mean(sample^2)) / full_scale over all channels —
+    integer-exact accumulation, one sqrt, one division (for a
+    constant-amplitude clip the result is exactly A/32768, which is
+    what lets the oracle state it in closed form). Compressed audio
+    (MP3/AAC/FLAC — anything the RIFF parser rejects) raises
+    NotImplementedError with the honest reason."""
+    import io
+    import math
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            sw = w.getsampwidth()
+            ch = w.getnchannels()
+            frames = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "only RIFF/PCM WAV decodes without external codecs "
+            f"(stdlib wave); got undecodable bytes: {e}") from e
+    if sw != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported stdlib-side (got {sw*8}-bit)")
+    xs = struct.unpack(f"<{n * ch}h", frames)
+    ssq = sum(x * x for x in xs)  # exact int accumulation
+    rms = math.sqrt(ssq / len(xs)) / 32768.0 if xs else 0.0
+    return rate, n, n * 1_000_000 // rate, rms
+
+
+def encode_ppm(width: int, height: int, r: int, g: int, b: int) -> bytes:
+    """Serialize a solid-color binary PPM (P6, maxval 255) — the
+    synthesis half for the real-codec image oracle."""
+    return (f"P6\n{width} {height}\n255\n".encode("ascii")
+            + bytes([r, g, b]) * (width * height))
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
+    """REAL image decode, stdlib+numpy: binary PPM (P6). Returns
+    (width, height, mean_luma) with mean_luma = (0.299*mean_r +
+    0.587*mean_g + 0.114*mean_b) / 255 — per-channel means from exact
+    integer sums (numpy int64), then ONE float formula, so a
+    solid-color image reproduces the closed-form value bit-exactly.
+    JPEG/PNG/anything non-P6 raises NotImplementedError with the
+    honest reason."""
+    import numpy as np
+
+    if not blob.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) decodes without external codecs; "
+            "JPEG/PNG need PIL/opencv, which this environment lacks")
+    # header = magic, width, height, maxval — ASCII tokens separated by
+    # whitespace; comments (#...) legal per the netpbm spec
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i:i + 1].isspace():
+            i += 1
+        if blob[i:i + 1] == b"#":
+            while i < len(blob) and blob[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j:j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    n = width * height
+    px = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=i)
+    px = px.reshape(n, 3)
+    sums = px.sum(axis=0, dtype=np.int64)  # exact integer channel sums
+    mr, mg, mb = (float(s) / n for s in sums)
+    luma = (0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0
+    return width, height, luma
+
+
 IMAGE_FEATURES_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("width", LongType()),
@@ -89,15 +202,16 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                # real path: PIL.Image.open(io.BytesIO(b)) -> size/luma
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "use decode='fake' for the deterministic stub")
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
-                w, h, luma, _ = _fake_fields(bytes(blob))
-                rows.append((doc_id, w, h, w * h, luma / 255.0))
+                if decode == "real":
+                    # stdlib P6 parser; JPEG/PNG raise with the
+                    # honest external-codec reason inside
+                    w, h, luma = _decode_ppm(bytes(blob))
+                else:
+                    w, h, il, _ = _fake_fields(bytes(blob))
+                    luma = il / 255.0
+                rows.append((doc_id, w, h, w * h, luma))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               IMAGE_FEATURES_SCHEMA.fields])
 
@@ -172,18 +286,19 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                # real path: soundfile.read(io.BytesIO(b)) -> rate/samples
-                raise NotImplementedError(
-                    "audio codec not available in this environment; "
-                    "use decode='fake' for the deterministic stub")
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
-                h = hashlib.md5(bytes(blob)).hexdigest()
-                rate = _AUDIO_RATES[int(h[14:16], 16) % 4]
-                n = int(h[16:21], 16) % (1 << 20) + 1
-                rms = int(h[21:25], 16) % 10_000 / 10_000.0
-                rows.append((doc_id, rate, n, n * 1_000_000 // rate, rms))
+                if decode == "real":
+                    # stdlib RIFF/PCM parser; compressed formats raise
+                    # with the honest external-codec reason inside
+                    rate, n, dur, rms = _decode_wav(bytes(blob))
+                else:
+                    h = hashlib.md5(bytes(blob)).hexdigest()
+                    rate = _AUDIO_RATES[int(h[14:16], 16) % 4]
+                    n = int(h[16:21], 16) % (1 << 20) + 1
+                    rms = int(h[21:25], 16) % 10_000 / 10_000.0
+                    dur = n * 1_000_000 // rate
+                rows.append((doc_id, rate, n, dur, rms))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_FEATURES_SCHEMA.fields])
 

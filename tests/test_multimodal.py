@@ -44,8 +44,10 @@ def test_decode_images_fake_matches_hashlib(media):
             (int(h[8:12], 16) % 256) / 255.0)
 
 
-def test_decode_images_real_raises(media):
-    with pytest.raises(Exception, match="codec not available"):
+def test_decode_images_real_rejects_non_ppm(media):
+    """Real decode on bytes that aren't a stdlib-decodable format must
+    raise with the honest external-codec reason, not fake features."""
+    with pytest.raises(Exception, match="only binary PPM"):
         multimodal.decode_images(media, decode="real").collect()
 
 
@@ -89,9 +91,46 @@ def test_decode_audio_fake_matches_hashlib(media):
         assert 0.0 <= r.rms < 1.0
 
 
-def test_decode_audio_real_raises(media):
-    with pytest.raises(Exception, match="codec not available"):
+def test_decode_audio_real_rejects_non_wav(media):
+    with pytest.raises(Exception, match="only RIFF/PCM WAV"):
         multimodal.decode_audio(media, decode="real").collect()
+
+
+def test_wav_real_roundtrip_nonconstant_rms(spark):
+    """encode_wav_pcm16 -> decode_audio(real): real header fields and
+    an RMS that matches the exact integer sum-of-squares reference on
+    a NON-constant waveform (the query's constant-amplitude closed
+    form is the easy case)."""
+    import math
+
+    samples = [100, -200, 300, -32768, 32767, 0, 7]
+    blob = multimodal.encode_wav_pcm16(samples, 22050)
+    df = spark.createDataFrame([(0, bytearray(blob))],
+                               "doc_id long, content binary")
+    r = multimodal.decode_audio(df, decode="real").collect()[0]
+    assert (r.sample_rate, r.n_samples) == (22050, len(samples))
+    assert r.duration_us == len(samples) * 1_000_000 // 22050
+    want = math.sqrt(sum(x * x for x in samples) / len(samples)) / 32768.0
+    assert r.rms == want
+
+
+def test_ppm_real_roundtrip_comments_and_gradient(spark):
+    """encode by hand with a header COMMENT (legal netpbm) and a
+    non-solid raster; decode_images(real) must parse the header past
+    the comment and compute the exact channel-sum luma."""
+    w, h = 3, 2
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                10, 20, 30, 40, 50, 60, 70, 80, 90])
+    blob = b"P6\n# synthetic test image\n3 2\n255\n" + px
+    df = spark.createDataFrame([(0, bytearray(blob))],
+                               "doc_id long, content binary")
+    r = multimodal.decode_images(df, decode="real").collect()[0]
+    assert (r.width, r.height, r.n_pixels) == (w, h, 6)
+    rs = [255, 0, 0, 10, 40, 70]
+    gs = [0, 255, 0, 20, 50, 80]
+    bs = [0, 0, 255, 30, 60, 90]
+    mr, mg, mb = (sum(c) / 6 for c in (rs, gs, bs))
+    assert r.mean_luma == (0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0
 
 
 def test_plan_resize_fits_box_never_upscales(spark):

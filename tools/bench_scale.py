@@ -148,6 +148,14 @@ HUGE_QUERIES = [
     # r8 third wave (see QUERIES_TO_RUN note)
     "dsir_select", "split_leakage_neardup", "tokenizer_fertility",
     "stream_dsir_score",
+    # r8 curve completion: every remaining QUERIES_TO_RUN row joins
+    # the third decade (the sf10 corpus is cheap to keep resident now
+    # that every heavy family has a measured point; scan-bound rows
+    # cost seconds and close the "derived, not measured" gap)
+    "agg_q1", "join_three", "ann_lsh_topk", "dataset_diff",
+    "kmeans_cluster_sizes", "stream_interval_join",
+    "weighted_sample_tokens", "lang_mismatch_audit",
+    "split_leakage_audit", "group_percentile_clip", "temperature_mix",
 ]
 
 
