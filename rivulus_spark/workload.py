@@ -5895,10 +5895,17 @@ _PRIORITY: list[str] = [
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds
     # for the r8 THIRD-wave debuts (dsir_select, split_leakage_audit,
-    # split_leakage_neardup, tokenizer_fertility, stream_dsir_score):
-    # all five verified this round at sf0.01 AND sf1 AND sf10
-    # (ORACLE_SF1/ORACLE_SF10) with three-decade scale rows; they
-    # queue for the r9 window behind the (c) backfill below.
+    # split_leakage_neardup, tokenizer_fertility, stream_dsir_score —
+    # all verified this round at sf0.01 AND sf1 AND sf10 with
+    # three-decade scale rows — plus weighted_sample_tokens,
+    # lang_mismatch_audit, and the real-codec roundtrips
+    # multimodal_image_real/multimodal_audio_real, verified at sf0.01
+    # and sf1); they queue for the r9 window behind the (c) backfill
+    # below. The r8 stopword_ratio/lang_id codegen rewrite touched
+    # window-absent consumers (corpus_datacard, quality_classifier_*,
+    # stream_quality_score, pipeline_curate/stats, lang_id): the
+    # rewrite is measured bit-identical and every consumer re-passed
+    # this round's full 159/159 sf0.01 sweep + targeted sf1 rows.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

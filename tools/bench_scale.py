@@ -102,6 +102,10 @@ QUERIES_TO_RUN = [
     "weighted_sample_tokens",
     # one projection + k-key group-by: expected scan-bound
     "lang_mismatch_audit",
+    # real stdlib codec roundtrips: Arrow-batched synth + parse, cost
+    # ∝ blob bytes (first decade only — the sf10 blob synthesis is
+    # harness cost, not engine cost)
+    "multimodal_image_real", "multimodal_audio_real",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
