@@ -75,9 +75,14 @@ def _log_ratio_table(flagged_bkts: DataFrame,
     crossJoin (the pmi_collocations shape). Buckets the raw pool
     never hits are absent — a gram hashing there exists in no
     document, so the rows cannot be consumed downstream."""
+    # coalesce the flag: a NULL target predicate (NULL domain column)
+    # must count as not-target, not poison the bucket — an all-NULL
+    # group's SUM is NULL, which would corrupt lam for that bucket and
+    # crash dsir_model's int() on collect (r8 review)
     hist = (flagged_bkts.groupBy("bkt")
             .agg(F.count("*").alias("c_raw"),
-                 F.sum(F.col("__tgt").cast("long")).alias("c_tgt")))
+                 F.sum(F.coalesce(F.col("__tgt").cast("long"),
+                                  F.lit(0))).alias("c_tgt")))
     tot = hist.agg(F.sum("c_raw").alias("r"), F.sum("c_tgt").alias("t"))
     joined = hist.crossJoin(F.broadcast(tot))
     ab = float(alpha) * n_buckets
@@ -126,16 +131,11 @@ def dsir_weights(df: DataFrame, target: Column,
     flagged = df.withColumn("__tgt", target)
     flagged_bkts = hashed_gram_buckets(flagged, n_buckets, text_col,
                                        id_col, carry_cols=["__tgt"])
-    lam = _log_ratio_table(flagged_bkts, n_buckets,
-                           alpha).select("bkt", "lam_e9")
-    raw_bkts = hashed_gram_buckets(df, n_buckets, text_col, id_col)
-    per_doc = (raw_bkts.join(F.broadcast(lam), "bkt")
-               .groupBy("id")
-               .agg(F.count("*").alias("n_grams"),
-                    F.sum("lam_e9").alias("s_e9")))
-    wgt = F.floor(F.col("s_e9").cast("double")
-                  / F.col("n_grams") / 1000.0) / 1_000_000
-    return per_doc.select("id", "n_grams", wgt.alias("wgt"))
+    lam = _log_ratio_table(flagged_bkts, n_buckets, alpha)
+    # the weighting pass IS the serving pass with a freshly-fitted
+    # model — one implementation (r8 review: the weight formula is a
+    # three-path bit-equality contract; it must live in ONE place)
+    return dsir_batch_scores(df, lam, n_buckets, text_col, id_col)
 
 
 def dsir_select(df: DataFrame, target: Column, k: int,

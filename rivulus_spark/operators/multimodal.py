@@ -123,6 +123,15 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
     if sw != 2:
         raise NotImplementedError(
             f"only 16-bit PCM supported stdlib-side (got {sw*8}-bit)")
+    # corrupt-but-WAV files get a CLEAR ValueError (format supported,
+    # file broken — production routes these to quarantine), never a
+    # raw struct.error/ZeroDivisionError out of the task (r8 review)
+    if rate <= 0:
+        raise ValueError(f"corrupt WAV: frame rate {rate}")
+    if len(frames) != n * ch * 2:
+        raise ValueError(
+            f"corrupt WAV: header promises {n} frames x {ch} ch "
+            f"but raster carries {len(frames)} bytes")
     xs = struct.unpack(f"<{n * ch}h", frames)
     ssq = sum(x * x for x in xs)  # exact int accumulation
     rms = math.sqrt(ssq / len(xs)) / 32768.0 if xs else 0.0
@@ -164,13 +173,25 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
         j = i
         while j < len(blob) and not blob[j:j + 1].isspace():
             j += 1
+        if j == i:  # ran off the end mid-header
+            raise ValueError("corrupt PPM: truncated P6 header")
         tokens.append(blob[i:j])
         i = j
     i += 1  # single whitespace after maxval, then raster
-    width, height, maxval = (int(t) for t in tokens)
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError as e:
+        raise ValueError(f"corrupt PPM: non-numeric header token "
+                         f"({e})") from e
     if maxval != 255:
         raise NotImplementedError("only maxval=255 PPM supported")
     n = width * height
+    if n <= 0:
+        raise ValueError(f"corrupt PPM: {width}x{height} raster")
+    if len(blob) - i < 3 * n:
+        raise ValueError(
+            f"corrupt PPM: header promises {n} pixels but raster "
+            f"carries {len(blob) - i} bytes")
     px = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=i)
     px = px.reshape(n, 3)
     sums = px.sum(axis=0, dtype=np.int64)  # exact integer channel sums

@@ -247,7 +247,13 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     caller bug surfaced by absence, the hash_sample null-key
     convention). The sample key floor-truncates to 1e-9 and the rank
     tie-breaks on ``key_col``, so the cut is deterministic
-    cross-engine. Scale shape: pure projection + Catalyst group-limit
+    cross-engine. The one cross-engine seam is ln itself (JVM
+    Math.log vs the oracle's libm): a 1-ulp disagreement moves
+    ln(u)/w by ~1e-16/w absolute, i.e. ~1e-9 of the 1e-9 floor grid
+    at w~1000 — a per-row flip probability of ~1e-9, and only the k
+    OUTPUT rows can surface one, so the expected oracle impact is
+    ~k*1e-9 per run (the same accepted seam as pmi_collocations,
+    quantified). Scale shape: pure projection + Catalyst group-limit
     top-k (TakeOrderedAndProject below the rank window) — no global
     sort, no state."""
     from pyspark.sql import Window

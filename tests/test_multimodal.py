@@ -149,3 +149,25 @@ def test_plan_resize_fits_box_never_upscales(spark):
     assert (out[3].out_w, out[3].out_h, out[3].is_noop) == (512, 512, True)
     # extreme aspect ratio clamps to >= 1, never 0
     assert out[4].out_w == 1 and out[4].out_h == 512
+
+
+def test_real_codecs_reject_corrupt_files_cleanly(spark):
+    """Corrupt files of a SUPPORTED format raise a clear ValueError
+    (format ok, file broken — quarantine material), never a raw
+    struct.error/ZeroDivisionError out of the Spark task; unsupported
+    formats keep the NotImplementedError contract."""
+    import pytest as pt
+
+    from rivulus_spark.operators.multimodal import _decode_ppm, _decode_wav
+
+    with pt.raises(ValueError, match="truncated P6 header"):
+        _decode_ppm(b"P6\n3 ")
+    with pt.raises(ValueError, match="raster carries"):
+        _decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 5)
+    with pt.raises(ValueError, match="0x0|corrupt PPM"):
+        _decode_ppm(b"P6\n0 0\n255\n")
+    ok = multimodal.encode_wav_pcm16([1, 2, 3], 8000)
+    with pt.raises(ValueError, match="raster carries|corrupt WAV"):
+        _decode_wav(ok[:-2])  # truncated PCM data after a valid header
+    with pt.raises(NotImplementedError, match="only RIFF/PCM"):
+        _decode_wav(b"ID3\x04mp3-like-bytes")

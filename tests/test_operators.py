@@ -2807,3 +2807,22 @@ def test_lang_mismatch_audit_hand_case(spark):
     assert (got["sA"].n_docs, got["sA"].n_labeled_en,
             got["sA"].n_pred_en, got["sA"].n_mismatch) == (3, 2, 2, 2)
     assert (got["sB"].n_docs, got["sB"].n_mismatch) == (1, 0)
+
+
+def test_dsir_null_target_flag_counts_as_not_target(spark):
+    """A NULL target predicate (NULL domain) must count as not-target:
+    weights stay finite, dsir_model collects clean integers, and the
+    result equals the same corpus with the NULLs labeled 'raw'."""
+    from rivulus_spark.operators import dsir
+
+    rows = [(0, "alpha beta gamma", "tgt"),
+            (1, "alpha beta delta", None),
+            (2, "unrelated words here", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    df2 = df.na.fill({"domain": "raw"})
+    tgt = F.col("domain") == "tgt"
+    w_null = {r.id: r.wgt for r in dsir.dsir_weights(df, tgt).collect()}
+    w_filled = {r.id: r.wgt for r in dsir.dsir_weights(df2, tgt).collect()}
+    assert w_null == w_filled and len(w_null) == 3
+    lam_rows, default = dsir.dsir_model(df, tgt)
+    assert all(isinstance(l, int) for _, l in lam_rows)
