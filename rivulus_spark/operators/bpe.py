@@ -41,7 +41,7 @@ independent single-threaded reference implementation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, IntegerType, StringType,
                                StructField, StructType)

@@ -5078,6 +5078,65 @@ def q_weighted_sample_tokens(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "skey", "rank")
 
 
+@_q("stream_weighted_sample", """
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         floor(ln((('0x' || substring(md5('wsamp' || doc_id::VARCHAR),
+                                      1, 15))::BIGINT + 1)::DOUBLE
+                  / 1152921504606846977.0)
+               / n_chars::DOUBLE * 1000000000) / 1000000000 AS skey
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, source, n_chars, skey,
+       row_number() OVER (ORDER BY skey DESC, doc_id) AS rank
+FROM s QUALIFY rank <= 100
+""")
+def q_stream_weighted_sample(spark, sf_dir):
+    """Weighted reservoir over a STREAM (r8 debut): the property that
+    makes A-Res (Efraimidis & Spirakis) THE distributed/streaming
+    weighted sampler is that its keys MERGE exactly — the global
+    top-k of per-shard top-ks IS the global sample. Each micro-batch
+    keeps its own k best keys (group-limit top-k inside
+    foreachBatch), the drained union (≤ k·n_batches rows) re-ranks
+    once, and the result is row-identical to the batch
+    weighted_sample_tokens — same oracle, same floored keys, same id
+    tie-breaks. State per batch is k rows; nothing grows with the
+    stream."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .operators import sample
+    from .streaming import windows as sw
+
+    k = 100
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars"))
+    n_files, per_trigger = _stream_file_plan(f"{sf_dir}/documents.parquet")
+    staging = _staged_stream_parquet(docs, f"{sf_dir}/documents.parquet",
+                                     "wres", n_files=n_files)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+
+    def _batch_topk(bdf):
+        return sample.weighted_sample(bdf, k, weight_col="n_chars",
+                                      key_col="doc_id", seed="wsamp") \
+            .drop("rank")
+
+    name = f"stream_wres_{uuid.uuid4().hex[:12]}"
+    partials = sw.run_available_now_foreach_batch(
+        stream, _batch_topk,
+        checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"))
+    wr = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (partials
+            .select("doc_id", "source", "n_chars", "skey",
+                    F.row_number().over(wr).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .withColumn("rank", F.col("rank").cast("long")))
+
+
 @_q("token_budget_mix", """
 WITH per AS (
   SELECT source AS stratum, sum(n_chars)::BIGINT AS avail_tokens

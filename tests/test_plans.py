@@ -498,6 +498,7 @@ _WINDOW_JUSTIFICATION = {
     "pmi_collocations": "topk",
     "dsir_select": "topk",
     "weighted_sample_tokens": "topk",
+    "stream_weighted_sample": "topk",
     "source_term_divergence": "topk",
     "vocab_topk": "topk",
     "heavy_hitters": "topk",

@@ -441,3 +441,19 @@ def test_stream_decontaminate_matches_batch_report(spark, tmp_path):
     want = sorted(map(tuple, contamination.contamination_report(
         train, ev_docs, k=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_weighted_sample_equals_batch(spark):
+    """The A-Res mergeability contract end to end: the drained
+    streaming reservoir must be ROW-IDENTICAL to the batch sampler on
+    the same corpus (same keys, same floored skeys, same tie-breaks) —
+    the property that makes per-shard top-k + final top-k a correct
+    distributed weighted sample."""
+    from rivulus_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r.doc_id, r.skey, r.rank) for r in
+           QUERIES["stream_weighted_sample"](spark, sf).collect()]
+    want = [(r.doc_id, r.skey, r.rank) for r in
+            QUERIES["weighted_sample_tokens"](spark, sf).collect()]
+    assert sorted(got) == sorted(want) and len(got) == 100

@@ -109,6 +109,8 @@ QUERIES_TO_RUN = [
     # scan-bound rows completing the third decade (r8 review: HUGE
     # membership alone never runs — the run set is this list)
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
+    # streaming weighted reservoir: k-row state per batch, merge-exact
+    "stream_weighted_sample",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
