@@ -165,6 +165,7 @@ HUGE_QUERIES = [
     "kmeans_cluster_sizes", "stream_interval_join",
     "weighted_sample_tokens", "lang_mismatch_audit",
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
+    "stream_weighted_sample",
 ]
 
 
