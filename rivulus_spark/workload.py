@@ -5843,6 +5843,56 @@ def q_sequence_packing(spark, sf_dir):
                                      ctx_len=512)
 
 
+@_q("context_length_plan", r"""
+WITH t AS (
+  SELECT source AS part, doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tok
+  FROM documents),
+a AS (
+  SELECT part, n_tok,
+         (sum(n_tok) OVER (PARTITION BY part ORDER BY doc_id) - n_tok)
+           AS before
+  FROM t),
+e AS (SELECT part, n_tok, before, unnest([512, 1024, 2048]) AS ctx_len
+      FROM a),
+agg AS (
+  SELECT ctx_len, count(*)::BIGINT AS n_docs,
+         sum(n_tok)::BIGINT AS total_tokens,
+         sum((n_tok + ctx_len - 1) // ctx_len)::BIGINT AS pad_windows,
+         sum(CASE WHEN n_tok > 0
+                   AND (before + n_tok - 1) // ctx_len
+                       > before // ctx_len
+                  THEN 1 ELSE 0 END)::BIGINT AS frag_docs
+  FROM e GROUP BY ctx_len),
+pp AS (
+  SELECT ctx_len,
+         sum((part_tokens + ctx_len - 1) // ctx_len)::BIGINT
+           AS cut_windows
+  FROM (SELECT ctx_len, part, max(before + n_tok) AS part_tokens
+        FROM e GROUP BY ctx_len, part)
+  GROUP BY ctx_len)
+SELECT g.ctx_len::BIGINT AS ctx_len, n_docs, total_tokens, pad_windows,
+       floor((1.0 - total_tokens::DOUBLE / (pad_windows * g.ctx_len))
+             * 1000000) / 1000000 AS pad_frac,
+       cut_windows, frag_docs,
+       floor(frag_docs::DOUBLE / n_docs * 1000000) / 1000000 AS frag_frac
+FROM agg g JOIN pp USING (ctx_len)
+""")
+def q_context_length_plan(spark, sf_dir):
+    """Context-length planning audit (pack.context_length_plan, r8
+    debut): for ctx in {512, 1024, 2048}, the padding share of the
+    one-doc-per-window layout NEXT TO the document-fragmentation rate
+    of the concatenate-then-cut layout — the two numbers a training
+    team trades off when choosing sequence length. One token-count
+    projection + the packing cumsum reused across all candidates via
+    a 3-literal explode; integer arithmetic, k-row output."""
+    from .operators import pack
+
+    return pack.context_length_plan(_t(spark, sf_dir, "documents"),
+                                    ctx_lens=[512, 1024, 2048])
+
+
 @_q("tfidf_terms", r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -5954,17 +6004,18 @@ _PRIORITY: list[str] = [
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds
     # for the r8 THIRD-wave debuts (dsir_select, split_leakage_audit,
-    # split_leakage_neardup, tokenizer_fertility, stream_dsir_score —
-    # all verified this round at sf0.01 AND sf1 AND sf10 with
-    # three-decade scale rows — plus weighted_sample_tokens,
-    # lang_mismatch_audit, and the real-codec roundtrips
-    # multimodal_image_real/multimodal_audio_real, verified at sf0.01
-    # and sf1); they queue for the r9 window behind the (c) backfill
-    # below. The r8 stopword_ratio/lang_id codegen rewrite touched
-    # window-absent consumers (corpus_datacard, quality_classifier_*,
+    # split_leakage_neardup, tokenizer_fertility, stream_dsir_score,
+    # weighted_sample_tokens, lang_mismatch_audit,
+    # stream_weighted_sample, and the real-codec roundtrips
+    # multimodal_image_real/multimodal_audio_real): every one is
+    # verified this round at sf0.01 AND sf1 AND sf10
+    # (ORACLE_SF1/ORACLE_SF10) with scale rows on the curve; they
+    # queue for the r9 window behind the (c) backfill below. The r8
+    # stopword_ratio/lang_id codegen rewrite touched window-absent
+    # consumers (corpus_datacard, quality_classifier_*,
     # stream_quality_score, pipeline_curate/stats, lang_id): the
     # rewrite is measured bit-identical and every consumer re-passed
-    # this round's full 159/159 sf0.01 sweep + targeted sf1 rows.
+    # this round's full sf0.01 sweep + targeted sf1 rows.
     # (c) backfill: fully displaced this round — the eight debuts and
     # the (b) ANN re-verifications consumed every slot the r4-vintage
     # remainder (agg_salted, asof_join_events, c4_line_filter,

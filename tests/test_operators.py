@@ -2826,3 +2826,27 @@ def test_dsir_null_target_flag_counts_as_not_target(spark):
     assert w_null == w_filled and len(w_null) == 3
     lam_rows, default = dsir.dsir_model(df, tgt)
     assert all(isinstance(l, int) for _, l in lam_rows)
+
+
+def test_context_length_plan_hand_case(spark):
+    """ctx=4 over one stream with token counts [3, 2, 4]: PAD layout
+    needs ceil(3/4)+ceil(2/4)+ceil(4/4)=3 windows (12 slots, 9 tokens
+    -> pad 3/12); CUT layout: before=[0,3,5]; doc2 spans tokens 3..4
+    (crosses 4) and doc3 spans 5..8 (crosses 8), so frag_docs=2;
+    stream total 9 -> ceil(9/4)=3 cut windows."""
+    import math as m
+
+    from rivulus_spark.operators import pack
+
+    df = spark.createDataFrame([
+        (0, "s", "aa bb cc"),      # 3 word tokens
+        (1, "s", "dd ee"),         # 2
+        (2, "s", "ff gg hh ii"),   # 4
+    ], "doc_id long, source string, text string")
+    r = pack.context_length_plan(df, ctx_lens=[4]).collect()[0]
+    assert (r.ctx_len, r.n_docs, r.total_tokens) == (4, 3, 9)
+    assert r.pad_windows == 3
+    assert r.pad_frac == m.floor((1 - 9 / 12) * 1e6) / 1e6
+    assert r.cut_windows == 3
+    assert r.frag_docs == 2
+    assert r.frag_frac == m.floor(2 / 3 * 1e6) / 1e6

@@ -111,6 +111,8 @@ QUERIES_TO_RUN = [
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
     # streaming weighted reservoir: k-row state per batch, merge-exact
     "stream_weighted_sample",
+    # one projection + the packing cumsum, k-row output
+    "context_length_plan",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -165,7 +167,7 @@ HUGE_QUERIES = [
     "kmeans_cluster_sizes", "stream_interval_join",
     "weighted_sample_tokens", "lang_mismatch_audit",
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
-    "stream_weighted_sample",
+    "stream_weighted_sample", "context_length_plan",
 ]
 
 
