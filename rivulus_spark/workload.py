@@ -4230,6 +4230,54 @@ def _wav_blobs(spark, sf_dir):
     return docs.mapInPandas(_enc, "doc_id long, content binary")
 
 
+def _avi_blobs(spark, sf_dir):
+    """Uncompressed-DIB AVI blobs (2x2 RGB, doc_id%30+1 frames, frame
+    k's payload = 12 copies of a printable byte derived from
+    (doc_id, k)) — synthesis half of the REAL video-demux roundtrip."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _enc(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 30 + 1
+                frames = [bytes([(did + k * 7) % 95 + 32] * 12)
+                          for k in range(n)]
+                rows.append((did, multimodal.encode_avi_rgb(
+                    frames, 2, 2, fps=10)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.mapInPandas(_enc, "doc_id long, content binary")
+
+
+@_q("multimodal_video_real", """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, doc_id % 30 + 1, 3)) AS frame_idx
+  FROM documents)
+SELECT doc_id, frame_idx,
+       md5(repeat(chr(((doc_id + frame_idx * 7) % 95 + 32)::INT), 12))
+         AS frame_md5
+FROM f
+""")
+def q_multimodal_video_real(spark, sf_dir):
+    """REAL video demux roundtrip (r8: completes the media triple —
+    WAV audio, PPM images, now AVI video): uncompressed-DIB AVI
+    containers are synthesized per document, then
+    multimodal.sample_video_frames(decode='real') WALKS the RIFF
+    chunk tree and emits every 3rd actual frame payload; the oracle
+    states each sampled frame's MD5 in closed form, so a demuxer that
+    miscounts chunks, misreads sizes, or returns the wrong bytes
+    fails the hash. Compressed streams (H264 handler) raise with the
+    honest external-codec reason (multimodal._demux_avi)."""
+    out = multimodal.sample_video_frames(_avi_blobs(spark, sf_dir),
+                                         every_n=3, decode="real")
+    return out.select("doc_id", F.col("frame_idx").cast("long"),
+                      F.md5("frame").alias("frame_md5"))
+
+
 @_q("multimodal_audio_real", """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
@@ -6006,8 +6054,8 @@ _PRIORITY: list[str] = [
     # for the r8 THIRD-wave debuts (dsir_select, split_leakage_audit,
     # split_leakage_neardup, tokenizer_fertility, stream_dsir_score,
     # weighted_sample_tokens, lang_mismatch_audit,
-    # stream_weighted_sample, and the real-codec roundtrips
-    # multimodal_image_real/multimodal_audio_real): every one is
+    # stream_weighted_sample, context_length_plan, and the real-codec
+    # roundtrips multimodal_{image,audio,video}_real): every one is
     # verified this round at sf0.01 AND sf1 AND sf10
     # (ORACLE_SF1/ORACLE_SF10) with scale rows on the curve; they
     # queue for the r9 window behind the (c) backfill below. The r8

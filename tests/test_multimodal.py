@@ -171,3 +171,30 @@ def test_real_codecs_reject_corrupt_files_cleanly(spark):
         _decode_wav(ok[:-2])  # truncated PCM data after a valid header
     with pt.raises(NotImplementedError, match="only RIFF/PCM"):
         _decode_wav(b"ID3\x04mp3-like-bytes")
+
+
+def test_avi_real_demux_roundtrip_and_rejections(spark):
+    """encode_avi_rgb -> sample_video_frames(real): the RIFF walker
+    returns the actual frame payloads at the sampled indices; corrupt
+    containers get a clear ValueError; compressed streams and
+    non-RIFF bytes keep the honest NotImplementedError contract."""
+    import pytest as pt
+
+    from rivulus_spark.operators.multimodal import (_demux_avi,
+                                                    encode_avi_rgb)
+
+    frames = [bytes([k * 3] * 12) for k in range(8)]
+    blob = encode_avi_rgb(frames, 2, 2, fps=10)
+    df = spark.createDataFrame([(0, bytearray(blob))],
+                               "doc_id long, content binary")
+    out = {r.frame_idx: bytes(r.frame) for r in
+           multimodal.sample_video_frames(df, every_n=3,
+                                          decode="real").collect()}
+    assert out == {0: frames[0], 3: frames[3], 6: frames[6]}
+    with pt.raises(ValueError, match="corrupt AVI"):
+        _demux_avi(blob[:-3])
+    with pt.raises(NotImplementedError, match="only RIFF/AVI"):
+        _demux_avi(b"\x00\x00\x00\x00GARBAGE0")
+    idx = blob.find(b"vids") + 4
+    with pt.raises(NotImplementedError, match="H264"):
+        _demux_avi(blob[:idx] + b"H264" + blob[idx + 4:])

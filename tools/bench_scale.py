@@ -106,6 +106,7 @@ QUERIES_TO_RUN = [
     # ∝ blob bytes (first decade only — the sf10 blob synthesis is
     # harness cost, not engine cost)
     "multimodal_image_real", "multimodal_audio_real",
+    "multimodal_video_real",
     # scan-bound rows completing the third decade (r8 review: HUGE
     # membership alone never runs — the run set is this list)
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
