@@ -302,6 +302,19 @@ HEADLINE = {
                             "projection (8 array_contains probes, no "
                             "CodegenFallback collection exprs) + "
                             "k-key map-side-combined group-by"),
+    "stream_weighted_sample": ("streaming weighted reservoir: per-"
+                               "micro-batch group-limit top-k partials "
+                               "(k-row state) + ONE final re-rank — "
+                               "merge-exact A-Res, row-identical to "
+                               "the batch sampler"),
+    "context_length_plan": ("ctx planning: one token-count projection "
+                            "+ the packing cumsum reused across "
+                            "candidates via a 3-literal explode; "
+                            "k-row output"),
+    "multimodal_video_real": ("real AVI demux: Arrow-batched synth + "
+                              "stdlib RIFF walk, frame fan-out ∝ "
+                              "sampled frames; closed-form per-frame "
+                              "MD5 oracle"),
 }
 
 SF = "/root/testdata/sf0.001"
