@@ -106,6 +106,43 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def normalized_fingerprint(col: str | Column) -> Column:
+    """Canonical content fingerprint for "fuzzy-exact" dedup (the
+    RefinedWeb/CCNet normalization family): lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim —
+    then MD5. Catches the re-serialization duplicates exact hashing
+    misses (case flips, punctuation/markup churn, whitespace reflow)
+    at zero pair-computation cost — still ONE fingerprint group-by,
+    no candidate join. Portable regex subset (character classes
+    only), identical in Java regex and DuckDB RE2."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " "))
+    return F.md5(norm)
+
+
+def normalized_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """:func:`exact_duplicates` on the normalized fingerprint, keeping
+    only groups the RAW fingerprint would have missed — each output
+    row is a duplicate class that exists ONLY because of case/
+    punctuation/whitespace churn: ``(keep_id, n_copies,
+    n_raw_variants)``. Same 16-byte-shuffle scale shape as exact
+    dedup (two fingerprints per doc instead of one)."""
+    fps = df.select(
+        F.col(id_col),
+        normalized_fingerprint(text_col).alias("nfp"),
+        F.md5(F.col(text_col)).alias("fp"))
+    return (fps.groupBy("nfp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies"),
+                 F.countDistinct("fp").alias("n_raw_variants"))
+            .filter(F.col("n_raw_variants") >= 2)
+            .select("keep_id", "n_copies",
+                    F.col("n_raw_variants").cast("long")
+                    .alias("n_raw_variants")))
+
+
 def exact_dup_edges(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Duplicate-pair edges (doc_a, doc_b) from exact content matches,

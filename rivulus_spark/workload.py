@@ -2743,6 +2743,27 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+@_q("dedup_normalized", r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS nfp,
+         md5(text) AS fp
+  FROM documents)
+SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+       count(DISTINCT fp)::BIGINT AS n_raw_variants
+FROM f GROUP BY nfp HAVING count(DISTINCT fp) >= 2
+""")
+def q_dedup_normalized(spark, sf_dir):
+    """Normalization-fingerprint dedup (dedup.normalized_duplicates,
+    r8 debut; the RefinedWeb/CCNet 'fuzzy-exact' family): lowercase +
+    punctuation-strip + whitespace-collapse before hashing, reporting
+    only the duplicate classes raw hashing MISSES — case flips and
+    markup churn caught at group-by cost, no pair computation. Same
+    16-byte shuffle shape as dedup_exact."""
+    return dedup.normalized_duplicates(_t(spark, sf_dir, "documents"))
+
+
 @_q("doc_duplication_score", r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
@@ -5042,6 +5063,47 @@ def q_split_leakage_audit(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         {"train": 0.9, "val": 0.05, "test": 0.05},
         key_col="doc_id", seed="split1")
+
+
+def _neardup_rate_by_source_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    return ("WITH sh AS MATERIALIZED ("
+            + _SH_CTE.format(src="documents") + ")"
+            + _minhash_pairs_chain(sf_dir) + """,
+m AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION SELECT doc_b AS doc_id FROM pairs)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       count(m.doc_id)::BIGINT AS n_dup_members,
+       floor(count(m.doc_id)::DOUBLE / count(*) * 1000000) / 1000000
+         AS dup_frac
+FROM documents d LEFT JOIN m USING (doc_id)
+GROUP BY d.source
+""")
+
+
+@_q("neardup_rate_by_source", _neardup_rate_by_source_oracle)
+def q_neardup_rate_by_source(spark, sf_dir):
+    """Per-source near-duplicate burden (r8 debut): the fraction of
+    each source's documents that participate in at least one verified
+    MinHash near-dup pair — the triage number that decides which
+    crawl source gets the aggressive dedup treatment (or gets
+    dropped). Rides the dedup_minhash_lsh chain (same adaptive
+    banding, sf-conditional oracle): pair endpoints distinct-union to
+    a member set, one id join, k-key rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, threshold=0.8,
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
+    members = (pairs.select(F.col("doc_a").alias("doc_id"))
+               .union(pairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct()
+               .withColumn("__m", F.lit(1)))
+    return (docs.join(members, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("__m").alias("n_dup_members"),
+                 (F.floor(F.count("__m").cast("double") / F.count("*")
+                          * 1_000_000) / 1_000_000).alias("dup_frac")))
 
 
 def _split_leakage_neardup_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:

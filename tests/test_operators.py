@@ -2850,3 +2850,20 @@ def test_context_length_plan_hand_case(spark):
     assert r.cut_windows == 3
     assert r.frag_docs == 2
     assert r.frag_frac == m.floor(2 / 3 * 1e6) / 1e6
+
+
+def test_normalized_duplicates_hand_case(spark):
+    """Case/punctuation/whitespace variants collapse to one class and
+    report the raw-variant count; raw-identical copies alone (no
+    churn) are NOT reported — that's dedup_exact's job."""
+    df = spark.createDataFrame([
+        (0, "Hello, World!"),
+        (1, "hello world"),
+        (2, "HELLO   world."),
+        (3, "same text"),
+        (4, "same text"),          # raw-identical pair: 1 raw variant
+        (5, "unrelated content"),
+    ], "doc_id long, text string")
+    got = [(r.keep_id, r.n_copies, r.n_raw_variants) for r in
+           dedup.normalized_duplicates(df).collect()]
+    assert got == [(0, 3, 3)]

@@ -114,6 +114,8 @@ QUERIES_TO_RUN = [
     "stream_weighted_sample",
     # one projection + the packing cumsum, k-row output
     "context_length_plan",
+    # fingerprint group-by (normalized) and the minhash-chain rollup
+    "dedup_normalized", "neardup_rate_by_source",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -169,6 +171,7 @@ HUGE_QUERIES = [
     "weighted_sample_tokens", "lang_mismatch_audit",
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
     "stream_weighted_sample", "context_length_plan",
+    "dedup_normalized", "neardup_rate_by_source",
 ]
 
 
