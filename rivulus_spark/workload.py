@@ -6116,11 +6116,12 @@ _PRIORITY: list[str] = [
     # for the r8 THIRD-wave debuts (dsir_select, split_leakage_audit,
     # split_leakage_neardup, tokenizer_fertility, stream_dsir_score,
     # weighted_sample_tokens, lang_mismatch_audit,
-    # stream_weighted_sample, context_length_plan, and the real-codec
-    # roundtrips multimodal_{image,audio,video}_real): every one is
-    # verified this round at sf0.01 AND sf1 AND sf10
-    # (ORACLE_SF1/ORACLE_SF10) with scale rows on the curve; they
-    # queue for the r9 window behind the (c) backfill below. The r8
+    # stream_weighted_sample, context_length_plan, dedup_normalized,
+    # neardup_rate_by_source, and the real-codec roundtrips
+    # multimodal_{image,audio,video}_real): every one is verified
+    # this round at sf0.01 AND sf1 AND sf10 (ORACLE_SF1/ORACLE_SF10)
+    # with scale rows on the curve; they queue for the r9 window
+    # behind the (c) backfill below. The r8
     # stopword_ratio/lang_id codegen rewrite touched window-absent
     # consumers (corpus_datacard, quality_classifier_*,
     # stream_quality_score, pipeline_curate/stats, lang_id): the
