@@ -247,7 +247,8 @@ def semantic_dedup_pairs(df: DataFrame, centroids, threshold: float,
             hi = min(lo + block, n)
             S = np.zeros((hi - lo, n))
             for d in range(dim):                # sequential fold
-                S = S + X[lo:hi, d:d + 1] * X[None, :, d]
+                # in-place += keeps the identical addition order
+                S += X[lo:hi, d:d + 1] * X[None, :, d]
             sim = S / (nrm[lo:hi, None] * nrm[None, :])
             r6 = np.copysign(
                 np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)

@@ -623,8 +623,10 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
                 S = np.zeros((X.shape[0], C.shape[0]))
                 xnrm = np.zeros(X.shape[0])
                 for d in range(dim):                   # sequential fold
-                    S = S + X[:, d:d + 1] * C[None, :, d]
-                    xnrm = xnrm + X[:, d] * X[:, d]
+                    # in-place += keeps the exact same addition order
+                    # as `S = S + ...` while halving allocations
+                    S += X[:, d:d + 1] * C[None, :, d]
+                    xnrm += X[:, d] * X[:, d]
             else:
                 S = X @ C.T                            # one dgemm
                 xnrm = (X * X).sum(axis=1)
