@@ -42,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import centroid_pairs, ivf_assign_cells
+from .similarity import (centroid_pairs, ivf_assign_cells,
+                         ivf_assign_cells_2level)
 
 
 def _train_partials(df: DataFrame, bc, dim: int, id_col: str,
@@ -220,6 +221,17 @@ def semantic_dedup_pairs(df: DataFrame, centroids, threshold: float,
     round-half-away-from-zero, min-cid tie-break) is
     ivf_assign_cells', so the whole operator — including the
     approximation — is exactly SQL-oracle-checkable."""
+    assigned = ivf_assign_cells(df, centroids, id_col=id_col,
+                                vec_col=vec_col)
+    return (assigned.groupBy("cell")
+            .applyInPandas(_cell_pairs_gen(threshold),
+                           "id_a long, id_b long, cell long, sim double"))
+
+
+def _cell_pairs_gen(threshold: float):
+    """The within-cell exact pair sweep shared by the one- and
+    two-level SemDeDup paths (applyInPandas body; see
+    semantic_dedup_pairs for the float contract and blocking)."""
 
     def gen(key, pdf):
         import numpy as np
@@ -266,8 +278,32 @@ def semantic_dedup_pairs(df: DataFrame, centroids, threshold: float,
                                              dtype=np.int64),
                              "sim": s})
 
-    assigned = ivf_assign_cells(df, centroids, id_col=id_col,
-                                vec_col=vec_col)
+    return gen
+
+
+def semantic_dedup_pairs_2level(df: DataFrame, fine, coarse,
+                                threshold: float,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with a corpus-proportional cell count, made affordable
+    by two-level (coarse → fine) assignment — the shape the method
+    actually runs at web scale.
+
+    Single-level :func:`semantic_dedup_pairs` pays n·k for assignment,
+    so growing k with the corpus (the linear-pair-volume requirement)
+    turns the sweep quadratic. This variant assigns through
+    :func:`similarity.ivf_assign_cells_2level` — n·(g + k/g) ≈ n·2√k —
+    then runs the IDENTICAL within-cell exact pair sweep. Both the
+    hierarchical assignment (including its boundary error: a vector
+    may land in a near-best fine cell when its true best sits in
+    another coarse group) and the pairing are replicated exactly by
+    the SQL oracle, so the whole approximation is parity-checked.
+    Boundary-recall trade versus one level is second-order: SemDeDup's
+    recall loss is already dominated by pairs straddling FINE cells,
+    and the coarse level only re-routes vectors near coarse
+    boundaries."""
+    assigned = ivf_assign_cells_2level(df, fine, coarse, id_col=id_col,
+                                       vec_col=vec_col)
     return (assigned.groupBy("cell")
-            .applyInPandas(gen,
+            .applyInPandas(_cell_pairs_gen(threshold),
                            "id_a long, id_b long, cell long, sim double"))

@@ -648,6 +648,113 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
     return src.mapInPandas(_assign, schema)
 
 
+def _exact_nearest(X, cids, C, cnrm=None):
+    """numpy argmax-cosine under the ivf_assign_cells float contract:
+    ascending-dimension sequential accumulation, 6-decimal
+    round-half-away-from-zero, first-maximum (= min cid, columns
+    sorted) tie-break. Shared by the two-level assignment's worker
+    pass and its tiny driver-side fine→coarse mapping so the contract
+    cannot drift between the two levels."""
+    import numpy as np
+
+    dim = C.shape[1]
+    if cnrm is None:
+        cnrm = np.zeros(C.shape[0])
+        for d in range(dim):                           # sequential fold
+            cnrm += C[:, d] * C[:, d]
+        cnrm = np.sqrt(cnrm)
+    S = np.zeros((X.shape[0], C.shape[0]))
+    xnrm = np.zeros(X.shape[0])
+    for d in range(dim):                               # sequential fold
+        S += X[:, d:d + 1] * C[None, :, d]
+        xnrm += X[:, d] * X[:, d]
+    sim = S / (np.sqrt(xnrm)[:, None] * cnrm[None, :])
+    r6 = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
+    return cids[np.argmax(r6, axis=1)]
+
+
+def ivf_assign_cells_2level(df: DataFrame, fine, coarse,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            keep_vec: bool = True) -> DataFrame:
+    """Two-level (coarse → fine) IVF assignment — the scan shape that
+    keeps a corpus-proportional cell count affordable.
+
+    Single-level assignment against k cells costs n·k dot products;
+    SemDeDup-style dedup WANTS k ∝ n (bounded cells ⇒ linear pair
+    volume), which makes the single-level sweep quadratic in corpus
+    size. The standard fix (faiss IMI / coarse quantizer; the same
+    shape SemDeDup uses at web scale) is hierarchical: first assign to
+    one of g ≪ k COARSE centroids, then to the nearest FINE centroid
+    within that coarse group only — n·(g + k/g) work, minimized at
+    g = √k, i.e. n·2√k instead of n·k. The trade is boundary error: a
+    vector whose true nearest fine centroid sits in a *different*
+    coarse group is assigned to its within-group best instead —
+    inherent to every multi-level quantizer, and exactly replicated by
+    the SQL oracle, so the approximation itself is parity-checked.
+
+    Mechanics: a tiny driver-side pass maps each fine centroid to its
+    nearest coarse centroid (k·g work on ≤k rows — never the corpus);
+    the broadcast carries the coarse matrix plus one (fids, F) block
+    per coarse group; ONE ``mapInPandas`` sweep then does both levels
+    per Arrow batch, vectorized per group. Every comparison at both
+    levels follows the ivf_assign_cells float contract
+    (ascending-dimension fold, 6-decimal round, min-id tie-break) so a
+    two-stage ``row_number`` SQL replica matches bit-for-bit. Coarse
+    centroids drawn from the fine set (stride-multiple init) guarantee
+    every coarse group is non-empty — the coarse centroid assigns to
+    itself at sim 1.0."""
+    import numpy as np
+
+    fine_pairs = centroid_pairs(fine, id_col, vec_col)
+    coarse_pairs = centroid_pairs(coarse, id_col, vec_col)
+    if not fine_pairs or not coarse_pairs:
+        raise ValueError(
+            "ivf_assign_cells_2level: empty fine or coarse centroid set "
+            "(check the stride/init selection against the corpus id space)")
+
+    gids = np.asarray([p[0] for p in coarse_pairs], dtype=np.int64)
+    G = np.asarray([p[1] for p in coarse_pairs], dtype=np.float64)
+    fids = np.asarray([p[0] for p in fine_pairs], dtype=np.int64)
+    Fm = np.asarray([p[1] for p in fine_pairs], dtype=np.float64)
+    # driver-side fine→coarse map: k·g on k rows, never the corpus
+    fine_group = _exact_nearest(Fm, gids, G)
+    groups = {int(g): (fids[fine_group == g], Fm[fine_group == g])
+              for g in np.unique(fine_group)}
+    bc = df.sparkSession.sparkContext.broadcast(
+        (gids, G, {g: (f.copy(), M.copy()) for g, (f, M) in groups.items()}))
+
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    _as_double(F.col(vec_col)).alias("vec"))
+
+    def _assign2(batches):
+        import numpy as np
+        import pandas as pd
+
+        gids_w, G_w, groups_w = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["vec"]])
+            cg = _exact_nearest(X, gids_w, G_w)
+            cell = np.empty(len(X), dtype=np.int64)
+            for g in np.unique(cg):
+                m = cg == g
+                f_ids, f_mat = groups_w[int(g)]
+                cell[m] = _exact_nearest(X[m], f_ids, f_mat)
+            if keep_vec:
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "vec": pdf["vec"], "cell": cell})
+            else:
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "cell": cell})
+
+    schema = ("id long, vec array<double>, cell long" if keep_vec
+              else "id long, cell long")
+    return src.mapInPandas(_assign2, schema)
+
+
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  stride: int = 16, nprobe: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

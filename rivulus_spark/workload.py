@@ -5787,6 +5787,74 @@ def q_semantic_dedup(spark, sf_dir):
     return cluster.semantic_dedup_pairs(emb, init, threshold=0.45)
 
 
+@_q("semantic_dedup_2level", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+fine AS (SELECT vec_id AS fid, emb AS fvec FROM e WHERE vec_id % 64 = 0),
+coarse AS (SELECT vec_id AS gid, emb AS gvec FROM e
+           WHERE vec_id % 1024 = 0),
+fmap AS (
+  SELECT fid, gid FROM (
+    SELECT fine.fid, coarse.gid,
+           row_number() OVER (PARTITION BY fine.fid ORDER BY
+             round(list_dot_product(fine.fvec, coarse.gvec)
+                   / (sqrt(list_dot_product(fine.fvec, fine.fvec))
+                      * sqrt(list_dot_product(coarse.gvec, coarse.gvec))),
+                   6) DESC,
+             coarse.gid) AS rn
+    FROM fine CROSS JOIN coarse) WHERE rn = 1),
+vg AS (
+  SELECT vec_id, gid FROM (
+    SELECT e.vec_id, coarse.gid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, coarse.gvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(coarse.gvec, coarse.gvec))),
+                   6) DESC,
+             coarse.gid) AS rn
+    FROM e CROSS JOIN coarse) WHERE rn = 1),
+asg AS (
+  SELECT vec_id, fid AS cell FROM (
+    SELECT e.vec_id, f.fid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, f.fvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(f.fvec, f.fvec))), 6) DESC,
+             f.fid) AS rn
+    FROM e JOIN vg ON vg.vec_id = e.vec_id
+    JOIN fmap m ON m.gid = vg.gid
+    JOIN fine f ON f.fid = m.fid) WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS sim
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id)
+SELECT id_a, id_b, cell, sim FROM p WHERE sim >= 0.45
+""")
+def q_semantic_dedup_2level(spark, sf_dir):
+    """SemDeDup under a corpus-PROPORTIONAL cell count (stride-64
+    fine init, k = n/64 → cells ~64 wide, pair volume ~32·n linear
+    at every sf), with the assignment sweep made affordable by the
+    two-level coarse→fine scan (stride-1024 coarse = every 16th fine
+    centroid): n·(g + k/g) ≈ n·2√k dot products instead of n·k —
+    cluster.semantic_dedup_pairs_2level /
+    similarity.ivf_assign_cells_2level. The oracle replicates BOTH
+    row_number stages (fine→coarse map, vector→coarse, vector→fine
+    within group) and the within-cell pairing bit-exactly, so the
+    hierarchical approximation itself — boundary re-routing included —
+    is hash-checked. Complements `semantic_dedup` (fixed-stride-256,
+    single-level): same method, the shape that survives k ∝ n."""
+    from .operators import cluster
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fine = emb.filter((F.col("vec_id") % 64) == 0)
+    coarse = emb.filter((F.col("vec_id") % 1024) == 0)
+    return cluster.semantic_dedup_pairs_2level(emb, fine, coarse,
+                                               threshold=0.45)
+
+
 #: plain-join contamination spec shared by `decontaminate`,
 #: `decontaminate_bloom`, and `stream_decontaminate` — all three MUST
 #: be indistinguishable from the unfiltered exact join (Bloom filters
@@ -6121,7 +6189,9 @@ _PRIORITY: list[str] = [
     "contamination_severity", "winnow_fingerprints",
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
     # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
-    # containment_pairs and embedding_centroid_drift (r8 late debuts)
+    # containment_pairs, embedding_centroid_drift (r8 late debuts)
+    # and semantic_dedup_2level (r8 fifth wave, verified at
+    # sf0.01+sf1+sf10 in-round)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds

@@ -1954,6 +1954,69 @@ def test_semantic_dedup_within_cell_only(spark):
     assert all(s >= 0.99 for _, s in out.values())
 
 
+def test_2level_assign_collapses_when_coarse_is_fine(spark, vecs):
+    """With coarse == fine, the fine→coarse map is the identity
+    (every centroid assigns to itself at cosine 1.0), each coarse
+    group is the singleton {itself}, and the two-level result must
+    equal the single-level assignment exactly."""
+    cents = vecs.filter(F.col("vec_id").isin(0, 2))
+    one = {r.id: r.cell for r in
+           similarity.ivf_assign_cells(vecs, cents).collect()}
+    two = {r.id: r.cell for r in
+           similarity.ivf_assign_cells_2level(vecs, cents,
+                                              cents).collect()}
+    assert one == two
+
+
+def test_2level_assign_routes_through_coarse_group(spark):
+    """A vector whose true nearest FINE centroid sits in another
+    coarse group is re-routed to its within-group best — the
+    documented boundary error of every hierarchical quantizer, pinned
+    here: fine 10/11 group under coarse 10, fine 20 under coarse 20;
+    the query vector is closest to fine 11 overall but closer to
+    coarse 20, so it must land in fine 20's cell."""
+    from rivulus_spark.operators import similarity as sim
+
+    fine = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.80, 0.60, 0.0]),
+         (20, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    coarse = fine.filter(F.col("vec_id").isin(10, 20))
+    vecs = spark.createDataFrame(
+        [(1, [0.55, 0.45, 0.65])],      # fine-best 11, coarse-best 20
+        "vec_id long, embedding array<double>")
+    out = {r.id: r.cell for r in
+           sim.ivf_assign_cells_2level(vecs, fine, coarse).collect()}
+    assert out[1] == 20
+    # single-level ground truth differs — the trade is real
+    one = {r.id: r.cell for r in
+           sim.ivf_assign_cells(vecs, fine).collect()}
+    assert one[1] == 11
+
+
+def test_semantic_dedup_2level_matches_single_level_on_identity(spark):
+    """semantic_dedup_pairs_2level with coarse == fine must emit the
+    identical pair set as the single-level path (same cells → same
+    within-cell sweep)."""
+    from rivulus_spark.operators import cluster
+
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    vecs = spark.createDataFrame([
+        (1, [1.0, 0.10]), (2, [1.0, 0.12]),
+        (3, [0.10, 1.0]), (4, [0.12, 1.0]),
+        (5, [0.71, 0.70]), (6, [0.70, 0.71]),
+    ], "vec_id long, embedding array<double>")
+    one = {(r.id_a, r.id_b, r.cell, r.sim) for r in
+           cluster.semantic_dedup_pairs(vecs, cents,
+                                        threshold=0.9).collect()}
+    two = {(r.id_a, r.id_b, r.cell, r.sim) for r in
+           cluster.semantic_dedup_pairs_2level(vecs, cents, cents,
+                                               threshold=0.9).collect()}
+    assert one == two and len(one) == 2
+
+
 def test_cross_doc_line_dedup(spark):
     """r7 corpus-level boilerplate removal: lines in >= min_docs
     DISTINCT docs are stripped from all of them; surviving line order

@@ -275,7 +275,7 @@ def test_window_ntile_has_no_unpartitioned_data_window(spark):
     "embedding_neardup_lsh", "decontaminate_fuzzy",
     "pipeline_curate", "pipeline_curate_v2", "pipeline_stats",
     "dedup_survivors", "dedup_clusters", "cross_doc_line_dedup",
-    "semantic_dedup",
+    "semantic_dedup", "semantic_dedup_2level",
 ])
 def test_heavy_tail_banded_paths_are_equi_joins(spark, name):
     p = plan(spark, name)

@@ -116,6 +116,8 @@ QUERIES_TO_RUN = [
     "context_length_plan",
     # fingerprint group-by (normalized) and the minhash-chain rollup
     "dedup_normalized", "neardup_rate_by_source",
+    # two-level SemDeDup: k ∝ n cells via the coarse→fine scan
+    "semantic_dedup_2level",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -172,6 +174,8 @@ HUGE_QUERIES = [
     "split_leakage_audit", "group_percentile_clip", "temperature_mix",
     "stream_weighted_sample", "context_length_plan",
     "dedup_normalized", "neardup_rate_by_source",
+    # r8 fifth wave: two-level SemDeDup (k ∝ n via coarse→fine scan)
+    "semantic_dedup_2level",
 ]
 
 
