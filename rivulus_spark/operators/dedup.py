@@ -1255,6 +1255,66 @@ def positioned_shingle_rows(df: DataFrame, text_col: str = "text",
             .select("id", "pos", word_hash(F.col("s")).alias("h")))
 
 
+def positioned_shingle_rows_arrow(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  k: int = 8) -> DataFrame:
+    """(id, pos, h) positioned k-gram hashes computed ENTIRELY
+    map-side in one Arrow ``mapInPandas`` pass — no shuffle, unlike
+    :func:`positioned_shingle_rows` whose per-doc ``lead`` window
+    exchanges and sorts the full corpus TOKEN stream before a single
+    gram exists (the dominant stage of repeated_spans at sf10; the
+    same rewrite cut stream_decontaminate's screen 39.5→6.8s at sf1).
+
+    Bit-exact parity with the relational form (same contract the
+    MinHash Arrow pass proved): tokenization replicates
+    ``split(trim(text), '\\s+')`` (ASCII-space strip, Java ``\\s``
+    class, leading/trailing empties kept), grams are space-joined
+    k-token windows at 0-based positions, hashes the md5-derived
+    60-bit ints of :func:`text.word_hash`; docs with fewer than k
+    tokens emit nothing, null text emits nothing, a null id flows
+    through as a null id row. Positions here are ``long`` (the
+    relational posexplode emits int; every consumer casts)."""
+    import re
+
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s, NOT unicode \s
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(txt, str):
+                    continue
+                toks = ws.split(txt.strip(" "))
+                n = len(toks)
+                if n < k:
+                    continue
+                did = (None if doc_id is None
+                       or (isinstance(doc_id, float) and np.isnan(doc_id))
+                       else int(doc_id))
+                for p in range(n - k + 1):
+                    s = " ".join(toks[p:p + k])
+                    ids.append(did)
+                    poss.append(p)
+                    hs.append(int(
+                        hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
+                        16))
+            if ids:
+                yield pd.DataFrame({
+                    "id": pd.array(ids, dtype="Int64"),
+                    "pos": np.asarray(poss, dtype=np.int64),
+                    "h": np.asarray(hs, dtype=np.int64)})
+
+    from ..partitioning import spread
+
+    return (spread(df).select(F.col(id_col), F.col(text_col))
+            .mapInPandas(gen, schema="id long, pos long, h long"))
+
+
 def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -1282,14 +1342,28 @@ def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
     The k-gram relaxation vs a true suffix array: repeats SHORTER
     than k tokens are not flagged (by construction, same as the
     paper's 50-token threshold), and a repeat of length >= k is
-    flagged over its full extent (every window inside it repeats)."""
-    spans = positioned_shingle_rows(df, text_col, id_col, k)
-    hot = (spans.groupBy("h")
-           .agg(F.count("*").alias("n"))
-           .filter(F.col("n") >= min_repeats)
-           .select("h"))
-    marked = spans.join(hot, "h").select(
-        "id", "pos", (F.col("pos") + (k - 1)).alias("end"))
+    flagged over its full extent (every window inside it repeats).
+
+    r8: two structural fixes, measured together at sf10. (1) The
+    position stream comes from the Arrow map-side pass
+    (:func:`positioned_shingle_rows_arrow`) — the relational lead
+    window form shuffled and sorted the full corpus TOKEN stream
+    before the first gram existed; parity between the two forms is
+    asserted in tests and by the unchanged SQL oracle. (2) Repeat
+    marking is ONE ``count() over (partition by h)`` window instead
+    of a separate hot-hash aggregate joined back: the agg+join form
+    evaluated the (unpersisted) gram stream TWICE — once into the
+    partial agg, once into the join probe — which with a Python
+    gram stage doubles the most expensive pass; the window form
+    shuffles the 24-byte (h, id, pos) triples exactly once and
+    counts within partition, no sort beyond the partition key, no
+    second scan."""
+    spans = positioned_shingle_rows_arrow(df, text_col, id_col, k)
+    wh = Window.partitionBy("h")
+    marked = (spans
+              .withColumn("__n", F.count("*").over(wh))
+              .filter(F.col("__n") >= min_repeats)
+              .select("id", "pos", (F.col("pos") + (k - 1)).alias("end")))
     w = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1))

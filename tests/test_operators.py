@@ -2562,6 +2562,27 @@ def test_repeated_spans_merge_adjacency_and_gap(spark):
                    (2, 0, 2, 1), (2, 4, 6, 1)}
 
 
+def test_positioned_shingle_arrow_matches_relational(spark):
+    """Bit-parity of the r8 Arrow positioned-gram pass against the
+    relational lead-window form on the awkward cases: leading/
+    trailing whitespace (empty tokens kept), tabs/newlines (Java \\s
+    class), intra-doc repeats (rows NOT distinct-ed), docs shorter
+    than k, null text, and a null doc id."""
+    docs = spark.createDataFrame([
+        (0, "  a b c d e  "),            # leading/trailing spaces
+        (1, "a\tb\nc d e"),              # java \s separators
+        (2, "x y x y x y"),              # intra-doc repeated grams
+        (3, "too short"),                # < k tokens: no rows
+        (4, None),                       # null text: no rows
+        (None, "p q r s t"),             # null id flows through
+    ], "doc_id long, text string")
+    rel = {(r.id, r.pos, r.h) for r in
+           dedup.positioned_shingle_rows(docs, k=3).collect()}
+    arw = {(r.id, r.pos, r.h) for r in
+           dedup.positioned_shingle_rows_arrow(docs, k=3).collect()}
+    assert rel == arw and len(arw) > 0
+
+
 def test_group_jaccard_matrix_hand_case(spark):
     """Exact group-set Jaccard on a hand corpus: group A = {g1,g2,g3}
     (two docs, one shared shingle set), group B = {g2,g3,g4}, so
