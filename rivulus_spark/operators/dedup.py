@@ -1381,6 +1381,94 @@ def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
                     "span_end", "n_repeated_grams"))
 
 
+def cut_repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The ACTION step of Lee et al. 2022's exact-substring dedup:
+    keep the corpus-wide FIRST occurrence of every repeated k-gram and
+    CUT every later occurrence's tokens, reassembling the surviving
+    text. :func:`repeated_spans` is the audit (where is the repeated
+    content); this applies the paper's all-but-one removal policy at
+    the same k-gram granularity. Output: one row per document with
+    ``n_tokens``, ``n_kept``, ``clean_text`` (kept tokens rejoined
+    with single spaces — token-level cutting is inherently
+    whitespace-normalizing) and ``clean_md5``.
+
+    Policy, exactly: an occurrence (id, pos) of gram hash h is
+    canonical iff it is first under ``ORDER BY id, pos`` within h;
+    every non-canonical occurrence of a hash with >= ``min_repeats``
+    total occurrences marks its k tokens for cutting. The
+    first-occurrence document keeps its copy (unless covered by some
+    OTHER hash's non-canonical occurrence). Deterministic and fully
+    relational, so the SQL oracle replicates the whole policy.
+
+    PRECONDITION: ``id_col`` non-null (the canonical rank orders by
+    id; Spark sorts nulls first and DuckDB last, so a null id would
+    un-pin the policy).
+
+    Scale shape: detection is the repeated_spans single (h)-keyed
+    shuffle — ONE window pass computes the occurrence count AND the
+    canonical rank, 24-byte triples, no second scan. Cut coverage is
+    an interval sweep, not a k-fan-out: cut occurrences union with
+    the token stream of AFFECTED docs only (semi-join — untouched
+    documents project straight through with their original text,
+    cross_doc_line_dedup's incidence-bound reassembly shape) and one
+    per-doc ``max(end)`` running window marks covered tokens. The
+    reassembly group-and-sort is inherent to producing text output
+    and proportional to affected docs, never the corpus."""
+    from .text import tokens
+
+    spans = positioned_shingle_rows_arrow(df, text_col, id_col, k)
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("id", "pos")
+    occ = (spans
+           .withColumn("__n", F.count("*").over(wh))
+           .withColumn("__rn", F.row_number().over(who))
+           .filter((F.col("__n") >= min_repeats) & (F.col("__rn") >= 2))
+           .select("id", "pos", (F.col("pos") + (k - 1)).alias("e")))
+    occ = cache.persist(occ)
+    affected = occ.select("id").distinct()
+
+    toks = (df.join(affected.select(F.col("id").alias(id_col)),
+                    id_col, "semi")
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(tokens(text_col)).alias("pos", "tok"))
+            .select("id", F.col("pos").cast("long").alias("pos"), "tok"))
+    # event sweep: occurrences (kind 0) sort before the token at the
+    # same position (kind 1), so a gram starting AT pos covers it
+    ev = (toks.select("id", "pos", F.lit(None).cast("long").alias("e"),
+                      F.lit(1).alias("kind"), "tok")
+          .unionByName(occ.select(
+              "id", "pos", "e", F.lit(0).alias("kind"),
+              F.lit(None).cast("string").alias("tok"))))
+    wsweep = (Window.partitionBy("id").orderBy("pos", "kind")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    tk = (ev.withColumn("cover", F.max("e").over(wsweep))
+          .filter(F.col("kind") == 1))
+    keep = F.col("cover").isNull() | (F.col("cover") < F.col("pos"))
+    rebuilt = (tk.groupBy("id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.array_sort(F.collect_list(
+                        F.when(keep, F.struct("pos", "tok"))))
+                    .alias("kept"))
+               .select(F.col("id").alias(id_col),
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       F.size("kept").cast("long").alias("n_kept"),
+                       F.array_join(F.transform(F.col("kept"),
+                                                lambda x: x["tok"]), " ")
+                       .alias("clean_text")))
+    untouched = (df.join(affected.select(F.col("id").alias(id_col)),
+                         id_col, "anti")
+                 .select(F.col(id_col),
+                         F.size(tokens(text_col)).cast("long")
+                         .alias("n_tokens"),
+                         F.size(tokens(text_col)).cast("long")
+                         .alias("n_kept"),
+                         F.col(text_col).alias("clean_text")))
+    return (rebuilt.unionByName(untouched)
+            .withColumn("clean_md5", F.md5("clean_text")))
+
+
 def group_jaccard_matrix(df: DataFrame, group_col: str = "source",
                          text_col: str = "text", k: int = 3,
                          id_col: str = "doc_id") -> DataFrame:

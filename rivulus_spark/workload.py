@@ -1892,6 +1892,74 @@ def q_repeated_span_dedup(spark, sf_dir):
                       "n_repeated_grams")
 
 
+@_q("cut_repeated_spans", r"""
+WITH w AS (SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS words
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest([{'pos': i-1,
+                      's': words[i] || ' ' || words[i+1] || ' ' ||
+                           words[i+2] || ' ' || words[i+3] || ' ' ||
+                           words[i+4] || ' ' || words[i+5] || ' ' ||
+                           words[i+6] || ' ' || words[i+7]}
+                     for i in range(1, len(words)-6)]) AS u
+      FROM w),
+p AS (SELECT doc_id, u.pos AS pos,
+             ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
+      FROM g),
+r AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS cnt,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM p),
+cut AS (SELECT doc_id, pos, pos + 7 AS e FROM r
+        WHERE cnt >= 2 AND rn >= 2),
+aff AS (SELECT DISTINCT doc_id FROM cut),
+toks AS (SELECT w.doc_id,
+                unnest([{'pos': i-1, 'tok': words[i]}
+                        for i in range(1, len(words)+1)]) AS u
+         FROM w JOIN aff USING (doc_id)),
+ev AS (SELECT doc_id, u.pos AS pos, NULL::BIGINT AS e, 1 AS kind,
+              u.tok AS tok
+       FROM toks
+       UNION ALL
+       SELECT doc_id, pos, e, 0 AS kind, NULL AS tok FROM cut),
+sw AS (SELECT doc_id, pos, kind, tok,
+              max(e) OVER (PARTITION BY doc_id ORDER BY pos, kind
+                           ROWS UNBOUNDED PRECEDING) AS cover
+       FROM ev),
+reb AS (SELECT doc_id,
+               count(*) FILTER (WHERE kind = 1)::BIGINT AS n_tokens,
+               count(*) FILTER (WHERE kind = 1
+                   AND (cover IS NULL OR cover < pos))::BIGINT AS n_kept,
+               md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+                   FILTER (WHERE kind = 1
+                           AND (cover IS NULL OR cover < pos)), ''))
+                 AS clean_md5
+        FROM sw GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_kept, clean_md5 FROM reb
+UNION ALL
+SELECT doc_id, len(words)::BIGINT AS n_tokens,
+       len(words)::BIGINT AS n_kept, md5(text) AS clean_md5
+FROM w WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+""")
+def q_cut_repeated_spans(spark, sf_dir):
+    """The ACTION step of Lee et al. 2022 substring dedup
+    (dedup.cut_repeated_spans, r8 debut): repeated_span_dedup says
+    WHERE the corpus repeats itself; this keeps the corpus-wide first
+    occurrence of every repeated 8-gram, cuts every later
+    occurrence's tokens, and reassembles surviving text — the policy
+    (ORDER BY id, pos canonical rank, interval-sweep coverage,
+    single-space rejoin) is fully relational, so the oracle
+    replicates removal AND reassembly exactly. Only affected docs are
+    reassembled; untouched docs project through verbatim. The
+    observable is per-doc token counts plus the cleaned digest."""
+    from .operators import dedup as dd
+
+    out = dd.cut_repeated_spans(_t(spark, sf_dir, "documents"), k=8,
+                                min_repeats=2)
+    return out.select("doc_id", "n_tokens", "n_kept", "clean_md5")
+
+
 @_q("stream_quality_score", _clf_filter_oracle)
 def q_stream_quality_score(spark, sf_dir):
     """Offline-trained model served IN-STREAM — the deployment split a
@@ -6190,8 +6258,8 @@ _PRIORITY: list[str] = [
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
     # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
     # containment_pairs, embedding_centroid_drift (r8 late debuts)
-    # and semantic_dedup_2level (r8 fifth wave, verified at
-    # sf0.01+sf1+sf10 in-round)
+    # and the r8 fifth wave (semantic_dedup_2level verified at
+    # sf0.01+sf1+sf10; cut_repeated_spans at sf0.01+sf1)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds

@@ -2583,6 +2583,31 @@ def test_positioned_shingle_arrow_matches_relational(spark):
     assert rel == arw and len(arw) > 0
 
 
+def test_cut_repeated_spans_keeps_first_occurrence(spark):
+    """Hand-checked Lee et al. ACTION semantics: the corpus-wide
+    first occurrence (ORDER BY id, pos) of each repeated gram
+    survives; later occurrences are cut over their full k-token
+    extent with overlaps merged by the interval sweep; intra-doc
+    repeats cut the later copy; untouched docs pass through with
+    their ORIGINAL text."""
+    docs = spark.createDataFrame([
+        (0, "a b c d x"),        # holds the canonical 'a b c'/'b c d'
+        (1, "z a b c d"),        # later copies -> tokens 1..4 cut
+        (2, "p q r p q r"),      # intra-doc: second 'p q r' cut
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+           for r in dedup.cut_repeated_spans(docs, k=3, min_repeats=2)
+           .collect()}
+    assert got[0] == (5, 5, "a b c d x")
+    assert got[1] == (5, 1, "z")
+    assert got[2] == (6, 3, "p q r")
+    # md5 observable matches the text it digests
+    out = {r.doc_id: r.clean_md5 for r in
+           dedup.cut_repeated_spans(docs, k=3, min_repeats=2).collect()}
+    import hashlib
+    assert out[1] == hashlib.md5(b"z").hexdigest()
+
+
 def test_group_jaccard_matrix_hand_case(spark):
     """Exact group-set Jaccard on a hand corpus: group A = {g1,g2,g3}
     (two docs, one shared shingle set), group B = {g2,g3,g4}, so

@@ -118,6 +118,8 @@ QUERIES_TO_RUN = [
     "dedup_normalized", "neardup_rate_by_source",
     # two-level SemDeDup: k ∝ n cells via the coarse→fine scan
     "semantic_dedup_2level",
+    # Lee et al. ACTION step: cut + reassemble (incidence-bound rebuild)
+    "cut_repeated_spans",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -176,6 +178,8 @@ HUGE_QUERIES = [
     "dedup_normalized", "neardup_rate_by_source",
     # r8 fifth wave: two-level SemDeDup (k ∝ n via coarse→fine scan)
     "semantic_dedup_2level",
+    # Lee et al. ACTION step over the repeated-span machinery
+    "cut_repeated_spans",
 ]
 
 
