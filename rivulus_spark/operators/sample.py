@@ -341,6 +341,72 @@ def split_leakage_pairs(pairs: DataFrame, assigned: DataFrame,
                  F.round(F.max("jacc"), 3).alias("max_jacc")))
 
 
+def repair_split_leakage(assigned: DataFrame, clusters: DataFrame,
+                         id_col: str = "doc_id",
+                         split_col: str = "split",
+                         quarantine: str = "train") -> DataFrame:
+    """REPAIR the leakage :func:`split_leakage_audit` /
+    :func:`split_leakage_pairs` report: every duplicate cluster whose
+    members straddle two or more splits moves WHOLE into the
+    ``quarantine`` split (default ``train``) — the fixpoint-clean
+    policy. Moving only the minority endpoints of each leaking pair
+    would chase transitive chains (a re-homed doc creates new
+    cross-split pairs within its cluster); quarantining the entire
+    connected component terminates in one pass and leaves ZERO
+    cross-split duplicate pairs by construction, at the price of
+    shrinking eval sets by their contaminated share — which is the
+    point: those eval docs were measuring memorization.
+
+    Inputs: ``assigned`` is (id, split) (:func:`assign_splits` or any
+    assignment); ``clusters`` is connected_components' (node, cluster)
+    over the near-dup pair graph. Docs absent from ``clusters`` are
+    singletons and keep their split. Returns the per-split summary
+    ``(split, n_before, n_after, n_moved_in, n_moved_out)`` — the
+    repaired per-doc assignment is the obvious intermediate, but the
+    summary is the engine-portable observable (and what a curation
+    report shows).
+
+    Scale shape: one id-keyed left join of the assignment to the
+    cluster labels (cluster table ∝ docs touched by any pair, never
+    the corpus), a cluster-keyed distinct-split aggregate over the
+    same, a semi-join marking leaky clusters, and two k-row split
+    aggregates. No windows, no Python, nothing corpus²."""
+    lab = clusters.select(F.col("node").alias(id_col),
+                          F.col("cluster"))
+    a = (assigned.select(F.col(id_col),
+                         F.col(split_col).alias("__before"))
+         .join(lab, id_col, "left")
+         .withColumn("cluster", F.coalesce(F.col("cluster"),
+                                           F.col(id_col))))
+    leaky = (a.groupBy("cluster")
+             .agg(F.countDistinct("__before").alias("__ns"))
+             .filter(F.col("__ns") >= 2)
+             .select("cluster"))
+    rep = (a.join(leaky.withColumn("__leak", F.lit(True)),
+                  "cluster", "left")
+           .withColumn("__after",
+                       F.when(F.col("__leak").isNotNull(),
+                              F.lit(quarantine))
+                       .otherwise(F.col("__before"))))
+    moved = (F.col("__before") != F.col("__after")).cast("long")
+    before = (rep.groupBy(F.col("__before").alias(split_col))
+              .agg(F.count("*").alias("n_before"),
+                   F.sum(moved).alias("n_moved_out")))
+    after = (rep.groupBy(F.col("__after").alias(split_col))
+             .agg(F.count("*").alias("n_after"),
+                  F.sum(moved).alias("n_moved_in")))
+    return (before.join(after, split_col, "full")
+            .select(split_col,
+                    F.coalesce("n_before", F.lit(0)).cast("long")
+                    .alias("n_before"),
+                    F.coalesce("n_after", F.lit(0)).cast("long")
+                    .alias("n_after"),
+                    F.coalesce("n_moved_in", F.lit(0)).cast("long")
+                    .alias("n_moved_in"),
+                    F.coalesce("n_moved_out", F.lit(0)).cast("long")
+                    .alias("n_moved_out")))
+
+
 def quota_cap(df: DataFrame, strata_col: str, n: int, key_col: str,
               seed: str = "") -> DataFrame:
     """Cap each stratum at ``n`` rows, chosen deterministically: rows

@@ -3042,6 +3042,92 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(jacc.unionByName(exact))
 
 
+@_q("split_repair_neardup", """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 250)
+),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.5
+),
+ep AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM documents
+  QUALIFY doc_a IS NOT NULL
+),
+pairs AS (SELECT * FROM jp UNION SELECT * FROM ep),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.node
+),
+lab AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+a AS (
+  SELECT d.doc_id,
+         CASE WHEN ('0x' || substring(md5('split1' || d.doc_id::VARCHAR),
+                                      1, 15))::BIGINT % 1000000 < 900000
+                THEN 'train'
+              WHEN ('0x' || substring(md5('split1' || d.doc_id::VARCHAR),
+                                      1, 15))::BIGINT % 1000000 < 950000
+                THEN 'val'
+              ELSE 'test' END AS before_split,
+         coalesce(l.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+leaky AS (SELECT cluster FROM a GROUP BY cluster
+          HAVING count(DISTINCT before_split) >= 2),
+rep AS (
+  SELECT doc_id, before_split,
+         CASE WHEN cluster IN (SELECT cluster FROM leaky)
+              THEN 'train' ELSE before_split END AS after_split
+  FROM a),
+b AS (SELECT before_split AS split, count(*)::BIGINT AS n_before,
+             count(*) FILTER (WHERE before_split <> after_split)::BIGINT
+               AS n_moved_out
+      FROM rep GROUP BY 1),
+c AS (SELECT after_split AS split, count(*)::BIGINT AS n_after,
+             count(*) FILTER (WHERE before_split <> after_split)::BIGINT
+               AS n_moved_in
+      FROM rep GROUP BY 1)
+SELECT coalesce(b.split, c.split) AS split,
+       coalesce(n_before, 0)::BIGINT AS n_before,
+       coalesce(n_after, 0)::BIGINT AS n_after,
+       coalesce(n_moved_in, 0)::BIGINT AS n_moved_in,
+       coalesce(n_moved_out, 0)::BIGINT AS n_moved_out
+FROM b FULL JOIN c ON b.split = c.split
+""")
+def q_split_repair_neardup(spark, sf_dir):
+    """Leakage REPAIR (sample.repair_split_leakage, r8 debut):
+    split_leakage_audit/_pairs say the 90/5/5 split leaks; this fixes
+    it — every duplicate cluster (connected components over the
+    dedup_clusters edge set: full-corpus exact-dup chains + bounded
+    exact-Jaccard near-dup pairs) that straddles >= 2 splits is
+    quarantined WHOLE into train, the one-pass fixpoint policy (moving
+    single endpoints chases transitive chains). Observable: per-split
+    before/after/moved counts; the oracle replicates the CC fixpoint
+    (recursive CTE), the content-addressed split, and the quarantine."""
+    from .operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    jacc = (dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") < 250),
+                                      threshold=0.5)
+            .select("doc_a", "doc_b"))
+    exact = dedup.exact_dup_edges(docs)
+    clusters = dedup.connected_components(jacc.unionByName(exact))
+    assigned = sample.assign_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_col="doc_id", seed="split1")
+    return sample.repair_split_leakage(assigned, clusters)
+
+
 @_q("dedup_survivors", """
 WITH RECURSIVE sh AS (
   SELECT doc_id,

@@ -2583,6 +2583,28 @@ def test_positioned_shingle_arrow_matches_relational(spark):
     assert rel == arw and len(arw) > 0
 
 
+def test_repair_split_leakage_quarantines_whole_cluster(spark):
+    """Hand-checked quarantine semantics: a cluster straddling
+    train/val moves WHOLE into train (including the members already
+    there — counted as unmoved); a single-split cluster stays; a
+    singleton stays; summary counts balance."""
+    from rivulus_spark.operators import sample
+
+    assigned = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"),
+         (4, "val"), (5, "val"), (6, "test")],
+        "doc_id long, split string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "node long, cluster long")
+    got = {r.split: (r.n_before, r.n_after, r.n_moved_in, r.n_moved_out)
+           for r in sample.repair_split_leakage(assigned,
+                                                clusters).collect()}
+    assert got == {"train": (2, 3, 1, 0),
+                   "val": (3, 2, 0, 1),
+                   "test": (1, 1, 0, 0)}
+
+
 def test_cut_repeated_spans_keeps_first_occurrence(spark):
     """Hand-checked Lee et al. ACTION semantics: the corpus-wide
     first occurrence (ORDER BY id, pos) of each repeated gram

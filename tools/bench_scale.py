@@ -120,6 +120,8 @@ QUERIES_TO_RUN = [
     "semantic_dedup_2level",
     # Lee et al. ACTION step: cut + reassemble (incidence-bound rebuild)
     "cut_repeated_spans",
+    # leakage repair: CC labels + two id-keyed joins + k-row aggs
+    "split_repair_neardup",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
