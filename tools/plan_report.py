@@ -153,6 +153,23 @@ HEADLINE = {
                        "equi-join on cell id, exact cosine as a "
                        "grouped numpy sweep per cell — candidate "
                        "volume linear in corpus by construction"),
+    "semantic_dedup_2level": ("SemDeDup at k ∝ n: ONE coarse→fine "
+                              "mapInPandas assignment pass (n·2√k dot "
+                              "products, fine→coarse map built "
+                              "driver-side on ≤k rows), then the same "
+                              "within-cell equi-join pair sweep — no "
+                              "corpus×centroid join anywhere"),
+    "cut_repeated_spans": ("Lee et al. action step: one (h)-keyed "
+                           "window computes repeat count AND canonical "
+                           "rank (no second gram scan); cut coverage "
+                           "is an interval sweep per doc; ONLY "
+                           "affected docs (semi-join) are reassembled "
+                           "— untouched docs project through"),
+    "split_repair_neardup": ("leakage repair: cluster labels joined "
+                             "id-keyed, leaky clusters from one "
+                             "distinct-split aggregate, quarantine is "
+                             "a codegen CASE — summaries are k-row "
+                             "aggs, nothing corpus²"),
     "dataset_diff": ("snapshot diff: 16-byte MD5 fingerprints "
                      "full-outer-joined on id — text columns pruned "
                      "before the exchange, classification is a "
