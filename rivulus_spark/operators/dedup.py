@@ -1271,9 +1271,16 @@ def positioned_shingle_rows_arrow(df: DataFrame, text_col: str = "text",
     class, leading/trailing empties kept), grams are space-joined
     k-token windows at 0-based positions, hashes the md5-derived
     60-bit ints of :func:`text.word_hash`; docs with fewer than k
-    tokens emit nothing, null text emits nothing, a null id flows
-    through as a null id row. Positions here are ``long`` (the
-    relational posexplode emits int; every consumer casts)."""
+    tokens emit nothing, null text emits nothing. Positions are
+    ``long`` (the relational posexplode emits int; consumers cast).
+
+    PRECONDITION on null ids: at most one null-id row. A single
+    null-id doc flows through as null-id gram rows on both forms, but
+    with SEVERAL null-id docs the relational lead window merges them
+    into one partition (grams leak across documents,
+    order-nondeterministic) while this pass keeps rows independent —
+    there is no meaningful parity to preserve there, and the
+    repeated-span consumers document non-null ids anyway."""
     import re
 
     ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s, NOT unicode \s
@@ -1343,6 +1350,9 @@ def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
     than k tokens are not flagged (by construction, same as the
     paper's 50-token threshold), and a repeat of length >= k is
     flagged over its full extent (every window inside it repeats).
+    PRECONDITION: ``id_col`` effectively non-null (multiple null-id
+    docs have no well-defined per-doc gram stream — see
+    positioned_shingle_rows_arrow).
 
     r8: two structural fixes, measured together at sf10. (1) The
     position stream comes from the Arrow map-side pass

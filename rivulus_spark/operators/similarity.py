@@ -620,21 +620,18 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf["vec"]])       # (n, dim)
             if exact:
-                S = np.zeros((X.shape[0], C.shape[0]))
-                xnrm = np.zeros(X.shape[0])
-                for d in range(dim):                   # sequential fold
-                    # in-place += keeps the exact same addition order
-                    # as `S = S + ...` while halving allocations
-                    S += X[:, d:d + 1] * C[None, :, d]
-                    xnrm += X[:, d] * X[:, d]
+                # single source of the float contract — the same
+                # helper the two-level assignment uses
+                cell = _exact_nearest(X, cids, C, cnrm)
             else:
                 S = X @ C.T                            # one dgemm
                 xnrm = (X * X).sum(axis=1)
-            sim = S / (np.sqrt(xnrm)[:, None] * cnrm[None, :])
-            # round half away from zero on the raw double, like
-            # DuckDB/Spark ROUND (np.round is half-to-even)
-            r6 = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
-            cell = cids[np.argmax(r6, axis=1)]         # first max = min cid
+                sim = S / (np.sqrt(xnrm)[:, None] * cnrm[None, :])
+                # round half away from zero on the raw double, like
+                # DuckDB/Spark ROUND (np.round is half-to-even)
+                r6 = np.copysign(
+                    np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
+                cell = cids[np.argmax(r6, axis=1)]     # first max=min cid
             if keep_vec:
                 yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                     "vec": pdf["vec"],
@@ -701,9 +698,12 @@ def ivf_assign_cells_2level(df: DataFrame, fine, coarse,
     levels follows the ivf_assign_cells float contract
     (ascending-dimension fold, 6-decimal round, min-id tie-break) so a
     two-stage ``row_number`` SQL replica matches bit-for-bit. Coarse
-    centroids drawn from the fine set (stride-multiple init) guarantee
-    every coarse group is non-empty — the coarse centroid assigns to
-    itself at sim 1.0."""
+    ids MUST be a subset of the fine ids (stride-multiple init;
+    validated) so groups are non-empty in the generic case — and
+    because a coarse centroid can still lose its own fine twin to a
+    6-decimal tie with a near-identical coarse sibling, vectors route
+    only through COVERED groups (those that won at least one fine
+    centroid; the SQL replica restricts identically)."""
     import numpy as np
 
     fine_pairs = centroid_pairs(fine, id_col, vec_col)
@@ -712,17 +712,30 @@ def ivf_assign_cells_2level(df: DataFrame, fine, coarse,
         raise ValueError(
             "ivf_assign_cells_2level: empty fine or coarse centroid set "
             "(check the stride/init selection against the corpus id space)")
+    if not {c for c, _ in coarse_pairs} <= {f for f, _ in fine_pairs}:
+        # with coarse ⊄ fine a coarse group can be empty while still
+        # winning a vector's argmax — fail loudly instead of letting
+        # the worker hit a missing group
+        raise ValueError(
+            "ivf_assign_cells_2level: coarse centroid ids must be a "
+            "subset of the fine ids (stride-multiple init) so every "
+            "routable group is non-empty")
 
-    gids = np.asarray([p[0] for p in coarse_pairs], dtype=np.int64)
-    G = np.asarray([p[1] for p in coarse_pairs], dtype=np.float64)
+    gids_all = np.asarray([p[0] for p in coarse_pairs], dtype=np.int64)
+    G_all = np.asarray([p[1] for p in coarse_pairs], dtype=np.float64)
     fids = np.asarray([p[0] for p in fine_pairs], dtype=np.int64)
     Fm = np.asarray([p[1] for p in fine_pairs], dtype=np.float64)
     # driver-side fine→coarse map: k·g on k rows, never the corpus
-    fine_group = _exact_nearest(Fm, gids, G)
+    fine_group = _exact_nearest(Fm, gids_all, G_all)
     groups = {int(g): (fids[fine_group == g], Fm[fine_group == g])
               for g in np.unique(fine_group)}
+    # vectors route only through COVERED groups (a coarse centroid can
+    # lose its own fine twin to a 6-decimal tie with a near-identical
+    # coarse sibling; the SQL oracle restricts the same way)
+    covered = np.asarray(sorted(groups), dtype=np.int64)
+    keep = np.isin(gids_all, covered)
     bc = df.sparkSession.sparkContext.broadcast(
-        (gids, G, {g: (f.copy(), M.copy()) for g, (f, M) in groups.items()}))
+        (gids_all[keep], G_all[keep], groups))
 
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     _as_double(F.col(vec_col)).alias("vec"))
@@ -732,17 +745,30 @@ def ivf_assign_cells_2level(df: DataFrame, fine, coarse,
         import pandas as pd
 
         gids_w, G_w, groups_w = bc.value
+        # norms once per worker, not per batch/group (exact fold —
+        # the same order _exact_nearest uses internally)
+        dim = G_w.shape[1]
+
+        def _fold_norms(M):
+            nrm = np.zeros(M.shape[0])
+            for d in range(dim):                       # sequential fold
+                nrm = nrm + M[:, d] * M[:, d]
+            return np.sqrt(nrm)
+
+        gnrm = _fold_norms(G_w)
+        fnrm = {g: _fold_norms(M) for g, (_, M) in groups_w.items()}
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf["vec"]])
-            cg = _exact_nearest(X, gids_w, G_w)
+            cg = _exact_nearest(X, gids_w, G_w, gnrm)
             cell = np.empty(len(X), dtype=np.int64)
             for g in np.unique(cg):
                 m = cg == g
                 f_ids, f_mat = groups_w[int(g)]
-                cell[m] = _exact_nearest(X[m], f_ids, f_mat)
+                cell[m] = _exact_nearest(X[m], f_ids, f_mat,
+                                         fnrm[int(g)])
             if keep_vec:
                 yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                     "vec": pdf["vec"], "cell": cell})

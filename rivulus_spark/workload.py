@@ -5956,16 +5956,18 @@ fmap AS (
                    6) DESC,
              coarse.gid) AS rn
     FROM fine CROSS JOIN coarse) WHERE rn = 1),
+cov AS (SELECT gid, gvec FROM coarse
+        WHERE gid IN (SELECT gid FROM fmap)),
 vg AS (
   SELECT vec_id, gid FROM (
-    SELECT e.vec_id, coarse.gid,
+    SELECT e.vec_id, cov.gid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             round(list_dot_product(e.emb, coarse.gvec)
+             round(list_dot_product(e.emb, cov.gvec)
                    / (sqrt(list_dot_product(e.emb, e.emb))
-                      * sqrt(list_dot_product(coarse.gvec, coarse.gvec))),
+                      * sqrt(list_dot_product(cov.gvec, cov.gvec))),
                    6) DESC,
-             coarse.gid) AS rn
-    FROM e CROSS JOIN coarse) WHERE rn = 1),
+             cov.gid) AS rn
+    FROM e CROSS JOIN cov) WHERE rn = 1),
 asg AS (
   SELECT vec_id, fid AS cell FROM (
     SELECT e.vec_id, f.fid,

@@ -1994,6 +1994,24 @@ def test_2level_assign_routes_through_coarse_group(spark):
     assert one[1] == 11
 
 
+def test_2level_requires_coarse_subset_of_fine(spark):
+    """An arbitrary coarse set can leave a routable coarse group
+    empty (worker KeyError in the old code) — the operator now
+    validates the stride-multiple contract up front."""
+    from rivulus_spark.operators import similarity as sim
+
+    fine = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    coarse = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    vecs = spark.createDataFrame([(7, [0.1, 1.0])],
+                                 "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="subset of the fine"):
+        sim.ivf_assign_cells_2level(vecs, fine, coarse)
+
+
 def test_semantic_dedup_2level_matches_single_level_on_identity(spark):
     """semantic_dedup_pairs_2level with coarse == fine must emit the
     identical pair set as the single-level path (same cells → same
@@ -2567,7 +2585,9 @@ def test_positioned_shingle_arrow_matches_relational(spark):
     relational lead-window form on the awkward cases: leading/
     trailing whitespace (empty tokens kept), tabs/newlines (Java \\s
     class), intra-doc repeats (rows NOT distinct-ed), docs shorter
-    than k, null text, and a null doc id."""
+    than k, null text, and a SINGLE null doc id (several null-id
+    docs are outside both forms' contract — the relational window
+    would merge them into one pseudo-doc; documented precondition)."""
     docs = spark.createDataFrame([
         (0, "  a b c d e  "),            # leading/trailing spaces
         (1, "a\tb\nc d e"),              # java \s separators

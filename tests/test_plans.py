@@ -151,13 +151,16 @@ def test_pca_moments_are_arrow_map_no_cartesian(spark):
     assert p.count("HashAggregate") >= 2  # partial + final slot sums
 
 
-def test_repeated_spans_no_cartesian_no_python(spark):
-    # repeat detection must be a hash-keyed agg + semi-join; the
-    # island-merge windows are doc-partitioned (blanket audit covers
-    # unpartitioned windows separately)
+def test_repeated_spans_no_cartesian_single_gram_pass(spark):
+    # r8 shape: grams come from ONE Arrow map-side pass (exactly one
+    # MapInPandas stage — a second one would mean the unpersisted
+    # stream is evaluated twice, the bug the window-mark rewrite
+    # removed); repeat marking is the (h)-keyed window, islands are
+    # doc-partitioned (blanket audit covers unpartitioned windows)
     p = plan(spark, "repeated_span_dedup")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
-    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "EvalPython" not in p
+    assert p.count("MapInPandas") == 1, p.count("MapInPandas")
 
 
 def test_source_similarity_is_hash_equi_join(spark):
