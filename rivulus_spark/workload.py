@@ -4572,6 +4572,51 @@ def q_knn_cosine(spark, sf_dir):
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), "sim")
 
 
+@_q("ann_quantized_topk", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(emb, x -> CASE WHEN s = 0 THEN 0.0
+             ELSE greatest(-127.0, least(127.0,
+                           floor(x / s * 127)::DOUBLE)) END) AS q
+  FROM (SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS s
+        FROM e)),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CASE WHEN list_dot_product(q.q, q.q) = 0
+                OR list_dot_product(c.q, c.q) = 0 THEN 0.0
+              ELSE round(list_dot_product(q.q, c.q)
+                         / (sqrt(list_dot_product(q.q, q.q))
+                            * sqrt(list_dot_product(c.q, c.q))), 6)
+         END AS sim_q
+  FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+r AS (
+  SELECT q_id, n_id, sim_q,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim_q DESC, n_id) AS rank
+  FROM p)
+SELECT q_id, n_id, rank, sim_q FROM r WHERE rank <= 5
+""")
+def q_ann_quantized_topk(spark, sf_dir):
+    """Top-5 neighbors under int8-QUANTIZED cosine
+    (quantize.knn_cosine_quantized, r8 debut) for the same queries as
+    knn_cosine — the scoring a vector store persisting int8 codes
+    (embedding_quantize's format) actually runs, reading 1/4 the scan
+    bytes at 100 TB. Integer dots ride in doubles so every
+    product/sum is exact; the only approximation is quantization
+    itself, and diffing this ranking against knn_cosine's measures
+    it. All codegen: quantize transform + fold dots + broadcast
+    queries + group-limit top-k."""
+    from .operators import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize.knn_cosine_quantized(
+        emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("q_id", "n_id",
+                      F.col("rank").cast("long").alias("rank"), "sim_q")
+
+
 _NEARDUP_COS_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -6346,8 +6391,9 @@ _PRIORITY: list[str] = [
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
     # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
     # containment_pairs, embedding_centroid_drift (r8 late debuts)
-    # and the r8 fifth wave (semantic_dedup_2level verified at
-    # sf0.01+sf1+sf10; cut_repeated_spans at sf0.01+sf1)
+    # and the r8 fifth wave (semantic_dedup_2level and
+    # cut_repeated_spans verified at sf0.01+sf1+sf10;
+    # split_repair_neardup at sf0.01+sf1)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds

@@ -2603,6 +2603,38 @@ def test_positioned_shingle_arrow_matches_relational(spark):
     assert rel == arw and len(arw) > 0
 
 
+def test_quantized_vec_codes_and_knn(spark):
+    """int8 code rule (shared with quantize_int8_report): max element
+    hits exactly ±127, others floor(x/scale*127), all-zero vectors
+    stay all-zero; quantized knn ranks an exact duplicate first at
+    sim_q 1.0."""
+    from rivulus_spark.operators import quantize
+
+    vecs = spark.createDataFrame([
+        (0, [2.0, -1.0, 0.5]),
+        (1, [0.0, 0.0, 0.0]),
+    ], "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.q for r in
+           vecs.select("vec_id",
+                       quantize.quantized_vec("embedding").alias("q"))
+           .collect()}
+    # scale 2.0: [127, floor(-63.5)=-64, floor(31.75)=31]
+    assert got[0] == [127.0, -64.0, 31.0]
+    assert got[1] == [0.0, 0.0, 0.0]
+
+    corpus = spark.createDataFrame([
+        (10, [1.0, 0.0, 0.1]),
+        (11, [2.0, 0.0, 0.2]),      # same direction as the query
+        (12, [0.0, 1.0, 0.0]),
+    ], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(99, [1.0, 0.0, 0.1])],
+                              "vec_id long, embedding array<double>")
+    top = quantize.knn_cosine_quantized(corpus, q, k=3).collect()
+    ranked = sorted(((r.rank, r.n_id, r.sim_q) for r in top))
+    assert ranked[0][1] in (10, 11) and ranked[0][2] == 1.0
+    assert ranked[2][1] == 12       # orthogonal vector ranks last
+
+
 def test_repair_split_leakage_quarantines_whole_cluster(spark):
     """Hand-checked quarantine semantics: a cluster straddling
     train/val moves WHOLE into train (including the members already

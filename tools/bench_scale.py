@@ -122,6 +122,8 @@ QUERIES_TO_RUN = [
     "cut_repeated_spans",
     # leakage repair: CC labels + two id-keyed joins + k-row aggs
     "split_repair_neardup",
+    # int8-quantized knn: codegen quantize + fold dots, one scan
+    "ann_quantized_topk",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
