@@ -184,6 +184,8 @@ HUGE_QUERIES = [
     "semantic_dedup_2level",
     # Lee et al. ACTION step over the repeated-span machinery
     "cut_repeated_spans",
+    # int8-code scan: persisted code table + fold dots, one corpus pass
+    "ann_quantized_topk",
 ]
 
 
