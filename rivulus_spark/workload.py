@@ -6391,8 +6391,8 @@ _PRIORITY: list[str] = [
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
     # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
     # containment_pairs, embedding_centroid_drift (r8 late debuts)
-    # and the r8 fifth wave (semantic_dedup_2level and
-    # cut_repeated_spans verified at sf0.01+sf1+sf10;
+    # and the r8 fifth wave (semantic_dedup_2level, cut_repeated_spans
+    # and ann_quantized_topk verified at sf0.01+sf1+sf10;
     # split_repair_neardup at sf0.01+sf1)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —

@@ -170,6 +170,13 @@ HEADLINE = {
                              "distinct-split aggregate, quarantine is "
                              "a codegen CASE — summaries are k-row "
                              "aggs, nothing corpus²"),
+    "ann_quantized_topk": ("int8-code scoring: quantization is one "
+                           "codegen zip_with per row into a PERSISTED "
+                           "code table (projection collapse would "
+                           "otherwise re-quantize per query through "
+                           "the join), broadcast queries, fold dots, "
+                           "group-limit top-k — one corpus scan at "
+                           "1/4 the float32 bytes"),
     "dataset_diff": ("snapshot diff: 16-byte MD5 fingerprints "
                      "full-outer-joined on id — text columns pruned "
                      "before the exchange, classification is a "
