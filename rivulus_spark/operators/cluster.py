@@ -42,12 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import (centroid_pairs, ivf_assign_cells,
-                         ivf_assign_cells_2level)
+from .similarity import (_nearest_cols, centroid_pairs,
+                         ivf_assign_cells, ivf_assign_cells_2level)
 
 
-def _train_partials(df: DataFrame, bc, dim: int, id_col: str,
-                    vec_col: str) -> DataFrame:
+def _train_partials(df: DataFrame, bc, vec_col: str) -> DataFrame:
     """Fused Lloyd map stage: assign + partial-sum in ONE Python pass.
 
     Per Arrow batch: one dgemm against the broadcast centroid matrix
@@ -79,10 +78,7 @@ def _train_partials(df: DataFrame, bc, dim: int, id_col: str,
                 continue
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf["vec"]])
-            sim = (X @ C.T) / (np.sqrt((X * X).sum(axis=1))[:, None]
-                               * cnrm[None, :])
-            r6 = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
-            idx = np.argmax(r6, axis=1)                # first max = min cid
+            idx = _nearest_cols(X, C, cnrm, exact=False)
             acc_n += np.bincount(idx, minlength=k)
             np.add.at(acc_s, idx, X)
         seen = np.flatnonzero(acc_n)
@@ -107,7 +103,9 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
     plain pairs, so no per-iteration createDataFrame/collect round-
     trips and exactly one broadcast per iteration. Assignment metric is
     cosine (spherical k-means) — the update mean is not re-normalized
-    because cosine is scale-invariant."""
+    because cosine is scale-invariant. ``dim`` is kept for signature
+    stability only: the r7 interpreted zip_with merge needed the
+    width; the numpy merge reads it from the data."""
     cents = dict(centroid_pairs(init_centroids, id_col, vec_col))
     sc = df.sparkSession.sparkContext
 
@@ -124,7 +122,7 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
     for _ in range(n_iters):
         bc = sc.broadcast(sorted(cents.items()))
         merged = (
-            _train_partials(df, bc, dim, id_col, vec_col)
+            _train_partials(df, bc, vec_col)
             .groupBy("cell")
             .applyInPandas(_merge, "cell long, n long, s array<double>")
             .collect())  # k tiny rows: the Lloyd iteration barrier

@@ -619,19 +619,8 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
                 continue
             X = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf["vec"]])       # (n, dim)
-            if exact:
-                # single source of the float contract — the same
-                # helper the two-level assignment uses
-                cell = _exact_nearest(X, cids, C, cnrm)
-            else:
-                S = X @ C.T                            # one dgemm
-                xnrm = (X * X).sum(axis=1)
-                sim = S / (np.sqrt(xnrm)[:, None] * cnrm[None, :])
-                # round half away from zero on the raw double, like
-                # DuckDB/Spark ROUND (np.round is half-to-even)
-                r6 = np.copysign(
-                    np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
-                cell = cids[np.argmax(r6, axis=1)]     # first max=min cid
+            # one copy of the round/tie-break semantics for both paths
+            cell = cids[_nearest_cols(X, C, cnrm, exact)]
             if keep_vec:
                 yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                     "vec": pdf["vec"],
@@ -645,29 +634,44 @@ def ivf_assign_cells(df: DataFrame, centroids, id_col: str = "vec_id",
     return src.mapInPandas(_assign, schema)
 
 
-def _exact_nearest(X, cids, C, cnrm=None):
-    """numpy argmax-cosine under the ivf_assign_cells float contract:
-    ascending-dimension sequential accumulation, 6-decimal
-    round-half-away-from-zero, first-maximum (= min cid, columns
-    sorted) tie-break. Shared by the two-level assignment's worker
-    pass and its tiny driver-side fine→coarse mapping so the contract
-    cannot drift between the two levels."""
+def _nearest_cols(X, C, cnrm, exact):
+    """Column-index argmax-cosine — the ONE copy of the shared
+    rounding/tie-break semantics (6-decimal round-half-away-from-zero
+    on the raw double, first maximum = lowest column): ``exact=True``
+    accumulates dot products dimension-by-dimension ascending (the
+    SQL-oracle float contract), ``exact=False`` uses one dgemm (for
+    consumers without a bit-exact contract — k-means training, whose
+    centroids are float-order dependent anyway)."""
     import numpy as np
 
     dim = C.shape[1]
-    if cnrm is None:
-        cnrm = np.zeros(C.shape[0])
+    if exact:
+        S = np.zeros((X.shape[0], C.shape[0]))
+        xnrm = np.zeros(X.shape[0])
         for d in range(dim):                           # sequential fold
-            cnrm += C[:, d] * C[:, d]
-        cnrm = np.sqrt(cnrm)
-    S = np.zeros((X.shape[0], C.shape[0]))
-    xnrm = np.zeros(X.shape[0])
-    for d in range(dim):                               # sequential fold
-        S += X[:, d:d + 1] * C[None, :, d]
-        xnrm += X[:, d] * X[:, d]
+            S += X[:, d:d + 1] * C[None, :, d]
+            xnrm += X[:, d] * X[:, d]
+    else:
+        S = X @ C.T
+        xnrm = (X * X).sum(axis=1)
     sim = S / (np.sqrt(xnrm)[:, None] * cnrm[None, :])
     r6 = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6, sim)
-    return cids[np.argmax(r6, axis=1)]
+    return np.argmax(r6, axis=1)
+
+
+def _exact_nearest(X, cids, C, cnrm=None):
+    """numpy argmax-cosine under the ivf_assign_cells float contract
+    (see _nearest_cols). Shared by the single- and two-level
+    assignment workers and the tiny driver-side fine→coarse mapping
+    so the contract cannot drift between levels."""
+    import numpy as np
+
+    if cnrm is None:
+        cnrm = np.zeros(C.shape[0])
+        for d in range(C.shape[1]):                    # sequential fold
+            cnrm += C[:, d] * C[:, d]
+        cnrm = np.sqrt(cnrm)
+    return cids[_nearest_cols(X, C, cnrm, exact=True)]
 
 
 def ivf_assign_cells_2level(df: DataFrame, fine, coarse,
