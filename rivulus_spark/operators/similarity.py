@@ -1000,6 +1000,49 @@ def ann_cosine_lsh(corpus: DataFrame, queries: DataFrame, k: int,
             .select("q_id", "n_id", "rank", "sim"))
 
 
+def pool_chunk_embeddings(df: DataFrame, doc_col, dim: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Mean-pool CHUNK embeddings into DOCUMENT embeddings — the glue
+    between how embedding tables are actually produced (one vector
+    per context-window chunk, text_chunking's output) and the
+    doc-level consumers here (semantic dedup, ANN, drift): one row
+    per ``doc_col`` value with ``n_chunks`` and the 6-decimal-rounded
+    mean vector ``pooled``.
+
+    Float contract (hash-checkable): chunks fold in ascending
+    ``id_col`` order from a zero start (adding 0.0 is exact, so the
+    fold equals DuckDB's init-less ``list_reduce`` over
+    ``list(v ORDER BY id)``), components divide by the chunk count
+    and round half-away-from-zero at 6 decimals — fully
+    deterministic, no partial-agg float-order dependence (the naive
+    per-dimension ``avg`` would shuffle-order the additions).
+
+    Scale shape: ONE hash exchange keyed on the doc id carrying each
+    chunk vector exactly once — pooling is inherently a reassembly
+    shuffle (chunks of a doc are scattered); writing chunk tables
+    bucketed on the doc id (sources/bucketed.py) makes it
+    exchange-free. The fold is interpreted zip_with but totals
+    n·dim adds corpus-wide (groups are chunk-count sized), map-side
+    nothing — JVM-only, no Python stage."""
+    doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    g = (df.select(doc.cast("long").alias("doc_id"),
+                   F.col(id_col).cast("long").alias("id"),
+                   _as_double(F.col(vec_col)).alias("v"))
+         .groupBy("doc_id")
+         .agg(F.count("*").alias("n_chunks"),
+              F.array_sort(F.collect_list(F.struct("id", "v")))
+              .alias("chunks")))
+    summed = F.aggregate(
+        F.transform(F.col("chunks"), lambda c: c["v"]), zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+    n = F.col("n_chunks").cast("double")
+    return g.select(
+        "doc_id", F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.transform(summed, lambda s: F.round(s / n, 6)).alias("pooled"))
+
+
 def centroid_drift(old: DataFrame, new: DataFrame,
                    group_col: str = "label",
                    vec_col: str = "embedding") -> DataFrame:

@@ -4572,6 +4572,39 @@ def q_knn_cosine(spark, sf_dir):
     return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"), "sim")
 
 
+@_q("embedding_pool_chunks", """
+WITH e AS (SELECT vec_id, vec_id // 4 AS doc_id,
+                  embedding::DOUBLE[] AS v
+           FROM embeddings),
+g AS (SELECT doc_id, count(*) AS n_chunks,
+             list(v ORDER BY vec_id) AS chunks
+      FROM e GROUP BY doc_id),
+s AS (SELECT doc_id, n_chunks,
+             list_reduce(chunks,
+                         (a, b) -> [a[i] + b[i]
+                                    for i in range(1, len(a)+1)]) AS sm
+      FROM g)
+SELECT doc_id, n_chunks::BIGINT AS n_chunks,
+       [round(x / n_chunks, 6) for x in sm] AS pooled
+FROM s
+""")
+def q_embedding_pool_chunks(spark, sf_dir):
+    """Chunk→document embedding pooling
+    (similarity.pool_chunk_embeddings, r8 debut): every 4 consecutive
+    vec_ids form one document's chunks (the deterministic stand-in
+    for text_chunking's chunk table), mean-pooled into a document
+    vector under the ordered-fold float contract — ascending-id
+    sequential adds from a zero start equal DuckDB's init-less
+    list_reduce, so the full pooled ARRAY hash-matches, not just a
+    digest. One doc-keyed exchange carrying each chunk once; JVM-only
+    interpreted fold totalling n·dim adds."""
+    from .operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pool_chunk_embeddings(
+        emb, F.floor(F.col("vec_id") / 4), dim=64)
+
+
 @_q("ann_quantized_topk", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 qz AS (

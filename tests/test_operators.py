@@ -2603,6 +2603,23 @@ def test_positioned_shingle_arrow_matches_relational(spark):
     assert rel == arw and len(arw) > 0
 
 
+def test_pool_chunk_embeddings_ordered_mean(spark):
+    """Hand-checked pooling: per-doc mean over chunks in ascending id
+    order, 6-decimal rounding, singleton docs pass through."""
+    chunks = spark.createDataFrame([
+        (0, 0, [1.0, 0.0]), (1, 0, [0.0, 1.0]),    # doc 0: mean .5,.5
+        (2, 1, [0.3, 0.9]),                         # doc 1: singleton
+        (3, 2, [1.0, 1.0]), (4, 2, [0.0, 0.0]),
+        (5, 2, [0.5, 0.2]),                         # doc 2: thirds
+    ], "vec_id long, doc long, embedding array<double>")
+    got = {r.doc_id: (r.n_chunks, r.pooled) for r in
+           similarity.pool_chunk_embeddings(chunks, "doc", dim=2)
+           .collect()}
+    assert got[0] == (2, [0.5, 0.5])
+    assert got[1] == (1, [0.3, 0.9])
+    assert got[2] == (3, [0.5, 0.4])
+
+
 def test_quantized_vec_codes_and_knn(spark):
     """int8 code rule (shared with quantize_int8_report): max element
     hits exactly ±127, others floor(x/scale*127), all-zero vectors

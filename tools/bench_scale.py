@@ -186,6 +186,8 @@ HUGE_QUERIES = [
     "cut_repeated_spans",
     # int8-code scan: persisted code table + fold dots, one corpus pass
     "ann_quantized_topk",
+    # chunk->doc pooling: one doc-keyed exchange + ordered fold
+    "embedding_pool_chunks",
     # its float baseline (same scan shape, 4x the bytes)
     "knn_cosine",
     # leakage repair (CC fixed cost; edge set bounded by design)
