@@ -6424,9 +6424,10 @@ _PRIORITY: list[str] = [
     "source_term_divergence", "stream_drift_psi", "wordlm_quality",
     # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
     # containment_pairs, embedding_centroid_drift (r8 late debuts)
-    # and the r8 fifth wave (semantic_dedup_2level, cut_repeated_spans
-    # and ann_quantized_topk verified at sf0.01+sf1+sf10;
-    # split_repair_neardup at sf0.01+sf1)
+    # and the r8 fifth/sixth waves (semantic_dedup_2level,
+    # cut_repeated_spans, ann_quantized_topk, split_repair_neardup
+    # and embedding_pool_chunks — all verified at sf0.01+sf1+sf10
+    # this round, ORACLE_SF1/ORACLE_SF10)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds

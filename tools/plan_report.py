@@ -170,6 +170,13 @@ HEADLINE = {
                              "distinct-split aggregate, quarantine is "
                              "a codegen CASE — summaries are k-row "
                              "aggs, nothing corpus²"),
+    "embedding_pool_chunks": ("chunk→doc pooling: ONE doc-keyed "
+                              "exchange carrying each chunk vector "
+                              "once, ordered zip_with fold (n·dim "
+                              "adds total), no Python — the naive "
+                              "per-dimension avg would explode n·dim "
+                              "rows and be float-order "
+                              "nondeterministic"),
     "ann_quantized_topk": ("int8-code scoring: quantization is one "
                            "codegen zip_with per row into a PERSISTED "
                            "code table (projection collapse would "
