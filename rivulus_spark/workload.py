@@ -4605,6 +4605,62 @@ def q_embedding_pool_chunks(spark, sf_dir):
         emb, F.floor(F.col("vec_id") / 4), dim=64)
 
 
+@_q("semantic_dedup_pooled", """
+WITH e0 AS (SELECT vec_id, vec_id // 4 AS doc_id,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings),
+g0 AS (SELECT doc_id, count(*) AS n_chunks,
+              list(v ORDER BY vec_id) AS chunks
+       FROM e0 GROUP BY doc_id),
+e AS (SELECT doc_id AS vec_id,
+             [round(x / n_chunks, 6)
+              for x in list_reduce(chunks,
+                  (a, b) -> [a[i] + b[i]
+                             for i in range(1, len(a)+1)])] AS emb
+      FROM g0),
+cent AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id % 64 = 0),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.emb, cent.cvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb))
+                      * sqrt(list_dot_product(cent.cvec, cent.cvec))),
+                   6) DESC,
+             cent.cid) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS sim
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id)
+SELECT id_a, id_b, cell, sim FROM p WHERE sim >= 0.45
+""")
+def q_semantic_dedup_pooled(spark, sf_dir):
+    """The REAL SemDeDup pipeline shape, composed from this round's
+    operators (r8 debut): chunk embeddings mean-pool into document
+    vectors (embedding_pool_chunks' ordered-fold contract — pooled
+    arrays are bit-equal across engines), then SemDeDup runs at the
+    DOCUMENT level over the pooled vectors (stride-64 doc init,
+    within-cell exact cosine at 0.45). Because pooling is 6-decimal
+    deterministic, the downstream assignment and pairing inherit full
+    hash parity — the whole two-stage pipeline is one lazy plan and
+    one oracle. Compose-don't-rebuild: the query body is two operator
+    calls."""
+    from .operators import cluster, similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = (sim.pool_chunk_embeddings(
+        emb, F.floor(F.col("vec_id") / 4), dim=64)
+        .select(F.col("doc_id").alias("vec_id"),
+                F.col("pooled").alias("embedding")))
+    init = pooled.filter((F.col("vec_id") % 64) == 0)
+    return cluster.semantic_dedup_pairs(pooled, init, threshold=0.45)
+
+
 @_q("ann_quantized_topk", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 qz AS (
@@ -6427,7 +6483,8 @@ _PRIORITY: list[str] = [
     # and the r8 fifth/sixth waves (semantic_dedup_2level,
     # cut_repeated_spans, ann_quantized_topk, split_repair_neardup
     # and embedding_pool_chunks — all verified at sf0.01+sf1+sf10
-    # this round, ORACLE_SF1/ORACLE_SF10)
+    # this round, ORACLE_SF1/ORACLE_SF10; semantic_dedup_pooled,
+    # the pool→SemDeDup composition, at sf0.01+sf1)
     # could not fit the 50-slot window; all are verified at sf0.01
     # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
     # this round, and debut in the r9 window first. The same holds
