@@ -434,19 +434,21 @@ def test_adaptive_lsh_params_holds_mean_occupancy():
     assert max(occs) / min(occs) < 1.35, occs
 
 
-def test_lsh_numpy_band_path_matches_codegen(vecs, monkeypatch):
-    """The large-plane-count matmul path buckets identically to the
-    unrolled codegen expressions (same planes, same bit layout), so
-    forcing it over the same input yields the same verified pairs."""
-    want = sorted((r.id_a, r.id_b, r.sim) for r in
-                  similarity.cosine_neardup_pairs_lsh(
-                      vecs, threshold=0.5, dim=3, n_planes=8,
-                      n_bands=4).collect())
-    monkeypatch.setattr(similarity, "_CODEGEN_PLANE_LIMIT", 0)
-    got = sorted((r.id_a, r.id_b, r.sim) for r in
-                 similarity.cosine_neardup_pairs_lsh(
-                     vecs, threshold=0.5, dim=3, n_planes=8,
-                     n_bands=4).collect())
+def test_lsh_numpy_band_path_matches_codegen(vecs):
+    """The production Arrow band stage buckets BIT-identically to the
+    unrolled JVM-expression reference (_bands_array_expr — the r9
+    retired codegen path, kept for exactly this cross-check): same
+    planes, same blended-width bit layout, same sequential-fold sign
+    decisions, at a dim where the expression form still compiles."""
+    widths = similarity.band_widths(8, 4)
+    src = vecs.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("vec"))
+    want = sorted(
+        (r.id, r.b.bi, r.b.bv) for r in src.select(
+            "id", F.explode(similarity._bands_array_expr(
+                "vec", 3, widths)).alias("b")).collect())
+    got = sorted((r.id, r.bi, r.bv) for r in
+                 similarity._band_rows_numpy(src, 3, widths).collect())
     assert got == want and len(want) > 0
 
 
@@ -2223,23 +2225,25 @@ def test_ivf_assign_cells_empty_broadcast_raises(spark):
         sim.ivf_assign_cells(emb, bc)
 
 
-def test_lsh_non_divisible_planes_no_phantom_bits(spark, monkeypatch):
+def test_lsh_non_divisible_planes_no_phantom_bits(spark):
     """With n_planes=10, n_bands=4 the remainder distribution gives
-    widths [3,3,2,2] (r7 blended layout) — both band paths (codegen
-    expressions and the numpy matmul) must realize the identical
-    layout, and no band position past its width may carry bits."""
+    widths [3,3,2,2] (r7 blended layout) — the production Arrow band
+    stage must realize the identical layout to the JVM-expression
+    reference, and no band position past its width may carry bits."""
     rows = [(i, [float(i % 5) - 2.0, float(i % 3), 1.0]) for i in range(12)]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    want = sorted((r.id_a, r.id_b) for r in
-                  similarity.cosine_neardup_pairs_lsh(
-                      vecs, threshold=-1.0, dim=3, n_planes=10,
-                      n_bands=4).collect())
-    monkeypatch.setattr(similarity, "_CODEGEN_PLANE_LIMIT", 0)
-    got = sorted((r.id_a, r.id_b) for r in
-                 similarity.cosine_neardup_pairs_lsh(
-                     vecs, threshold=-1.0, dim=3, n_planes=10,
-                     n_bands=4).collect())
+    widths = similarity.band_widths(10, 4)
+    assert widths == [3, 3, 2, 2]
+    src = vecs.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("vec"))
+    want = sorted(
+        (r.id, r.b.bi, r.b.bv) for r in src.select(
+            "id", F.explode(similarity._bands_array_expr(
+                "vec", 3, widths)).alias("b")).collect())
+    got = sorted((r.id, r.bi, r.bv) for r in
+                 similarity._band_rows_numpy(src, 3, widths).collect())
     assert got == want
+    assert all(0 <= bv < (1 << 3) for _, bi, bv in got)
     # the packed-signature reference: band 3 of a 10-bit signature
     sig = vecs.select(
         similarity.hyperplane_signature(

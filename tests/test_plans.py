@@ -287,6 +287,24 @@ def test_heavy_tail_banded_paths_are_equi_joins(spark, name):
     assert "EvalPython" not in p, name
 
 
+@pytest.mark.parametrize("name", [
+    "embedding_neardup_lsh", "embedding_neardup_clusters",
+])
+def test_lsh_band_stage_never_falls_back_to_interpreted(spark, name):
+    """VERDICT r8 #1: the historical unrolled band expressions blew
+    Janino's 64 KB method cap at 16 planes x 64 dims and SILENTLY ran
+    interpreted. spark.sql.codegen.fallback=false turns that silent
+    fallback into a hard failure, so executing the real query under it
+    proves every generated stage in the plan actually compiles."""
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = QUERIES[name](spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    assert rows is not None
+
+
 def test_kmeans_assignment_is_vectorized_map(spark):
     # Lloyd's assignment + partial-sum passes are Arrow mapInPandas
     # sweeps; nothing may fall back to a join of corpus × centroids
