@@ -5376,14 +5376,20 @@ def q_neardup_rate_by_source(spark, sf_dir):
     MinHash near-dup pair — the triage number that decides which
     crawl source gets the aggressive dedup treatment (or gets
     dropped). Rides the dedup_minhash_lsh chain (same adaptive
-    banding, sf-conditional oracle): pair endpoints distinct-union to
-    a member set, one id join, k-key rollup."""
+    banding, sf-conditional oracle): pair endpoints explode to a
+    member set in ONE pass over the pair table, one id join, k-key
+    rollup. The r8 form unioned pairs.select(doc_a) with
+    pairs.select(doc_b) — pairs is lazy and only its upstream
+    signature/candidate tables are persisted, so each union branch
+    re-ran the three verify joins, the workload's single heaviest
+    stage executed twice (VERDICT r8 #2: 10.03s vs 1.99s for the
+    chain itself); explode(array(...)) reads the subtree once."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_dedup(
         docs, threshold=0.8,
         band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
-    members = (pairs.select(F.col("doc_a").alias("doc_id"))
-               .union(pairs.select(F.col("doc_b").alias("doc_id")))
+    members = (pairs.select(F.explode(F.array("doc_a", "doc_b"))
+                            .alias("doc_id"))
                .distinct()
                .withColumn("__m", F.lit(1)))
     return (docs.join(members, "doc_id", "left")
