@@ -110,8 +110,9 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
     NotImplementedError with the honest reason."""
     import io
     import math
-    import struct
     import wave
+
+    import numpy as np
 
     try:
         with wave.open(io.BytesIO(blob), "rb") as w:
@@ -136,9 +137,14 @@ def _decode_wav(blob: bytes) -> tuple[int, int, int, float]:
         raise ValueError(
             f"corrupt WAV: header promises {n} frames x {ch} ch "
             f"but raster carries {len(frames)} bytes")
-    xs = struct.unpack(f"<{n * ch}h", frames)
-    ssq = sum(x * x for x in xs)  # exact int accumulation
-    rms = math.sqrt(ssq / len(xs)) / 32768.0 if xs else 0.0
+    # exact int accumulation, vectorized (VERDICT r8 #3): int16
+    # samples square to < 2^30, so the int64 dot is exact up to ~2^33
+    # samples per clip — same contract as _decode_ppm's int64 sums;
+    # the per-sample struct.unpack + Python sum was the per-row
+    # bottleneck inside the decode task at real audio lengths
+    xs = np.frombuffer(frames, dtype="<i2")
+    ssq = int(np.dot(xs.astype(np.int64), xs.astype(np.int64)))
+    rms = math.sqrt(ssq / len(xs)) / 32768.0 if len(xs) else 0.0
     return rate, n, n * 1_000_000 // rate, rms
 
 

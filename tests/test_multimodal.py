@@ -173,6 +173,28 @@ def test_real_codecs_reject_corrupt_files_cleanly(spark):
         _decode_wav(b"ID3\x04mp3-like-bytes")
 
 
+def test_wav_rms_vectorized_is_bit_equal_to_scalar_fold(spark):
+    """The r9 numpy int64-dot RMS (VERDICT r8 #3) must be BIT-equal to
+    the per-sample Python accumulation it replaced: int16 squares are
+    < 2^30, so both accumulate the exact same integer, and the single
+    sqrt/divide is the identical float expression."""
+    import math
+    import struct
+
+    from rivulus_spark.operators.multimodal import _decode_wav
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -23456, 7, 0, -32768]
+    blob = multimodal.encode_wav_pcm16(samples, 16000)
+    rate, n, dur_us, rms = _decode_wav(blob)
+    # the exact scalar reference: struct.unpack + Python int sum
+    frames = blob[-2 * len(samples):]
+    xs = struct.unpack(f"<{len(samples)}h", frames)
+    ssq = sum(x * x for x in xs)
+    want = math.sqrt(ssq / len(xs)) / 32768.0
+    assert (rate, n) == (16000, len(samples))
+    assert rms == want  # bit-equal, no tolerance
+
+
 def test_avi_real_demux_roundtrip_and_rejections(spark):
     """encode_avi_rgb -> sample_video_frames(real): the RIFF walker
     returns the actual frame payloads at the sampled indices; corrupt
