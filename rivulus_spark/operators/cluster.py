@@ -167,9 +167,11 @@ def kmeans_cluster_sizes(df: DataFrame, init_centroids, dim: int,
     fixed mod-s sample keeps the TRAINING points-per-centroid
     constant at every corpus size, so the n_iters training sweeps
     cost n/s·k each instead of n·k and the full n·k sweep happens
-    exactly once. Cluster MEMBERSHIP of the final table is unchanged
-    in distribution (and its invariant summary — sizes sum to n,
-    cells ⊆ init ids — is unchanged exactly)."""
+    exactly once. Sampled training changes the trained centroids and
+    hence the actual membership counts (approximately unchanged when
+    the sample is representative — the faiss recipe's premise, not a
+    guarantee); only the invariant summary — sizes sum to n, cells ⊆
+    init ids — is unchanged exactly (ADVICE r8)."""
     pairs = kmeans_train_pairs(train_df if train_df is not None else df,
                                init_centroids, dim, n_iters,
                                id_col, vec_col)

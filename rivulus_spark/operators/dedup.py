@@ -1359,7 +1359,13 @@ def repeated_spans(df: DataFrame, k: int = 8, min_repeats: int = 2,
     (:func:`positioned_shingle_rows_arrow`) — the relational lead
     window form shuffled and sorted the full corpus TOKEN stream
     before the first gram existed; parity between the two forms is
-    asserted in tests and by the unchanged SQL oracle. (2) Repeat
+    asserted in tests and by the unchanged SQL oracle. BEHAVIOR NOTE
+    for consumers of the r7 surface (ADVICE r8): the Arrow pass WIDENED
+    the public position columns — ``pos``/``span_start``/``span_end``
+    are now ``long`` (Arrow int64), where the r7 lead-window form
+    emitted ``int`` — and multiple null-id docs moved from silent
+    per-row handling to the documented undefined-precondition case
+    above; schema-matching or casting consumers must expect ``long``. (2) Repeat
     marking is ONE ``count() over (partition by h)`` window instead
     of a separate hot-hash aggregate joined back: the agg+join form
     evaluated the (unpersisted) gram stream TWICE — once into the

@@ -50,18 +50,21 @@ def quantize_int8_report(df: DataFrame, vec_col: str = "embedding",
     df = spread(df)
     xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = F.array_max(F.transform(xd, F.abs))
-    q = F.transform(
-        xd, lambda v: F.when(scale == 0.0, F.lit(0).cast("long"))
-        .otherwise(F.greatest(F.lit(-127).cast("long"),
-                              F.least(F.lit(127).cast("long"),
-                                      F.floor(v / scale * 127)))))
-    qd = F.transform(q, lambda v: v.cast("double"))
+    # ONE copy of the int8 code rule: quantized_vec, whose
+    # array_repeat(scale) zip already evaluates the dim-cost scale
+    # fold once per row instead of once per ELEMENT (the historical
+    # transform-lambda form here re-ran it per element — the exact
+    # measured-5x inefficiency quantized_vec documents; ADVICE r8).
+    # scale itself stays a top-level select expression below (once per
+    # row); the codes are exact integers carried in doubles, so n_sat
+    # and the fold dots are unchanged bit-for-bit.
+    qd = quantized_vec(xd)
     s = scale / 127.0
     ssq_x = dot(xd, xd)
     dot_xq = dot(xd, qd)
     ssq_q = dot(qd, qd)
     err = ssq_x - 2.0 * s * dot_xq + s * s * ssq_q
-    n_sat = F.size(F.filter(q, lambda v: F.abs(v) == 127))
+    n_sat = F.size(F.filter(qd, lambda v: F.abs(v) == 127.0))
     return df.select(
         F.col(id_col),
         F.size(F.col(vec_col)).cast("long").alias("dim"),

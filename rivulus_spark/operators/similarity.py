@@ -1024,12 +1024,20 @@ def pool_chunk_embeddings(df: DataFrame, doc_col, dim: int,
     mean vector ``pooled``.
 
     Float contract (hash-checkable): chunks fold in ascending
-    ``id_col`` order from a zero start (adding 0.0 is exact, so the
-    fold equals DuckDB's init-less ``list_reduce`` over
-    ``list(v ORDER BY id)``), components divide by the chunk count
-    and round half-away-from-zero at 6 decimals — fully
-    deterministic, no partial-agg float-order dependence (the naive
-    per-dimension ``avg`` would shuffle-order the additions).
+    ``id_col`` order SEEDED WITH THE FIRST CHUNK, the tail aggregated
+    onto it — exactly DuckDB's init-less ``list_reduce`` over
+    ``list(v ORDER BY id)`` (ADVICE r8: the historical zero-array seed
+    turned an all ``-0.0`` component into ``+0.0`` via ``0.0 + -0.0``
+    where list_reduce preserves ``-0.0``; the seed fix removes that
+    fold divergence). Components divide by the chunk count and round
+    half-away-from-zero at 6 decimals — fully deterministic, no
+    partial-agg float-order dependence (the naive per-dimension
+    ``avg`` would shuffle-order the additions). One corner survives in
+    ROUND itself, not the fold: Spark's BigDecimal round maps ``-0.0``
+    to ``+0.0`` while DuckDB's keeps ``-0.0`` (verified on both
+    engines), so an exactly-(-0.0) mean component still prints
+    differently — invisible to IEEE ``==`` (the driver compare) and
+    unreachable for real embeddings, stated for exactness.
 
     Scale shape: ONE hash exchange keyed on the doc id carrying each
     chunk vector exactly once — pooling is inherently a reassembly
@@ -1039,7 +1047,6 @@ def pool_chunk_embeddings(df: DataFrame, doc_col, dim: int,
     n·dim adds corpus-wide (groups are chunk-count sized), map-side
     nothing — JVM-only, no Python stage."""
     doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
-    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
     g = (df.select(doc.cast("long").alias("doc_id"),
                    F.col(id_col).cast("long").alias("id"),
                    _as_double(F.col(vec_col)).alias("v"))
@@ -1047,8 +1054,11 @@ def pool_chunk_embeddings(df: DataFrame, doc_col, dim: int,
          .agg(F.count("*").alias("n_chunks"),
               F.array_sort(F.collect_list(F.struct("id", "v")))
               .alias("chunks")))
+    vs = F.transform(F.col("chunks"), lambda c: c["v"])
+    # groups always have >= 1 row, so element_at(vs, 1) is total; the
+    # tail slice is empty at n=1 and the fold returns the seed
     summed = F.aggregate(
-        F.transform(F.col("chunks"), lambda c: c["v"]), zero,
+        F.slice(vs, F.lit(2), F.size(vs) - 1), F.element_at(vs, 1),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
     n = F.col("n_chunks").cast("double")
     return g.select(

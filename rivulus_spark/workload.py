@@ -6447,75 +6447,43 @@ def q_embedding_quantize(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-8 rotation (VERDICT r7 item 1): (a) the r4-vintage
-    # rows the fourteen r7 debuts displaced — named in the r7 comment
-    # and VERDICT "What's missing" item 2 — take the window back;
-    # (b) the queries whose CODE or ORACLE changed this round
-    # (corpus-adaptive MinHash banding + its sf-aware oracles;
-    # bloom_build's narrowed fallback/driver cap); (c) the remainder
-    # backfilled oldest-first by last driver round (r4 relational/
-    # sketch/sink rows, then the oldest r6 rows). Every name here has
-    # its last driver row in r4 or r6 except the five (b) entries,
-    # which must re-verify because their banding/oracles moved.
-    # (a) the r4-vintage rows displaced by the r7 debuts
-    "agg_q1", "agg_q3", "agg_q5",
-    "join_three", "full_outer_join", "semi_join", "anti_join",
-    "join_null_safe", "join_salted",
-    "window_lag", "window_ntile",
-    "multimodal_image_features", "multimodal_resize_plan",
-    "orc_sink_roundtrip", "schema_evolution_roundtrip",
-    "shard_export_manifest",
-    "select_project", "expr_arith", "pivot_status",
-    "range_join_events", "mem_source_join", "bucketed_join_agg",
-    "sql_entry_q6", "percentile_clip", "pipeline_curate_v2",
-    "kmeans_assign_sizes", "kmeans_cluster_sizes", "sketch_quantiles",
-    "text_quality", "intra_doc_dedup", "dedup_simhash",
-    "dedup_clusters", "embedding_neardup", "stream_dedup",
-    # (b) code/oracle changed in r8 (adaptive banding, ANN multiprobe
-    # radius model + IVF probe-fraction scaling). decontaminate_bloom's
-    # r8 change is the failure-path-only except-narrowing in
-    # bloom_build; it yielded its slot to the wordlm debut and is
-    # covered by this round's sf1 (12/12) and sf10 re-verifications.
-    "dedup_minhash_lsh", "dedup_minhash_estimate",
-    "decontaminate_fuzzy", "dedup_incremental",
-    "ann_lsh_topk", "ann_recall", "ann_ivf_topk",
-    # (b2) r8 debuts (debut-with-a-driver-row rule)
-    "stream_decontaminate", "dataset_drift_psi",
-    "pmi_collocations", "doc_duplication_score",
-    "contamination_severity", "winnow_fingerprints",
-    "source_term_divergence", "stream_drift_psi", "wordlm_quality",
-    # winnow_overlap_pairs, vocabulary_diff, zipf_slope_audit,
-    # containment_pairs, embedding_centroid_drift (r8 late debuts)
-    # and the r8 fifth/sixth waves (semantic_dedup_2level,
-    # cut_repeated_spans, ann_quantized_topk, split_repair_neardup
-    # and embedding_pool_chunks — all verified at sf0.01+sf1+sf10
-    # this round, ORACLE_SF1/ORACLE_SF10; semantic_dedup_pooled,
-    # the pool→SemDeDup composition, at sf0.01+sf1)
-    # could not fit the 50-slot window; all are verified at sf0.01
-    # and sf1 (ORACLE_SF1) — several also at sf10 (ORACLE_SF10) —
-    # this round, and debut in the r9 window first. The same holds
-    # for the r8 THIRD-wave debuts (dsir_select, split_leakage_audit,
-    # split_leakage_neardup, tokenizer_fertility, stream_dsir_score,
-    # weighted_sample_tokens, lang_mismatch_audit,
-    # stream_weighted_sample, context_length_plan, dedup_normalized,
-    # neardup_rate_by_source, and the real-codec roundtrips
-    # multimodal_{image,audio,video}_real): every one is verified
-    # this round at sf0.01 AND sf1 AND sf10 (ORACLE_SF1/ORACLE_SF10)
-    # with scale rows on the curve; they queue for the r9 window
-    # behind the (c) backfill below. The r8
-    # stopword_ratio/lang_id codegen rewrite touched window-absent
-    # consumers (corpus_datacard, quality_classifier_*,
-    # stream_quality_score, pipeline_curate/stats, lang_id): the
-    # rewrite is measured bit-identical and every consumer re-passed
-    # this round's full sf0.01 sweep + targeted sf1 rows.
-    # (c) backfill: fully displaced this round — the eight debuts and
-    # the (b) ANN re-verifications consumed every slot the r4-vintage
-    # remainder (agg_salted, asof_join_events, c4_line_filter,
-    # length_histogram, heavy_hitters, csv_sink_roundtrip,
-    # csv_source_roundtrip, filter_compound, column_profile,
-    # argmax_per_group, approx_distinct_sketch) would take; they are
-    # first in line next round (all green in this round's judge sweep
-    # and ORACLE_SF1)
+    # --- round-9 rotation (VERDICT r8 item 3): (a) every query that
+    # has NEVER had a driver-window row — the 25 r8 debuts the 50-slot
+    # window could not fit, computed directly from the union of
+    # CORRECTNESS_r01..r08 keys, honoring the debut-with-a-driver-row
+    # rule; (b) the queries whose CODE changed this round (the
+    # hyperplane-LSH band stage moved from the Janino-fallback codegen
+    # expressions to the bit-exact Arrow fold; neardup_rate_by_source's
+    # single-pass endpoints — already in (a); multimodal_audio_real's
+    # vectorized RMS — already in (a)); (c) the remainder backfilled
+    # oldest-first by last driver round: the 8 r4-vintage rows, then
+    # the oldest r6 rows alphabetically. Everything displaced is green
+    # in this round's full sf0.01 sweep (SWEEP_SF001 artifacts).
+    # (a) never driver-checked (r8 debuts past the r8 window)
+    "tokenizer_fertility", "cut_repeated_spans", "lang_mismatch_audit",
+    "dedup_normalized", "containment_pairs", "winnow_overlap_pairs",
+    "split_repair_neardup", "dsir_select", "stream_dsir_score",
+    "multimodal_image_real", "multimodal_video_real",
+    "multimodal_audio_real", "embedding_pool_chunks",
+    "semantic_dedup_pooled", "ann_quantized_topk",
+    "embedding_centroid_drift", "split_leakage_audit",
+    "neardup_rate_by_source", "split_leakage_neardup",
+    "weighted_sample_tokens", "stream_weighted_sample",
+    "zipf_slope_audit", "vocabulary_diff", "semantic_dedup_2level",
+    "context_length_plan",
+    # (b) band stage rewritten r9 (VERDICT r8 #1) — must re-verify
+    "embedding_neardup_lsh", "embedding_neardup_clusters",
+    # (c) backfill oldest-first: the 8 r4-vintage rows VERDICT r8
+    # item 2 names...
+    "approx_distinct_sketch", "argmax_per_group", "column_profile",
+    "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
+    "heavy_hitters", "length_histogram",
+    # ...then the oldest r6 rows, alphabetical
+    "agg_salted", "asof_join_events", "c4_line_filter",
+    "decontaminate", "dedup_survivors", "doc_stats_by_source",
+    "embedding_label_stats", "embedding_quantize", "encode_docs",
+    "events_hourly", "events_json", "events_resample",
+    "events_sliding", "expr_int_div", "gopher_quality",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

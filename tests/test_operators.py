@@ -2624,6 +2624,38 @@ def test_pool_chunk_embeddings_ordered_mean(spark):
     assert got[2] == (3, [0.5, 0.4])
 
 
+def test_pool_chunk_fold_seeded_with_first_chunk(spark):
+    """ADVICE r8: the fold seeds with the first chunk (list_reduce
+    parity), so an all -0.0 component no longer flips to +0.0 in the
+    SUM — and singleton docs still pass through via the empty-tail
+    slice. The residual +0.0 print difference on an exactly-(-0.0)
+    MEAN lives in Spark's round(), documented in the docstring."""
+    import math
+
+    chunks = spark.createDataFrame([
+        (0, 1, [-0.0, 1.0]), (1, 1, [-0.0, 3.0]),
+        (2, 2, [-0.0, -0.5]),                       # singleton
+    ], "vec_id long, doc long, embedding array<double>")
+    vs = F.transform(F.col("chunks"), lambda c: c["v"])
+    raw = (chunks.groupBy("doc")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col("vec_id").alias("id"),
+                        F.col("embedding").alias("v")))).alias("chunks"))
+           .select("doc", F.aggregate(
+               F.slice(vs, F.lit(2), F.size(vs) - 1), F.element_at(vs, 1),
+               lambda a, x: F.zip_with(a, x, lambda p, q: p + q))
+               .alias("s")))
+    got = {r.doc: r.s for r in raw.collect()}
+    # seeded fold: -0.0 + -0.0 stays -0.0 (zero seed gave +0.0)
+    assert math.copysign(1.0, got[1][0]) == -1.0 and got[1][1] == 4.0
+    # singleton: the seed IS the result, empty tail slice is legal
+    assert math.copysign(1.0, got[2][0]) == -1.0 and got[2][1] == -0.5
+    out = {r.doc_id: (r.n_chunks, r.pooled) for r in
+           similarity.pool_chunk_embeddings(chunks, "doc", dim=2)
+           .collect()}
+    assert out[1] == (2, [0.0, 2.0]) and out[2] == (1, [0.0, -0.5])
+
+
 def test_quantized_vec_codes_and_knn(spark):
     """int8 code rule (shared with quantize_int8_report): max element
     hits exactly ±127, others floor(x/scale*127), all-zero vectors

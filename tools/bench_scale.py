@@ -124,6 +124,11 @@ QUERIES_TO_RUN = [
     "split_repair_neardup",
     # int8-quantized knn: codegen quantize + fold dots, one scan
     "ann_quantized_topk",
+    # r9 (VERDICT r8 items 4/5): the CC family — pointer-jumping label
+    # rounds + checkpoint cadence are exactly the machinery that only
+    # misbehaves at scale — and the composed pool→SemDeDup pipeline
+    "dedup_clusters", "embedding_neardup_clusters",
+    "semantic_dedup_pooled",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -192,6 +197,10 @@ HUGE_QUERIES = [
     "knn_cosine",
     # leakage repair (CC fixed cost; edge set bounded by design)
     "split_repair_neardup",
+    # r9 (VERDICT r8 items 4/5): third-decade rows for the iterative
+    # CC family and the composed pool→SemDeDup pipeline
+    "dedup_clusters", "embedding_neardup_clusters",
+    "semantic_dedup_pooled",
 ]
 
 
