@@ -1,7 +1,7 @@
 from . import (asof, cluster, contamination, dedup, multimodal, pack,
-               pipeline, quantize, rank, sample, similarity, sketch,
-               skew, stats, text)
+               pipeline, quantize, rank, retrieval, sample, similarity,
+               sketch, skew, stats, text)
 
 __all__ = ["asof", "cluster", "contamination", "dedup", "multimodal",
-           "pack", "pipeline", "quantize", "rank", "sample",
-           "similarity", "sketch", "skew", "stats", "text"]
+           "pack", "pipeline", "quantize", "rank", "retrieval",
+           "sample", "similarity", "sketch", "skew", "stats", "text"]

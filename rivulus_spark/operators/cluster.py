@@ -307,3 +307,82 @@ def semantic_dedup_pairs_2level(df: DataFrame, fine, coarse,
     return (assigned.groupBy("cell")
             .applyInPandas(_cell_pairs_gen(threshold),
                            "id_a long, id_b long, cell long, sim double"))
+
+
+def kcenter_select(df: DataFrame, k: int, dim: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center (Gonzalez 1985) coreset selection over an
+    embedding column — the farthest-point traversal data-pruning uses
+    to pick a maximally-spread representative subset (Sener &
+    Savarese 2018's core-set active learning; 2-approximation of the
+    optimal k-center cover). Output: one row per selected vector,
+    ``(round, vec_id, radius_q)`` — ``round`` 0..k-1 in selection
+    order, ``radius_q`` the point's min squared L2 distance to the
+    PREVIOUSLY selected set at selection time (floor-truncated at 6
+    decimals; 0.0 for the round-0 seed). radius_q is monotonically
+    non-increasing and ``radius_q[k]`` bounds the cover radius of the
+    whole corpus — the number a curator reads to size k.
+
+    Deterministic: the seed is the lowest id; each round picks the
+    max-min-distance point with ties broken by LOWEST id; distances
+    fold per dimension in ascending order from a 0.0 seed — exactly
+    DuckDB's ``list_dot_product(diff, diff)`` (squares are
+    non-negative, so the zero-seed signed-zero corner cannot arise) —
+    making every selection decision bit-checkable against the SQL
+    oracle, k rounds deep.
+
+    Scale shape: k-1 rounds; each round is ONE corpus scan updating a
+    running (id, vec, mind) state — ``least(mind, d2(new_center))``
+    with the center as a broadcast literal array — followed by a
+    1-row ``max(struct(mind, -id))`` aggregate (the argmax with the
+    id tie-break) collected to the driver: a documented k-row driver
+    barrier, the kmeans-loop pattern. State is localCheckpointed each
+    round, so round r's plan never contains round r-1's fold chain
+    (the connected-components lineage lesson); total cost k scans +
+    k checkpoint writes, never k²·n distance work and never a
+    corpus × corpus stage."""
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    from .similarity import _as_double
+
+    state = df.select(F.col(id_col).cast("long").alias("id"),
+                      _as_double(F.col(vec_col)).alias("vec"))
+    seed = state.agg(F.min("id")).head()[0]
+    if seed is None:
+        raise ValueError("kcenter_select: empty or all-null-id input")
+    rows = state.filter(F.col("id") == seed).head(2)
+    if len(rows) > 1:
+        raise ValueError(f"kcenter_select: duplicate id {seed}")
+    selected = [(0, seed, 0.0)]
+    center = list(rows[0].vec)
+
+    def d2(center_vals: list[float]):
+        carr = F.array(*[F.lit(float(v)) for v in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("vec"), carr,
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    state = state.withColumn("mind", d2(center)).localCheckpoint()
+    for rnd in range(1, k):
+        far = (state.agg(F.max(F.struct(F.col("mind"),
+                                        (-F.col("id")).alias("nid")))
+                         .alias("m"))
+               .select(F.col("m.mind").alias("mind"),
+                       (-F.col("m.nid")).alias("id")).head())
+        radius = float(far.mind)
+        if radius <= 0.0:
+            break  # every remaining point duplicates a center
+        nxt = int(far.id)
+        rows = state.filter(F.col("id") == nxt).head(1)
+        center = list(rows[0].vec)
+        import math
+        selected.append((rnd, nxt,
+                         math.floor(radius * 1_000_000) / 1_000_000))
+        state = (state.withColumn(
+            "mind", F.least(F.col("mind"), d2(center)))
+            .localCheckpoint())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, "round long, vec_id long, radius_q double")

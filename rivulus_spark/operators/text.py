@@ -493,3 +493,68 @@ def encode_docs(df: DataFrame, vocab: DataFrame, text_col: str = "text",
                  F.sum((F.col("tid") == oov_id).cast("long"))
                  .alias("n_oov"),
                  assembled.alias("ids")))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    classic gibberish/boilerplate signal orthogonal to the token-level
+    quality features: random bytes and base64 blobs score HIGH (near
+    log2 of the alphabet), template/repeated-char spam scores LOW,
+    natural language sits in a narrow band (~3.5-4.5 bits for
+    English), so both tails are filter material. Output
+    ``(doc_id, n_chars, n_unique_chars, entropy_q)`` with entropy in
+    BITS, floor-truncated at 6 decimals; empty/null text yields
+    n_chars 0 and entropy 0.0 (no 0/0, no ln(0)).
+
+    Float contract (hash-checkable vs DuckDB): entropy is computed as
+    ``(ln(n) - S/n) / ln(2)`` where ``S = sum cnt*ln(cnt)`` folds over
+    the per-char counts in ascending CHARACTER order seeded with the
+    first element (the list_reduce contract pool_chunk_embeddings
+    pins); ``ln`` shares bit behavior across JVM/libm on this value
+    range (the PSI/Zipf/DSIR precedent) and the identical expression
+    tree is written in both engines — never ``log2`` (Spark rewrites
+    log2 as ln(x)/ln(2) while libm has a native log2; the two differ
+    in the last ulp).
+
+    Scale shape: one explode of the char stream (the only
+    corpus-sized stage, map-side partial-aggregated into (doc, char)
+    counts — alphabet-bounded per doc), then a doc-keyed rollup whose
+    groups are at most alphabet-sized. No Python, no windows, no
+    driver state."""
+    c = F.col(text_col)
+    chars = (df.select(F.col(id_col).alias("doc"),
+                       F.explode(F.split(c, "")).alias("ch"))
+             .filter(F.length("ch") > 0)
+             .groupBy("doc", "ch").agg(F.count("*").alias("cnt")))
+    parts = F.array_sort(F.collect_list(F.struct("ch", "cnt")))
+    cl = F.transform(F.col("parts"),
+                     lambda s: s["cnt"].cast("double")
+                     * F.log(s["cnt"].cast("double")))
+    s_fold = F.aggregate(F.slice(cl, F.lit(2), F.size(cl) - 1),
+                         F.element_at(cl, 1), lambda a, x: a + x)
+    n = F.col("n_chars").cast("double")
+    ent = (F.log(n) - F.col("s") / n) / F.log(F.lit(2.0))
+    per_doc = (chars.groupBy("doc")
+               .agg(F.sum("cnt").alias("n_chars"),
+                    F.count("*").alias("n_unique"),
+                    parts.alias("parts"))
+               .select("doc", "n_chars", "n_unique",
+                       s_fold.alias("s")))
+    scored = per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_unique").cast("long").alias("n_unique_chars"),
+        F.when(F.col("n_chars") > 0,
+               F.floor(ent * 1_000_000) / 1_000_000)
+        .otherwise(F.lit(0.0)).alias("entropy_q"))
+    # docs whose text exploded to zero chars (empty or null) fall out
+    # of the aggregate; restore them with the documented zero row
+    # (null-id docs land here too — null keys never match an equi
+    # anti-join probe)
+    missing = (df.select(F.col(id_col))
+               .join(scored.select(id_col), id_col, "anti")
+               .select(id_col, F.lit(0).cast("long").alias("n_chars"),
+                       F.lit(0).cast("long").alias("n_unique_chars"),
+                       F.lit(0.0).alias("entropy_q")))
+    return scored.unionByName(missing)

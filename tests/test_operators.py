@@ -3103,3 +3103,99 @@ def test_normalized_duplicates_hand_case(spark):
     got = [(r.keep_id, r.n_copies, r.n_raw_variants) for r in
            dedup.normalized_duplicates(df).collect()]
     assert got == [(0, 3, 3)]
+
+
+def test_bm25_topk_hand_checked(spark):
+    """BM25 against a Python replica of the identical formula on a
+    3-doc corpus: ranking, floor-6 scores, distinct-query-term
+    dedup, and the no-overlap-no-rows contract."""
+    from rivulus_spark.operators import retrieval
+
+    docs = spark.createDataFrame([
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian"),
+    ], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "apple cherry apple"),     # duplicate term scores once
+         (9, "nothing matches here0")],
+        "q_id long, q_text string")
+    got = {(r.q_id, r.doc_id): (r.rank, r.score_q) for r in
+           retrieval.bm25_topk(docs, queries, k=10).collect()}
+
+    def score(terms_tf_df, dl, n=3, avgdl=2.0, k1=1.2, b=0.75):
+        s = 0.0
+        for tf, dft in terms_tf_df:  # ascending term order
+            idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+            s += idf * ((tf * (k1 + 1.0))
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return math.floor(s * 1_000_000) / 1_000_000
+
+    # doc 1 matches only "apple" (tf 2, df 1); doc 2 only "cherry"
+    assert got[(0, 1)] == (1, score([(2, 1)], 3.0))
+    assert got[(0, 2)] == (2, score([(1, 1)], 2.0))
+    assert (0, 3) not in got            # durian shares no term
+    assert not any(q == 9 for q, _ in got)   # no overlap -> no rows
+
+
+def test_char_entropy_hand_checked(spark):
+    """Entropy formula replica: alternating chars = 1 bit, constant =
+    0, all-distinct = ln(n)/ln(2); empty and null text restore as
+    documented zero rows."""
+    docs = spark.createDataFrame([
+        (1, "abab"), (2, "aaaa"), (3, "abcd"), (4, ""), (5, None),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.n_unique_chars, r.entropy_q) for r in
+           text.char_entropy(docs).collect()}
+
+    def ent(counts):
+        n = sum(counts)
+        s = sum(c * math.log(c) for c in counts)
+        return math.floor((math.log(n) - s / n) / math.log(2.0)
+                          * 1_000_000) / 1_000_000
+
+    assert got[1] == (4, 2, ent([2, 2]))
+    assert got[1][2] == 1.0
+    assert got[2] == (4, 1, 0.0)
+    assert got[3] == (4, 4, ent([1, 1, 1, 1]))
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+
+
+def test_kcenter_select_greedy_order_and_ties(spark):
+    """Gonzalez traversal on hand-placed 2-d points: farthest-first
+    order, radius bookkeeping, lowest-id tie-break, early stop when
+    every remaining point duplicates a center, and the designed
+    errors on empty input / duplicate seed id."""
+    from rivulus_spark.operators import cluster
+
+    pts = spark.createDataFrame([
+        (1, [0.0, 0.0]), (2, [10.0, 0.0]),
+        (3, [0.0, 1.0]), (4, [10.0, 0.5]),
+    ], "vec_id long, embedding array<double>")
+    got = [(r.round, r.vec_id, r.radius_q) for r in
+           cluster.kcenter_select(pts, k=4, dim=2).collect()]
+    assert got == [(0, 1, 0.0), (1, 4, 100.25), (2, 3, 1.0),
+                   (3, 2, 0.25)]
+
+    ties = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = [(r.round, r.vec_id, r.radius_q) for r in
+           cluster.kcenter_select(ties, k=3, dim=2).collect()]
+    assert got == [(0, 1, 0.0), (1, 2, 1.0), (2, 3, 1.0)]
+
+    dup = spark.createDataFrame(
+        [(7, [0.0]), (7, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="duplicate id"):
+        cluster.kcenter_select(dup, k=2, dim=1)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        cluster.kcenter_select(empty, k=2, dim=1)
+    # all points coincide: round 1's best radius is 0 -> early stop
+    same = spark.createDataFrame(
+        [(1, [2.0, 2.0]), (2, [2.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    got = [(r.round, r.vec_id) for r in
+           cluster.kcenter_select(same, k=2, dim=2).collect()]
+    assert got == [(0, 1)]

@@ -359,6 +359,31 @@ def test_r8_second_wave_debuts_are_jvm_only(spark, name):
     assert "CartesianProduct" not in p and "NestedLoop" not in p, name
 
 
+def test_bm25_inverted_index_shape(spark):
+    """BM25 scoring must be the inverted-index equi-join: query terms
+    broadcast into the posting join, no corpus x query cartesian, no
+    Python stage, and the final top-k group-limited."""
+    p = plan(spark, "bm25_topk")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p
+    # the 1-row corpus-stats crossJoin is the only nested-loop allowed
+    nl = [l for l in p.splitlines() if "NestedLoop" in l]
+    assert all("Cross" in l for l in nl) and len(nl) <= 1
+    assert "WindowGroupLimit" in p or "RunningWindowFunction" in p or \
+        "row_number" in p
+
+
+def test_char_entropy_is_jvm_only_partial_agg(spark):
+    """The char explode must partial-aggregate map-side into
+    alphabet-bounded (doc, char) counts — no Python stage, no window,
+    no cartesian."""
+    p = plan(spark, "char_entropy_quality")
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
 def test_orc_roundtrip_pushes_filter_into_scan(spark):
     # the ORC read-back must get the same pushdown treatment as parquet
     p = plan(spark, "orc_sink_roundtrip")

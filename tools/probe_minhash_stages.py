@@ -22,6 +22,11 @@ def main():
     spark = get_spark("probe-minhash-stages")
     for sf in sys.argv[1:] or ["sf1"]:
         docs = spark.read.parquet(f"/root/repo/var/{sf}/documents.parquet")
+        # the PRODUCTION banding (r9): decompose the same adaptive
+        # blended widths the workload queries run, not the fixed
+        # default — otherwise the band/verify split doesn't describe
+        # the chain the curve measures
+        widths = dedup.adaptive_minhash_bands(docs.count())
 
         t0 = time.perf_counter()
         sigs = cache.persist(dedup.minhash_signatures_arrow(docs))
@@ -29,7 +34,8 @@ def main():
         t_sig = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        cands = cache.persist(dedup.lsh_candidate_pairs(sigs))
+        cands = cache.persist(dedup.lsh_candidate_pairs(
+            sigs, band_widths=widths))
         n_cands = cands.count()
         t_band = time.perf_counter() - t0
 
