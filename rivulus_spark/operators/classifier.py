@@ -112,3 +112,64 @@ def logreg_score(df: DataFrame, feature_cols: list[str],
         z = z + F.lit(weights[c]) * (
             (F.col(c) - F.lit(means[i])) / F.lit(stds[i]))
     return df.withColumn(score_col, _sigmoid(z))
+
+
+def score_auc(df: DataFrame, score_col: str, label_col: str | Column,
+              ) -> DataFrame:
+    """ROC-AUC of a per-document score against a boolean label — the
+    calibration audit a pipeline runs on its quality classifier
+    before trusting it to gate a corpus (CCNet's "does the LM score
+    actually separate wiki from crawl" check). Output: ONE row
+    ``(n_pos, n_neg, auc_q)`` with ``auc_q`` the Mann-Whitney AUC
+    (probability a random positive outscores a random negative, ties
+    counted half) floor-truncated at 6 decimals; NULL when either
+    class is empty (SQL division semantics — the caller's signal that
+    the audit is degenerate, not a fabricated 0.5).
+
+    Exactness: AUC = (2·P + T) / (2·n_pos·n_neg) with P = #(pos,neg)
+    pairs where pos scores strictly higher and T = #tied pairs — an
+    ALL-INTEGER numerator. P and T accumulate in decimal(38,0)
+    (pos·cum_neg products overflow int64 once n_pos·n_neg passes
+    ~9e18, i.e. precisely at the corpus scale this engine targets);
+    the one float operation is the final division, written as the
+    same left-associated expression in the SQL oracle.
+
+    Scale shape (why there is no corpus-sized sort): scores arriving
+    here are the repo's floor-quantized ratios (3–6 decimals), so the
+    groupBy collapses the corpus to a SCORE-CARDINALITY-bounded table
+    (≤ 10^q + 1 rows regardless of corpus size). The pair counts then
+    come from one cumulative window over those groups — an
+    unpartitioned window justified bounded-key, the pattern the plan
+    audit (tests/test_plans.py) requires named — never a per-row rank
+    over the corpus. One shuffle (the groupBy), one k-row window, one
+    1-row agg."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = (df.groupBy(F.col(score_col).alias("s"))
+         .agg(F.sum(F.when(lab, F.lit(1)).otherwise(F.lit(0)))
+              .cast("long").alias("pos"),
+              F.sum(F.when(lab, F.lit(0)).otherwise(F.lit(1)))
+              .cast("long").alias("neg")))
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    dec = "decimal(38,0)"
+    cum = g.withColumn(
+        "cum_neg", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum(F.col("pos").cast(dec) * F.col("cum_neg").cast(dec))
+        .alias("p_gt"),
+        F.sum(F.col("pos").cast(dec) * F.col("neg").cast(dec))
+        .alias("p_tie"),
+        F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    auc = ((F.lit(2).cast(dec) * F.col("p_gt") + F.col("p_tie"))
+           .cast("double")
+           / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")))
+    # explicit NULL guard: a one-class input makes the denominator 0,
+    # and ANSI floor(Infinity) throws rather than propagating null
+    auc_q = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                   F.floor(auc * 1_000_000) / 1_000_000)
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        auc_q.alias("auc_q"))

@@ -1530,3 +1530,66 @@ def group_jaccard_matrix(df: DataFrame, group_col: str = "source",
     return ja.select("group_a", "group_b", "n_common",
                      (F.floor(jacc * 1_000_000) / 1_000_000)
                      .alias("jaccard"))
+
+
+def editdist_neardup_pairs(df: DataFrame, max_dist: int = 8,
+                           max_len: int = 256, bucket: int = 16,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Bounded-edit-distance near-duplicate pairs over SHORT texts —
+    the character-level complement to the token-shingle families
+    (MinHash/SimHash need enough tokens to shingle; titles, queries,
+    and one-line boilerplate don't have them, and there a 2-char typo
+    IS a duplicate). Output ``(doc_a, doc_b, dist)`` with
+    doc_a < doc_b and dist the exact Levenshtein distance
+    (character-based, Spark semantics), pairs with dist <= max_dist
+    only. Texts longer than ``max_len`` chars are out of scope by
+    contract (edit distance is O(len²) per pair and means little on
+    long docs — that's the shingle families' regime). Null text /
+    null id rows are dropped (no pair semantics).
+
+    Equivalent brute-force semantics: dist >= |len_a - len_b| always,
+    so the blocked plan below returns EXACTLY the pairs the O(n²)
+    "levenshtein(a,b) <= max_dist over all id-ordered pairs" query
+    returns — the length blocking prunes, never changes the answer
+    (the oracle exploits this and states the brute form).
+
+    Scale shape: docs join only within length-adjacent blocks —
+    each row emits its length bucket (width ``bucket`` >= max_dist,
+    enforced) plus the bucket above, so any pair within max_dist
+    length difference shares a key and appears exactly once
+    (same-bucket matches keep id_a < id_b; cross-bucket matches are
+    oriented low-bucket -> high-bucket). The quadratic term is
+    per-block, bounded by the length histogram, never corpus²; the
+    O(len²) levenshtein runs ONLY on block-mate pairs that also pass
+    the |len diff| prefilter, and Spark's thresholded form
+    (levenshtein(a, b, max_dist), -1 past the bound) abandons each
+    DP row early. All JVM codegen — no Python."""
+    if bucket < max_dist:
+        raise ValueError(
+            f"editdist_neardup_pairs: bucket width {bucket} must be >= "
+            f"max_dist {max_dist} or length-adjacent pairs straddle "
+            "non-adjacent buckets and are silently missed")
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & F.col(id_col).isNotNull()
+                      & (F.length(text_col) <= max_len))
+            .select(F.col(id_col).cast("long").alias("id"),
+                    F.col(text_col).alias("txt"),
+                    F.length(text_col).alias("len"),
+                    F.floor(F.length(text_col) / bucket).alias("blk")))
+    probe = base.select(
+        "id", "txt", "len", "blk",
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("key"))
+    a, b = probe.alias("a"), base.alias("b")
+    same = (F.col("a.key") == F.col("b.blk"))
+    ordered = F.when(F.col("a.key") == F.col("a.blk"),
+                     F.col("a.id") < F.col("b.id")).otherwise(F.lit(True))
+    cand = (a.join(b, same & ordered
+                   & (F.col("a.id") != F.col("b.id"))
+                   & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist))
+            .select(F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+                    F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+                    F.levenshtein(F.col("a.txt"), F.col("b.txt"),
+                                  max_dist).alias("dist")))
+    return (cand.filter(F.col("dist") >= 0)
+            .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist")))

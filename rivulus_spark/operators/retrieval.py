@@ -109,3 +109,90 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("q_id", "doc_id", F.col("rank").cast("long").alias("rank"),
                     "score_q"))
+
+
+def mmr_select(df: DataFrame, query_id: int, k: int = 6,
+               lam: float = 0.7, n_cands: int = 24,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick k items maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)`` — the rerank every
+    retrieval stack runs between "nearest neighbors" and "what a
+    human sees", and the diversity-aware selection data pruning uses
+    to avoid k copies of the same cluster. The query is the corpus
+    vector ``query_id``; output one row per selection,
+    ``(round, vec_id, mmr_q)`` — round 0..k-1 in pick order, mmr_q
+    the winning MMR score floor-truncated at 6 decimals (round 0's is
+    lam·relevance: the empty-set diversity term is 0 by convention,
+    so the first pick is the pure-relevance argmax).
+
+    Deterministic and oracle-checkable k rounds deep: every cosine is
+    ``dot(a,b)/(|a|·|b|)`` with the ascending-dimension zero-seed
+    fold (the knn_cosine float contract), the MMR score is ONE
+    arithmetic expression with lam and (1−lam) passed as the same
+    Python-repr'd double literals the SQL oracle embeds, and every
+    argmax breaks ties by LOWEST id (max(struct(score, −id)) ≡
+    ORDER BY score DESC, vec_id LIMIT 1).
+
+    Scale shape: the corpus appears in exactly ONE stage — the
+    relevance scan that takes the global top-``n_cands`` via
+    sort-limit (TakeOrderedAndProject, the limit_topk pattern; swap
+    in ann_ivf_topk for the scan at billion-vector scale, same
+    contract downstream). The k greedy rounds then run on the
+    n_cands-row candidate table: per round one tiny argmax job (a
+    documented 1-row driver barrier, the kcenter/kmeans loop pattern)
+    and one localCheckpointed maxsim update, so round r's plan never
+    drags round r−1's fold chain. Total: one corpus scan + k
+    candidate-sized jobs."""
+    if k < 1 or n_cands < k:
+        raise ValueError(
+            f"mmr_select: need 1 <= k <= n_cands, got k={k} "
+            f"n_cands={n_cands}")
+    from .similarity import _as_double, dot, l2_norm
+
+    import math
+
+    qrows = (df.filter(F.col(id_col) == query_id)
+             .select(_as_double(F.col(vec_col)).alias("v")).head(2))
+    if len(qrows) != 1:
+        raise ValueError(
+            f"mmr_select: query id {query_id} matched {len(qrows)} rows")
+    qvec = list(qrows[0].v)
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    qnrm = F.sqrt(dot(qarr, qarr))
+    v = _as_double(F.col(vec_col))
+    rel = dot(F.col("vec"), qarr) / (F.col("nrm") * qnrm)
+    state = (df.filter(F.col(id_col) != query_id)
+             .select(F.col(id_col).cast("long").alias("id"),
+                     v.alias("vec"), l2_norm(v).alias("nrm"))
+             .withColumn("rel", rel)
+             .orderBy(F.col("rel").desc(), F.col("id"))
+             .limit(n_cands)
+             .withColumn("maxsim", F.lit(0.0))
+             .localCheckpoint())
+    lam_c, div_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    picked: list[tuple[int, int, float]] = []
+    for rnd in range(k):
+        score = lam_c * F.col("rel") - div_c * F.col("maxsim")
+        best = (state.agg(F.max(F.struct(score.alias("sc"),
+                                         (-F.col("id")).alias("nid")))
+                          .alias("m"))
+                .select(F.col("m.sc").alias("sc"),
+                        (-F.col("m.nid")).alias("id")).head())
+        if best is None or best.sc is None:
+            break  # candidate pool exhausted (n_cands < corpus-k)
+        sel = int(best.id)
+        picked.append((rnd, sel,
+                       math.floor(float(best.sc) * 1_000_000) / 1_000_000))
+        if rnd == k - 1:
+            break
+        srow = state.filter(F.col("id") == sel).head()
+        sarr = F.array(*[F.lit(float(x)) for x in srow.vec])
+        snrm = F.lit(float(srow.nrm))
+        pair = dot(F.col("vec"), sarr) / (F.col("nrm") * snrm)
+        state = (state.filter(F.col("id") != sel)
+                 .withColumn("maxsim", F.greatest(F.col("maxsim"), pair))
+                 .localCheckpoint())
+    return df.sparkSession.createDataFrame(
+        picked, "round long, vec_id long, mmr_q double")

@@ -1129,3 +1129,50 @@ def centroid_drift(old: DataFrame, new: DataFrame,
         F.coalesce("n_old_raw", F.lit(0)).alias("n_old"),
         F.coalesce("n_new_raw", F.lit(0)).alias("n_new"),
         cos.alias("centroid_cos"))
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-k most cosine-similar corpus vectors carrying a
+    DIFFERENT label — the "looks like a positive, isn't one" examples
+    embedding-model training pipelines mine at corpus scale
+    (sentence-transformers / DPR / SimCSE hard negatives). Output
+    ``(q_id, n_id, n_label, rank, sim)`` with sim rounded at 6
+    decimals and rank ordered by (sim desc, n_id) — the knn_cosine
+    determinism contract.
+
+    The label-mismatch predicate rides IN the join condition (never a
+    post-top-k filter, which would under-fill k whenever the true
+    neighbors share the anchor's label — the exact case hard-negative
+    mining exists for).
+
+    Scale shape: identical to knn_cosine — the anchor side (a
+    training batch / sampled seed set, k-bounded by contract) is
+    broadcast with its labels and the corpus is scanned exactly ONCE;
+    per-anchor top-k via a q_id-partitioned window over candidate
+    rows. For anchor sets too large to broadcast, route through
+    ivf_assign_cells first (the ann_ivf_topk composition) — same
+    output contract, cell-restricted scan."""
+    # with_norm's projection, widened with the label inline — a re-join
+    # to fetch labels would be a second corpus exchange
+    v = _as_double(F.col(vec_col))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(label_col).alias("n_label"),
+                      v.alias("n_vec"), l2_norm(v).alias("n_nrm"))
+    q = anchors.select(F.col(id_col).alias("q_id"),
+                       F.col(label_col).alias("q_label"),
+                       v.alias("q_vec"), l2_norm(v).alias("q_nrm"))
+    sim = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    pairs = (
+        c.join(F.broadcast(q), (F.col("q_label") != F.col("n_label"))
+               & (F.col("q_id") != F.col("n_id")))
+        .select("q_id", "n_id", "n_label",
+                F.round(sim, 6).alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id",
+                    F.col("n_label").cast("long").alias("n_label"),
+                    F.col("rank").cast("long").alias("rank"), "sim"))

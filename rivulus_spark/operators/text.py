@@ -558,3 +558,56 @@ def char_entropy(df: DataFrame, text_col: str = "text",
                        F.lit(0).cast("long").alias("n_unique_chars"),
                        F.lit(0.0).alias("entropy_q")))
     return scored.unionByName(missing)
+
+
+def vocab_coverage(df: DataFrame, sizes: list[int],
+                   text_col: str = "text") -> DataFrame:
+    """Cumulative token coverage of the top-N vocabulary — the audit
+    behind every "how big a vocab do we need" decision (tokenizer
+    sizing, OOV-rate budgeting, Heaps/Zipf sanity next to
+    zipf_slope): for each requested vocab size N, what fraction of
+    ALL corpus token occurrences the N most frequent terms cover.
+    Output: one row per size, ``(vocab_size, covered_tokens,
+    total_tokens, coverage_q)`` with coverage floor-truncated at 6
+    decimals; a size past the true vocabulary covers everything
+    (cum sum saturates), so the curve is monotone and ends at 1.0.
+
+    Deterministic: terms rank by (count DESC, term ASC) — the
+    vocab_topk tie-break — so the prefix sums are engine-independent
+    integers; the one float op is the final covered/total division.
+
+    Scale shape: one tokenize/explode (the corpus-sized stage,
+    map-side partial-aggregated into term counts), after which
+    everything is VOCABULARY-sized (Heaps' law — sublinear in corpus
+    tokens; the vocab_topk/zipf_slope justification). The ranking
+    window is unpartitioned but vocab-bounded and further capped at
+    max(sizes) rows by the rank filter; the per-size rollup is a
+    range join of a k-row literal sizes table against that capped
+    prefix table. No Python, no driver state."""
+    if not sizes or any(s < 1 for s in sizes):
+        raise ValueError(f"vocab_coverage: sizes must be >= 1, got {sizes}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    terms = (df.select(F.explode(tokens(text_col)).alias("term"))
+             .filter(F.length("term") > 0)
+             .groupBy("term").agg(F.count("*").alias("cnt")))
+    total = terms.agg(F.sum("cnt").alias("total_tokens"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = (terms.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= max(sizes)))
+    sz = spark.createDataFrame([(int(s),) for s in sorted(set(sizes))],
+                               "vocab_size long")
+    cov = (ranked.join(F.broadcast(sz), F.col("rk") <= F.col("vocab_size"))
+           .groupBy("vocab_size")
+           .agg(F.sum("cnt").alias("covered_tokens")))
+    ratio = (F.col("covered_tokens").cast("double")
+             / F.col("total_tokens").cast("double"))
+    return (cov.crossJoin(F.broadcast(total))
+            .select("vocab_size",
+                    F.col("covered_tokens").cast("long")
+                    .alias("covered_tokens"),
+                    F.col("total_tokens").cast("long")
+                    .alias("total_tokens"),
+                    (F.floor(ratio * 1_000_000) / 1_000_000)
+                    .alias("coverage_q")))

@@ -6604,6 +6604,189 @@ def q_kcenter_coreset(spark, sf_dir):
 
 
 # ======================================================================
+# r9 second wave: classifier calibration, vocab sizing, contrastive
+# mining, char-level near-dup, MMR diversified rerank
+# ======================================================================
+
+@_q("classifier_auc", r"""
+WITH s AS (
+  SELECT floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   w -> list_contains(['the','a','of','and','to','is','in','it'], w)))::DOUBLE
+           / len(regexp_split_to_array(trim(text), '\s+')) * 1000) / 1000 AS s,
+         (lang = 'en') AS y
+  FROM documents
+), g AS (
+  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+            sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM s GROUP BY s
+), c AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM g
+), a AS (
+  SELECT sum(pos::HUGEINT * cum_neg::HUGEINT) AS p_gt,
+         sum(pos::HUGEINT * neg::HUGEINT) AS p_tie,
+         sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+  FROM c)
+SELECT n_pos, n_neg,
+       floor((2::HUGEINT * p_gt + p_tie)::DOUBLE
+             / (2.0 * n_pos * n_neg) * 1000000) / 1000000 AS auc_q
+FROM a
+""")
+def q_classifier_auc(spark, sf_dir):
+    """ROC-AUC calibration audit (classifier.score_auc, r9 debut):
+    does the stopword-ratio quality signal actually separate English
+    from non-English text? The Mann-Whitney rank AUC over the
+    3-decimal-quantized score — the groupBy collapses the corpus to a
+    <=1001-row score table regardless of corpus size (the bounded-key
+    window contract), pair counts accumulate in decimal(38,0), and
+    the one float op is the final division."""
+    from .operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(text_ops.stopword_ratio("text").alias("s"),
+                         (F.col("lang") == "en").alias("y"))
+    return classifier.score_auc(scored, "s", "y")
+
+
+@_q("vocab_coverage_curve", r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+tc AS (SELECT term, count(*)::BIGINT AS cnt FROM t
+       WHERE length(term) > 0 GROUP BY term),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM tc),
+tot AS (SELECT sum(cnt)::BIGINT AS total_tokens FROM tc),
+sz AS (SELECT unnest([10, 100, 1000]) AS vocab_size)
+SELECT sz.vocab_size::BIGINT AS vocab_size,
+       sum(r.cnt)::BIGINT AS covered_tokens,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       floor(sum(r.cnt)::DOUBLE / (SELECT total_tokens FROM tot)::DOUBLE
+             * 1000000) / 1000000 AS coverage_q
+FROM sz JOIN r ON r.rk <= sz.vocab_size
+GROUP BY sz.vocab_size
+""")
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Top-N vocabulary coverage curve (text.vocab_coverage, r9
+    debut): what fraction of all token occurrences the 10/100/1000
+    most frequent terms cover — the tokenizer-sizing / OOV-budget
+    audit next to zipf_slope_audit. One tokenize pass; everything
+    downstream is vocab-bounded (Heaps' law)."""
+    return text_ops.vocab_coverage(_t(spark, sf_dir, "documents"),
+                                   [10, 100, 1000])
+
+
+@_q("hard_negative_mining", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM e q JOIN e c
+    ON q.vec_id < 8 AND c.label != q.label AND c.vec_id != q.vec_id
+), r AS (
+  SELECT q_id, n_id, n_label, sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS rank
+  FROM p)
+SELECT q_id, n_id, n_label::BIGINT AS n_label, rank::BIGINT AS rank, sim
+FROM r WHERE rank <= 5
+""")
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive hard-negative mining (similarity.hard_negatives,
+    r9 debut): for each anchor (vec_id < 8), the top-5 most
+    cosine-similar vectors with a DIFFERENT label — the mismatch
+    predicate rides in the join so k always fills. Anchors broadcast,
+    corpus scanned once (the knn_cosine plan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@_q("editdist_neardup", """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL
+             AND length(text) <= 256
+             AND strlen(text) = length(text))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 8
+""")
+def q_editdist_neardup(spark, sf_dir):
+    """Char-level near-dup pairs over short texts
+    (dedup.editdist_neardup_pairs, r9 debut): Levenshtein <= 8 on
+    docs <= 256 chars via length-adjacent blocking (answer-identical
+    to the brute-force oracle because dist >= |len diff|). The corpus
+    is pre-filtered to ASCII rows (octet_length == length, the same
+    predicate in both engines) because DuckDB's levenshtein counts
+    UTF-8 BYTES while Spark's counts CHARACTERS — the operator itself
+    is char-correct on any text; the registered query pins parity on
+    the slice where the two definitions coincide."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text"))
+    return dedup.editdist_neardup_pairs(docs, max_dist=8, max_len=256)
+
+
+def _mmr_oracle(sf_dir: str = DRIVER_SF_DIR, k: int = 6,
+                lam: float = 0.7, n_cands: int = 24,
+                qid: int = 0) -> str:
+    """Relational replica of retrieval.mmr_select, the k greedy
+    rounds UNROLLED as a CTE chain (the kcenter-oracle pattern):
+    round r picks ORDER BY lam*rel - (1-lam)*maxsim DESC, id LIMIT 1
+    (bit-equal to Spark's max(struct(score, -id)) tie-break) and
+    updates maxsim = greatest(maxsim, dot/(nrm*snrm)) with the
+    selected vector riding into scope via a 1-row CROSS JOIN. lam and
+    (1-lam) are embedded as the same Python-repr'd double literals
+    the Spark expression uses."""
+    lam_r, div_r = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+s0 AS MATERIALIZED (SELECT e.vec_id AS id, e.v,
+              sqrt(list_dot_product(e.v, e.v)) AS nrm,
+              list_dot_product(e.v, q.qv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+       FROM e CROSS JOIN q WHERE e.vec_id != {qid}),
+c0 AS MATERIALIZED (SELECT id, v, nrm, rel, 0.0::DOUBLE AS maxsim
+       FROM s0 ORDER BY rel DESC, id LIMIT {n_cands})"""]
+    for r in range(k):
+        parts.append(f"""
+p{r} AS MATERIALIZED (SELECT id, {lam_r} * rel - {div_r} * maxsim AS sc
+         FROM c{r} ORDER BY sc DESC, id LIMIT 1)""")
+        if r < k - 1:
+            parts.append(f"""
+w{r} AS MATERIALIZED (SELECT c.v AS sv, c.nrm AS snrm FROM c{r} c
+         WHERE c.id = (SELECT id FROM p{r})),
+c{r + 1} AS MATERIALIZED (SELECT id, v, nrm, rel,
+              greatest(maxsim, list_dot_product(v, w.sv) / (nrm * w.snrm))
+                AS maxsim
+             FROM c{r} CROSS JOIN w{r} w
+             WHERE id != (SELECT id FROM p{r}))""")
+    selects = [f"SELECT {r}::BIGINT AS round, (SELECT id FROM p{r})::BIGINT"
+               f" AS vec_id, floor((SELECT sc FROM p{r}) * 1000000)"
+               f" / 1000000 AS mmr_q" for r in range(k)]
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@_q("mmr_rerank", _mmr_oracle)
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified rerank (retrieval.mmr_select, r9 debut):
+    lam=0.7 over the top-24 relevance candidates for query vec_id 0,
+    6 greedy picks — one corpus scan (sort-limit candidate stage),
+    then k candidate-sized argmax rounds under the kcenter driver-
+    barrier pattern, every decision bit-checked by the unrolled CTE
+    oracle."""
+    from .operators import retrieval
+
+    return retrieval.mmr_select(_t(spark, sf_dir, "embeddings"),
+                                query_id=0, k=6, lam=0.7, n_cands=24)
+
+
+# ======================================================================
 # Registration order: the driver's correctness harness oracle-checks the
 # FIRST 50 entries of QUERIES. Priority goes to (a) the north-star
 # training-data-pipeline operators (dedup / similarity / multimodal /
@@ -6643,19 +6826,22 @@ _PRIORITY: list[str] = [
     "embedding_neardup_lsh", "embedding_neardup_clusters",
     # (b2) r9 debuts (debut-with-a-driver-row rule)
     "bm25_topk", "char_entropy_quality", "kcenter_coreset",
+    "classifier_auc", "vocab_coverage_curve", "hard_negative_mining",
+    "editdist_neardup", "mmr_rerank",
     # (c) backfill oldest-first: the 8 r4-vintage rows VERDICT r8
     # item 2 names...
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
     "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
     "heavy_hitters", "length_histogram",
     # ...then the oldest r6 rows, alphabetical (events_sliding,
-    # expr_int_div and gopher_quality yielded their slots to the r9
-    # debuts; they stay green in this round's judge sweep and are
-    # first in line for r10)
+    # expr_int_div, gopher_quality — and with the five second-wave r9
+    # debuts above, embedding_quantize / encode_docs / events_hourly /
+    # events_json / events_resample — yielded their slots to the r9
+    # debuts; they stay green in this round's full sf0.01 sweep and
+    # are first in line for r10)
     "agg_salted", "asof_join_events", "c4_line_filter",
     "decontaminate", "dedup_survivors", "doc_stats_by_source",
-    "embedding_label_stats", "embedding_quantize", "encode_docs",
-    "events_hourly", "events_json", "events_resample",
+    "embedding_label_stats",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

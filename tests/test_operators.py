@@ -3199,3 +3199,156 @@ def test_kcenter_select_greedy_order_and_ties(spark):
     got = [(r.round, r.vec_id) for r in
            cluster.kcenter_select(same, k=2, dim=2).collect()]
     assert got == [(0, 1)]
+
+
+def test_score_auc_hand_checked(spark):
+    """Mann-Whitney AUC replica on hand-placed scores: P=3 strict
+    wins + 1 tie over 2x2 pairs -> (2*3+1)/8 = 0.875; degenerate
+    one-class input yields NULL (SQL division), not a fabricated
+    0.5."""
+    from rivulus_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(3.0, True), (2.0, True), (1.0, False), (2.0, False)],
+        "s double, y boolean")
+    row = classifier.score_auc(df, "s", "y").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc_q) == (2, 2, 0.875)
+
+    # perfect separation -> 1.0; inverted -> 0.0
+    perfect = spark.createDataFrame(
+        [(5.0, True), (4.0, True), (1.0, False)], "s double, y boolean")
+    assert classifier.score_auc(perfect, "s", "y").collect()[0].auc_q == 1.0
+    inv = spark.createDataFrame(
+        [(1.0, True), (5.0, False)], "s double, y boolean")
+    assert classifier.score_auc(inv, "s", "y").collect()[0].auc_q == 0.0
+
+    onecls = spark.createDataFrame([(1.0, True)], "s double, y boolean")
+    assert classifier.score_auc(onecls, "s", "y").collect()[0].auc_q is None
+
+
+def test_vocab_coverage_hand_checked(spark):
+    """Coverage prefix sums on a counted-by-hand corpus, including
+    the saturation row past the true vocabulary and the (count DESC,
+    term ASC) tie-break."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string")
+    got = {r.vocab_size: (r.covered_tokens, r.total_tokens, r.coverage_q)
+           for r in text.vocab_coverage(docs, [1, 2, 10]).collect()}
+    assert got[1] == (3, 6, 0.5)            # a: 3 of 6
+    assert got[2] == (5, 6, math.floor(5 / 6 * 1_000_000) / 1_000_000)
+    assert got[10] == (6, 6, 1.0)           # past vocab: saturates
+
+    # tie between b and c at count 1 resolves by term asc
+    ties = spark.createDataFrame([(1, "c b")], "doc_id long, text string")
+    got = {r.vocab_size: r.covered_tokens
+           for r in text.vocab_coverage(ties, [1]).collect()}
+    assert got[1] == 1  # "b" ranks first
+
+    with pytest.raises(ValueError, match="sizes"):
+        text.vocab_coverage(docs, [])
+    with pytest.raises(ValueError, match="sizes"):
+        text.vocab_coverage(docs, [0])
+
+
+def test_hard_negatives_label_mismatch_in_join(spark):
+    """The nearest SAME-label vector never appears (and never eats a
+    k slot): anchor's true nearest neighbor shares its label; top
+    negative is the best OTHER-label vector."""
+    from rivulus_spark.operators import similarity
+
+    emb = spark.createDataFrame([
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.01]),   # same label, nearly identical
+        (3, 1, [0.9, 0.3]),    # best cross-label
+        (4, 1, [0.0, 1.0]),    # orthogonal cross-label
+    ], "vec_id long, label long, embedding array<double>")
+    got = [(r.n_id, r.n_label, r.rank) for r in
+           similarity.hard_negatives(
+               emb, emb.filter("vec_id = 1"), k=3).collect()]
+    assert got == [(3, 1, 1), (4, 1, 2)]  # 2 never appears; k underfills
+    sims = {r.n_id: r.sim for r in similarity.hard_negatives(
+        emb, emb.filter("vec_id = 1"), k=3).collect()}
+    assert sims[3] == round(0.9 / math.hypot(0.9, 0.3), 6)
+    assert sims[4] == 0.0
+
+
+def test_editdist_neardup_pairs(spark):
+    """Blocking returns exactly the brute-force pairs, each once:
+    same-bucket, cross-bucket-boundary, and |len diff| > max_dist
+    cases; long texts out of scope; null id/text dropped; bucket <
+    max_dist is the designed error."""
+    from rivulus_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([
+        (1, "kitten"),            # len 6, blk 0
+        (2, "sitting"),           # len 7, blk 0 -> dist 3
+        (3, "kitten" + "x" * 24), # len 30, blk 1: cross-bucket vs 4
+        (4, "kitten" + "x" * 26), # len 32, blk 2: dist 2 from 3
+        (5, "z" * 300),           # past max_len: out of scope
+        (6, None), (None, "kitten"),
+    ], "doc_id long, text string")
+    got = sorted((r.doc_a, r.doc_b, r.dist) for r in
+                 dd.editdist_neardup_pairs(docs, max_dist=8, max_len=256,
+                                           bucket=16).collect())
+    # brute force over the in-scope rows (1,2,3,4)
+    import itertools
+    rows = {1: "kitten", 2: "sitting", 3: "kitten" + "x" * 24,
+            4: "kitten" + "x" * 26}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = sorted((a, b, lev(rows[a], rows[b]))
+                  for a, b in itertools.combinations(sorted(rows), 2)
+                  if lev(rows[a], rows[b]) <= 8)
+    assert got == want
+    assert (1, 2, 3) in got and (3, 4, 2) in got
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # no dup pairs
+
+    with pytest.raises(ValueError, match="bucket width"):
+        dd.editdist_neardup_pairs(docs, max_dist=8, bucket=4)
+
+
+def test_mmr_select_greedy_replica(spark):
+    """MMR on hand-placed 2-d vectors vs a Python replica of the
+    identical greedy (lam*rel - (1-lam)*maxsim, lowest-id ties):
+    round 0 is the pure-relevance argmax; at diversity-leaning
+    lam=0.3 a redundant near-copy of the first pick is deferred in
+    favor of a diverse vector (at lam=0.7 relevance would keep the
+    near-copy second — checked by hand)."""
+    from rivulus_spark.operators import retrieval
+
+    emb = spark.createDataFrame([
+        (0, [1.0, 0.0]),           # query
+        (1, [0.95, 0.05]),         # most relevant
+        (2, [0.94, 0.05]),         # near-copy of 1: deferred
+        (3, [0.6, 0.6]),           # diverse: promoted over 2
+    ], "vec_id long, embedding array<double>")
+    got = [(r.round, r.vec_id) for r in
+           retrieval.mmr_select(emb, query_id=0, k=3, lam=0.3,
+                                n_cands=3).collect()]
+    assert got == [(0, 1), (1, 3), (2, 2)]
+
+    # replica of round 0's score: lam * cosine(q, v1)
+    import numpy as np
+    q, v1 = np.array([1.0, 0.0]), np.array([0.95, 0.05])
+    rel1 = float(v1 @ q) / (float(np.sqrt(v1 @ v1)) * 1.0)
+    r0 = retrieval.mmr_select(emb, query_id=0, k=1, lam=0.7,
+                              n_cands=3).collect()[0]
+    assert r0.mmr_q == math.floor(0.7 * rel1 * 1_000_000) / 1_000_000
+
+    with pytest.raises(ValueError, match="matched 0 rows"):
+        retrieval.mmr_select(emb, query_id=99, k=2, n_cands=3)
+    with pytest.raises(ValueError, match="n_cands"):
+        retrieval.mmr_select(emb, query_id=0, k=5, n_cands=3)
+    # relevance-leaning lam keeps the near-copy in slot 2
+    got = [(r.round, r.vec_id) for r in
+           retrieval.mmr_select(emb, query_id=0, k=3, lam=0.7,
+                                n_cands=3).collect()]
+    assert got == [(0, 1), (1, 2), (2, 3)]

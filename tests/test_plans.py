@@ -553,6 +553,14 @@ _WINDOW_JUSTIFICATION = {
     "temperature_mix": "krow:source|stratum",
     "window_ntile": "size_gated",
     "global_shuffle_layout": "size_gated",
+    # r9: AUC's cumulative window runs over the groupBy(score)
+    # aggregate — score is a 3-decimal-quantized ratio, so the key
+    # domain is <= 1001 rows at any corpus size
+    "classifier_auc": "krow:s",
+    # r9: the coverage rank window runs over the groupBy(term)
+    # aggregate — vocabulary-bounded (Heaps' law, the vocab_topk /
+    # zipf_slope justification), then capped at max(sizes) rows
+    "vocab_coverage_curve": "krow:term",
 }
 
 
