@@ -142,15 +142,38 @@ def score_auc(df: DataFrame, score_col: str, label_col: str | Column,
     unpartitioned window justified bounded-key, the pattern the plan
     audit (tests/test_plans.py) requires named — never a per-row rank
     over the corpus. One shuffle (the groupBy), one k-row window, one
-    1-row agg."""
+    1-row agg.
+
+    The two stages are exposed separately (score_class_counts /
+    auc_from_score_counts) because the counts table is an
+    order-insensitive, MERGEABLE state — exactly what a streaming
+    aggregation carries — so the in-stream AUC monitor
+    (stream_score_auc) drains its state table through the identical
+    tail and matches this batch result bit for bit."""
+    return auc_from_score_counts(
+        score_class_counts(df, score_col, label_col))
+
+
+def score_class_counts(df: DataFrame, score_col: str,
+                       label_col: str | Column) -> DataFrame:
+    """Per-distinct-score (pos, neg) class counts — score_auc's first
+    stage and the bounded mergeable state a streaming AUC carries
+    (keyspace = score cardinality, <= 10^q + 1 for a q-decimal
+    quantized score, at any corpus size)."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    return (df.groupBy(F.col(score_col).alias("s"))
+            .agg(F.sum(F.when(lab, F.lit(1)).otherwise(F.lit(0)))
+                 .cast("long").alias("pos"),
+                 F.sum(F.when(lab, F.lit(0)).otherwise(F.lit(1)))
+                 .cast("long").alias("neg")))
+
+
+def auc_from_score_counts(g: DataFrame) -> DataFrame:
+    """score_auc's tail: Mann-Whitney AUC from a ``(s, pos, neg)``
+    class-count table (see score_auc for the float/overflow
+    contract)."""
     from pyspark.sql import Window
 
-    lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    g = (df.groupBy(F.col(score_col).alias("s"))
-         .agg(F.sum(F.when(lab, F.lit(1)).otherwise(F.lit(0)))
-              .cast("long").alias("pos"),
-              F.sum(F.when(lab, F.lit(0)).otherwise(F.lit(1)))
-              .cast("long").alias("neg")))
     w = (Window.orderBy("s")
          .rowsBetween(Window.unboundedPreceding, -1))
     dec = "decimal(38,0)"
@@ -173,3 +196,49 @@ def score_auc(df: DataFrame, score_col: str, label_col: str | Column,
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         auc_q.alias("auc_q"))
+
+
+def score_calibration(df: DataFrame, score_col: str,
+                      label_col: str | Column, n_bins: int = 10,
+                      scale: int = 1000) -> DataFrame:
+    """Reliability table for a [0,1] classifier score — the
+    calibration audit next to score_auc's ranking audit: AUC says the
+    score ORDERS documents correctly; this says whether 0.8 MEANS
+    80%. Output: one row per non-empty fixed-width bin,
+    ``(bin, n, n_pos, mean_score_q, pos_rate_q, gap_q)`` — bin =
+    min(floor(score·n_bins), n_bins−1), gap_q = |pos_rate −
+    mean_score| floor-truncated at 6 decimals (like the two rates).
+    Expected Calibration Error = Σ (n/total)·gap over the rows — left
+    to the reader because the per-bin table is what a curator
+    inspects (which score REGION is miscalibrated).
+
+    Exactness contract: ``scale`` declares the score's quantization —
+    the repo's ratios are floor-quantized at 3–6 decimals, so
+    round(score·scale) recovers an EXACT integer per row and
+    mean_score sums integers (no order-dependent float accumulation);
+    the two divisions per bin are the only float ops, written
+    identically in the SQL oracle.
+
+    Scale shape: one map-side-combined groupBy over an n_bins-bounded
+    key — a single tiny shuffle, no window, no driver state."""
+    if n_bins < 1:
+        raise ValueError(f"score_calibration: n_bins must be >= 1, "
+                         f"got {n_bins}")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    s = F.col(score_col)
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("long")
+    g = (df.select(b.alias("bin"),
+                   F.round(s * scale).cast("long").alias("s_int"),
+                   F.when(lab, F.lit(1)).otherwise(F.lit(0)).alias("y"))
+         .groupBy("bin")
+         .agg(F.count("*").alias("n"),
+              F.sum("y").cast("long").alias("n_pos"),
+              F.sum("s_int").alias("s_sum")))
+    mean_s = (F.col("s_sum").cast("double")
+              / (F.lit(float(scale)) * F.col("n")))
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    q = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
+    return g.select("bin", F.col("n").cast("long").alias("n"), "n_pos",
+                    q(mean_s).alias("mean_score_q"),
+                    q(pos_rate).alias("pos_rate_q"),
+                    q(F.abs(pos_rate - mean_s)).alias("gap_q"))

@@ -6786,6 +6786,118 @@ def q_mmr_rerank(spark, sf_dir):
                                 query_id=0, k=6, lam=0.7, n_cands=24)
 
 
+@_q("score_calibration", r"""
+WITH s AS (
+  SELECT floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   w -> list_contains(['the','a','of','and','to','is','in','it'], w)))::DOUBLE
+           / len(regexp_split_to_array(trim(text), '\s+')) * 1000) / 1000 AS s,
+         (lang = 'en') AS y
+  FROM documents
+), b AS (
+  SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+         round(s * 1000)::BIGINT AS s_int,
+         CASE WHEN y THEN 1 ELSE 0 END AS y
+  FROM s
+), g AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+         sum(s_int)::BIGINT AS s_sum
+  FROM b GROUP BY bin)
+SELECT bin, n, n_pos,
+       floor(s_sum::DOUBLE / (1000.0 * n) * 1000000) / 1000000
+         AS mean_score_q,
+       floor(n_pos::DOUBLE / n * 1000000) / 1000000 AS pos_rate_q,
+       floor(abs(n_pos::DOUBLE / n - s_sum::DOUBLE / (1000.0 * n))
+             * 1000000) / 1000000 AS gap_q
+FROM g
+""")
+def q_score_calibration(spark, sf_dir):
+    """Reliability table (classifier.score_calibration, r9 debut):
+    does stopword-ratio = 0.3 MEAN a 30% chance of being English?
+    Ten fixed-width bins over the 3-decimal-quantized score; integer
+    mean accumulation (round(s*1000) recovers the exact quantized
+    int), two divisions per bin as the only float ops. The ranking
+    complement is classifier_auc on the same (score, label) pair."""
+    from .operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(text_ops.stopword_ratio("text").alias("s"),
+                         (F.col("lang") == "en").alias("y"))
+    return classifier.score_calibration(scored, "s", "y",
+                                        n_bins=10, scale=1000)
+
+
+@_q("stream_score_auc", r"""
+WITH s AS (
+  SELECT floor(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+           / length(regexp_replace(trim(text), '\s+', '', 'g')) * 1000) / 1000 AS s,
+         (lang = 'en') AS y
+  FROM documents
+), g AS (
+  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+            sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM s GROUP BY s
+), c AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM g
+), a AS (
+  SELECT sum(pos::HUGEINT * cum_neg::HUGEINT) AS p_gt,
+         sum(pos::HUGEINT * neg::HUGEINT) AS p_tie,
+         sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+  FROM c)
+SELECT n_pos, n_neg,
+       floor((2::HUGEINT * p_gt + p_tie)::DOUBLE
+             / (2.0 * n_pos * n_neg) * 1000000) / 1000000 AS auc_q
+FROM a
+""")
+def q_stream_score_auc(spark, sf_dir):
+    """The SAME Mann-Whitney AUC computed with documents arriving AS
+    A STREAM — the deployment where classifier calibration is an
+    ingest-time monitor (is today's crawl still separable?) rather
+    than a post-hoc batch audit. Each micro-batch scores rows
+    statelessly (punct_ratio — a different signal from the batch
+    audit's stopword ratio, same machinery) and folds them into a
+    streaming groupBy(score) class-count state — the bounded
+    MERGEABLE state score_auc's two-stage split exists for (keyspace
+    <= 1001 quantized scores at ANY corpus size); the drained state
+    table flows through the identical auc_from_score_counts tail, so
+    output and oracle match the batch formulation exactly (counting
+    is order-insensitive)."""
+    import tempfile
+    import uuid
+
+    from .operators import classifier
+    from .streaming import windows as sw
+
+    src = f"{sf_dir}/documents.parquet"
+    docs = _t(spark, sf_dir, "documents").select("text", "lang")
+    n_files, per_trigger = _stream_file_plan(src)
+    staging = _staged_stream_parquet(docs, src, "scoreauc",
+                                     n_files=n_files)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", per_trigger)
+              .parquet(staging))
+    counts = classifier.score_class_counts(
+        stream.select(text_ops.punct_ratio("text").alias("s"),
+                      (F.col("lang") == "en").alias("y")), "s", "y")
+    name = f"stream_scoreauc_{uuid.uuid4().hex[:12]}"
+    # state keyspace is <= 1001 quantized scores at any corpus size:
+    # a fixed small instance count avoids checkpoint fan-out (the
+    # stream_drift_psi sizing argument)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        drained = sw.run_available_now(
+            counts, query_name=name,
+            checkpoint_dir=tempfile.mkdtemp(prefix=f"rivulus_ckpt_{name}_"),
+            output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return classifier.auc_from_score_counts(drained)
+
+
 # ======================================================================
 # Registration order: the driver's correctness harness oracle-checks the
 # FIRST 50 entries of QUERIES. Priority goes to (a) the north-star
@@ -6827,21 +6939,22 @@ _PRIORITY: list[str] = [
     # (b2) r9 debuts (debut-with-a-driver-row rule)
     "bm25_topk", "char_entropy_quality", "kcenter_coreset",
     "classifier_auc", "vocab_coverage_curve", "hard_negative_mining",
-    "editdist_neardup", "mmr_rerank",
+    "editdist_neardup", "mmr_rerank", "score_calibration",
+    "stream_score_auc",
     # (c) backfill oldest-first: the 8 r4-vintage rows VERDICT r8
     # item 2 names...
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
     "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
     "heavy_hitters", "length_histogram",
     # ...then the oldest r6 rows, alphabetical (events_sliding,
-    # expr_int_div, gopher_quality — and with the five second-wave r9
-    # debuts above, embedding_quantize / encode_docs / events_hourly /
-    # events_json / events_resample — yielded their slots to the r9
-    # debuts; they stay green in this round's full sf0.01 sweep and
-    # are first in line for r10)
+    # expr_int_div, gopher_quality — and with the seven second/third-
+    # wave r9 debuts above, doc_stats_by_source / embedding_label_stats
+    # / embedding_quantize / encode_docs / events_hourly / events_json
+    # / events_resample — yielded their slots to the r9 debuts; they
+    # stay green in this round's full sf0.01 sweep and are first in
+    # line for r10)
     "agg_salted", "asof_join_events", "c4_line_filter",
-    "decontaminate", "dedup_survivors", "doc_stats_by_source",
-    "embedding_label_stats",
+    "decontaminate", "dedup_survivors",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

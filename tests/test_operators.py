@@ -3352,3 +3352,50 @@ def test_mmr_select_greedy_replica(spark):
            retrieval.mmr_select(emb, query_id=0, k=3, lam=0.7,
                                 n_cands=3).collect()]
     assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_score_calibration_hand_checked(spark):
+    """Reliability bins on hand-placed quantized scores: bin edges,
+    the s=1.0 clamp into the top bin, exact integer mean recovery,
+    and the gap arithmetic."""
+    from rivulus_spark.operators import classifier
+
+    df = spark.createDataFrame([
+        (0.1, True), (0.15, False),     # bin 1: mean 0.125, rate 0.5
+        (0.95, True), (1.0, True),      # 1.0 clamps into bin 9
+    ], "s double, y boolean")
+    got = {r.bin: (r.n, r.n_pos, r.mean_score_q, r.pos_rate_q, r.gap_q)
+           for r in classifier.score_calibration(df, "s", "y").collect()}
+    assert set(got) == {1, 9}
+    m1 = math.floor(250 / (1000.0 * 2) * 1_000_000) / 1_000_000
+    assert got[1] == (2, 1, m1,
+                      0.5, math.floor(abs(0.5 - 250 / 2000.0)
+                                      * 1_000_000) / 1_000_000)
+    assert got[9][:2] == (2, 2)
+    assert got[9][3] == 1.0
+
+    with pytest.raises(ValueError, match="n_bins"):
+        classifier.score_calibration(df, "s", "y", n_bins=0)
+
+
+def test_auc_counts_state_is_mergeable(spark):
+    """The streaming-AUC contract: class counts accumulated in two
+    independent chunks and merged (the state-store fold) flow through
+    auc_from_score_counts to the SAME answer as one batch pass."""
+    from rivulus_spark.operators import classifier
+
+    rows = [(0.3, True), (0.2, True), (0.1, False), (0.2, False),
+            (0.4, False), (0.3, True)]
+    full = spark.createDataFrame(rows, "s double, y boolean")
+    want = classifier.score_auc(full, "s", "y").collect()[0]
+
+    a = spark.createDataFrame(rows[:3], "s double, y boolean")
+    b = spark.createDataFrame(rows[3:], "s double, y boolean")
+    from pyspark.sql import functions as SF
+    merged = (classifier.score_class_counts(a, "s", "y")
+              .unionByName(classifier.score_class_counts(b, "s", "y"))
+              .groupBy("s").agg(SF.sum("pos").alias("pos"),
+                                SF.sum("neg").alias("neg")))
+    got = classifier.auc_from_score_counts(merged).collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc_q) == \
+        (want.n_pos, want.n_neg, want.auc_q)

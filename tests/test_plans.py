@@ -561,6 +561,10 @@ _WINDOW_JUSTIFICATION = {
     # aggregate — vocabulary-bounded (Heaps' law, the vocab_topk /
     # zipf_slope justification), then capped at max(sizes) rows
     "vocab_coverage_curve": "krow:term",
+    # r9: the streaming AUC's window runs over the DRAINED state
+    # table (a local scan of the memory sink) — bounded by the
+    # streaming groupBy keyspace (<= 1001 quantized scores)
+    "stream_score_auc": "state_table",
 }
 
 
@@ -587,6 +591,8 @@ def test_every_unpartitioned_window_is_bounded(spark, name):
             keys = just.split(":", 1)[1].split("|")
             assert any(f"keys=[{k}" in sub for k in keys), \
                 line.strip()[:120]
+        elif just == "state_table":
+            assert "LocalTableScan" in sub, line.strip()[:120]
         elif just == "size_gated":
             total = sum(
                 os.path.getsize(os.path.join(SF, f))
