@@ -196,3 +196,45 @@ def mmr_select(df: DataFrame, query_id: int, k: int = 6,
                  .localCheckpoint())
     return df.sparkSession.createDataFrame(
         picked, "round long, vec_id long, mmr_q double")
+
+
+def rrf_fuse(lex: DataFrame, dense: DataFrame, k: int = 10,
+             c: float = 60.0, q_col: str = "q_id",
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) of two
+    ranked retrieval lists — the standard hybrid-search combiner
+    (BM25 + dense ANN) every modern retrieval stack ships: score =
+    Σ 1/(c + rank) over the lists that returned the document, absent
+    lists contributing 0. Rank-based, so the two scorers need no
+    score normalization — exactly why RRF won over score
+    interpolation in practice. Output ``(q_id, doc_id, rank, rrf_q)``
+    with rank ordered by (FULL-precision rrf desc, doc_id) and rrf_q
+    floor-truncated at 6 decimals.
+
+    Float contract: rrf is one fixed-order expression —
+    coalesce(1/(c+rank_lex), 0) + coalesce(1/(c+rank_dense), 0) with
+    c as a repr'd double literal — over INTEGER ranks, so both
+    engines compute bit-identical doubles and the pre-truncation
+    ordering is engine-independent.
+
+    Scale shape: both inputs are already per-query top-k tables
+    (k·|queries| rows — never corpus-sized), so the full-outer merge
+    on (q_id, doc_id) and the per-query rank window are bounded by
+    construction; the corpus-sized work happened inside the two
+    retrievers."""
+    ra = lex.select(q_col, id_col, F.col(rank_col).alias("ra"))
+    rb = dense.select(q_col, id_col, F.col(rank_col).alias("rb"))
+    j = ra.join(rb, [q_col, id_col], "full_outer")
+    cc = F.lit(float(c))
+    rrf = (F.coalesce(F.lit(1.0) / (cc + F.col("ra")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (cc + F.col("rb")), F.lit(0.0)))
+    w = Window.partitionBy(q_col).orderBy(F.col("rrf").desc(),
+                                          F.col(id_col))
+    return (j.withColumn("rrf", rrf)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_col, id_col,
+                    F.col("rank").cast("long").alias("rank"),
+                    (F.floor(F.col("rrf") * 1_000_000) / 1_000_000)
+                    .alias("rrf_q")))

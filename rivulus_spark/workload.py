@@ -6705,14 +6705,19 @@ def q_hard_negative_mining(spark, sf_dir):
 
 
 @_q("editdist_neardup", """
-WITH d AS (SELECT doc_id, text FROM documents
+WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents
            WHERE text IS NOT NULL AND doc_id IS NOT NULL
              AND length(text) <= 256
              AND strlen(text) = length(text))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       levenshtein(a.text, b.text)::BIGINT AS dist
-FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE levenshtein(a.text, b.text) <= 8
+SELECT doc_a, doc_b, dist FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.text, b.text)::BIGINT AS dist
+  FROM d a JOIN d b
+    -- |len diff| <= 8 is implied by dist <= 8 (dist >= |len diff|),
+    -- so this prefilter cannot change the answer; it keeps the
+    -- oracle's levenshtein calls to length-close pairs at sf >= 1
+    ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+) WHERE dist <= 8
 """)
 def q_editdist_neardup(spark, sf_dir):
     """Char-level near-dup pairs over short texts
@@ -6784,6 +6789,74 @@ def q_mmr_rerank(spark, sf_dir):
 
     return retrieval.mmr_select(_t(spark, sf_dir, "embeddings"),
                                 query_id=0, k=6, lam=0.7, n_cands=24)
+
+
+def _hybrid_oracle(sf_dir: str = DRIVER_SF_DIR, k: int = 10,
+                   c: float = 60.0) -> str:
+    """RRF fusion replica: the bm25 oracle rides in as a nested-WITH
+    subquery (unchanged — same queries, same k), the dense side is
+    the knn replica restricted to vec_id < 3, and the fusion is the
+    identical fixed-order coalesce expression over integer ranks with
+    c as a repr'd double literal. Ranking happens on the FULL-
+    precision rrf (bit-equal across engines), truncation only on
+    output."""
+    c_r = repr(float(c))
+    term = (f"coalesce({1.0!r}::DOUBLE / ({c_r}::DOUBLE + l.rank), "
+            f"{0.0!r}::DOUBLE) + coalesce({1.0!r}::DOUBLE / "
+            f"({c_r}::DOUBLE + d.rank), {0.0!r}::DOUBLE)")
+    return f"""
+WITH lex AS (SELECT * FROM ({_bm25_oracle(sf_dir, k=k)})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dp AS (
+  SELECT q.vec_id AS q_id, cv.vec_id AS doc_id,
+         round(list_dot_product(q.emb, cv.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(cv.emb, cv.emb))), 6) AS sim
+  FROM e q JOIN e cv ON q.vec_id < 3 AND cv.vec_id != q.vec_id),
+den AS (
+  SELECT q_id, doc_id, rank FROM (
+    SELECT q_id, doc_id, sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, doc_id) AS rank
+    FROM dp) WHERE rank <= {k}),
+f AS (
+  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         {term} AS rrf
+  FROM lex l FULL OUTER JOIN den d
+    ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+r AS (
+  SELECT q_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM f)
+SELECT q_id, doc_id, rank::BIGINT AS rank,
+       floor(rrf * 1000000) / 1000000 AS rrf_q
+FROM r WHERE rank <= {k}
+"""
+
+
+@_q("hybrid_rank_fusion", _hybrid_oracle)
+def q_hybrid_rank_fusion(spark, sf_dir):
+    """Hybrid retrieval (retrieval.rrf_fuse, r9 debut): BM25 lexical
+    top-10 (bm25_topk's query set — first 6 tokens of docs 0-2)
+    fused with dense cosine top-10 for the same ids (vec_id < 3,
+    doc_id == vec_id in the testdata contract) by Reciprocal Rank
+    Fusion, c=60. The merge and rank window run over two k-bounded
+    lists; all corpus-sized work stays inside the two retrievers."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(text_ops.tokens("text"), 1, 6), " ")
+        .alias("q_text"))
+    lex = retrieval.bm25_topk(docs, queries, k=10)
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = (similarity.knn_cosine(emb, emb.filter(F.col("vec_id") < 3),
+                                   k=10)
+             .select("q_id", F.col("n_id").alias("doc_id"), "rank"))
+    return retrieval.rrf_fuse(lex, dense, k=10, c=60.0)
 
 
 @_q("score_calibration", r"""
@@ -6940,21 +7013,21 @@ _PRIORITY: list[str] = [
     "bm25_topk", "char_entropy_quality", "kcenter_coreset",
     "classifier_auc", "vocab_coverage_curve", "hard_negative_mining",
     "editdist_neardup", "mmr_rerank", "score_calibration",
-    "stream_score_auc",
+    "stream_score_auc", "hybrid_rank_fusion",
     # (c) backfill oldest-first: the 8 r4-vintage rows VERDICT r8
     # item 2 names...
     "approx_distinct_sketch", "argmax_per_group", "column_profile",
     "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
     "heavy_hitters", "length_histogram",
     # ...then the oldest r6 rows, alphabetical (events_sliding,
-    # expr_int_div, gopher_quality — and with the seven second/third-
-    # wave r9 debuts above, doc_stats_by_source / embedding_label_stats
-    # / embedding_quantize / encode_docs / events_hourly / events_json
-    # / events_resample — yielded their slots to the r9 debuts; they
-    # stay green in this round's full sf0.01 sweep and are first in
-    # line for r10)
+    # expr_int_div, gopher_quality — and with the eight second/third-
+    # wave r9 debuts above, dedup_survivors / doc_stats_by_source /
+    # embedding_label_stats / embedding_quantize / encode_docs /
+    # events_hourly / events_json / events_resample — yielded their
+    # slots to the r9 debuts; they stay green in this round's full
+    # sf0.01 sweep and are first in line for r10)
     "agg_salted", "asof_join_events", "c4_line_filter",
-    "decontaminate", "dedup_survivors",
+    "decontaminate",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -3399,3 +3399,25 @@ def test_auc_counts_state_is_mergeable(spark):
     got = classifier.auc_from_score_counts(merged).collect()[0]
     assert (got.n_pos, got.n_neg, got.auc_q) == \
         (want.n_pos, want.n_neg, want.auc_q)
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """RRF on two tiny rank lists: both-list docs sum two reciprocal
+    terms, single-list docs get one, ordering is full-precision rrf
+    then doc_id, and the output truncates at 6 decimals."""
+    from rivulus_spark.operators import retrieval
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "q_id long, doc_id long, rank long")
+    den = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "q_id long, doc_id long, rank long")
+    got = [(r.doc_id, r.rank, r.rrf_q) for r in
+           retrieval.rrf_fuse(lex, den, k=10, c=60.0).collect()]
+
+    def q(x):
+        return math.floor(x * 1_000_000) / 1_000_000
+
+    both = 1.0 / 61.0 + 1.0 / 62.0         # doc 11: rank 2 + rank 1
+    assert got == [(11, 1, q(both)),
+                   (10, 2, q(1.0 / 61.0)),
+                   (12, 3, q(1.0 / 62.0))]
