@@ -625,3 +625,34 @@ def test_bpe_round_plan_is_partial_agg_plus_one_row_topk(spark):
     applied = vocab.withColumn("syms", bpe._apply_merge("syms", "a", "b"))
     pa = applied._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in pa, pa
+
+
+def test_editdist_block_join_is_equi(spark):
+    """The length-adjacent blocking must lower to an EQUI join on the
+    bucket key (SortMerge/ShuffledHash) — a nested-loop over the
+    short-doc table would be the O(n^2) plan the blocking exists to
+    avoid — and the thresholded levenshtein stays JVM codegen."""
+    p = plan(spark, "editdist_neardup")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_hybrid_fusion_merges_topk_tables(spark):
+    """RRF's merge runs over two k-bounded top-k lists: the fused
+    plan keeps the corpus work inside the retrievers (no corpus-
+    sided cartesian) and the final rank window is q_id-partitioned
+    (no unpartitioned corpus window — the blanket audit double-
+    checks)."""
+    p = plan(spark, "hybrid_rank_fusion")
+    assert "CartesianProduct" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_score_auc_single_bounded_shuffle(spark):
+    """The AUC plan's only corpus-sized exchange feeds the map-side
+    partial-aggregated groupBy(score); the window and final agg run
+    on the score-bounded table (SinglePartition exchange of <= 1001
+    rows)."""
+    p = plan(spark, "classifier_auc")
+    assert p.count("HashAggregate") >= 2, p   # partial + final counts
+    assert "EvalPython" not in p, p
