@@ -201,6 +201,19 @@ HUGE_QUERIES = [
     # CC family and the composed pool→SemDeDup pipeline
     "dedup_clusters", "embedding_neardup_clusters",
     "semantic_dedup_pooled",
+    # r9 debuts: posting-table lexical retrieval + the fused hybrid;
+    # fixed-k greedy rounds (kcenter/mmr); score-cardinality-bounded
+    # rollups (AUC, calibration, in-stream AUC); char-stream entropy;
+    # anchor-broadcast hard negatives; vocab-bounded coverage.
+    # editdist_neardup is deliberately NOT here: its length-blocked
+    # candidate set on this flat-length synthetic corpus is ~1.4e9
+    # pairs at sf10 (measured 14.2M at sf1, x~100 on 10x docs) —
+    # the operator's regime is short-text/title corpora with
+    # duplication-heavy blocks; the sf1 point records the shape
+    "bm25_topk", "char_entropy_quality", "kcenter_coreset",
+    "classifier_auc", "vocab_coverage_curve", "hard_negative_mining",
+    "mmr_rerank", "score_calibration", "stream_score_auc",
+    "hybrid_rank_fusion",
 ]
 
 
