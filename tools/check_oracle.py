@@ -75,6 +75,11 @@ def main():
                          "can exceed physical memory and thrash the "
                          "host (r8: a 4-query batch hit 103 GB RSS); "
                          "a cap makes DuckDB spill instead")
+    ap.add_argument("--duck-threads", type=int, default=None,
+                    help="DuckDB thread cap. Sort/ordered-aggregate "
+                         "memory scales with threads; the sf10 "
+                         "char-fold oracles OOM a 48GB budget at 32 "
+                         "threads but fit at 8")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -83,6 +88,8 @@ def main():
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    if args.duck_threads:
+        con.execute(f"SET threads={int(args.duck_threads)}")
     if args.duck_mem:
         con.execute(f"SET memory_limit='{args.duck_mem}'")
     for t in TABLES:
