@@ -346,8 +346,15 @@ def kcenter_select(df: DataFrame, k: int, dim: int,
         raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
     from .similarity import _as_double
 
-    state = df.select(F.col(id_col).cast("long").alias("id"),
-                      _as_double(F.col(vec_col)).alias("vec"))
+    from .. import partitioning
+
+    # each round folds a dim-length zip_with over every row (an
+    # interpreted per-row cost): an under-split parquet source would
+    # run every scan in one task (measured 100s on the single-row-
+    # group sf0.1 file vs 12s on the 10x-bigger 10-file sf1 dir, r9)
+    state = partitioning.spread(
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  _as_double(F.col(vec_col)).alias("vec")))
     seed = state.agg(F.min("id")).head()[0]
     if seed is None:
         raise ValueError("kcenter_select: empty or all-null-id input")

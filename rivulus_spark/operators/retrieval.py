@@ -161,8 +161,15 @@ def mmr_select(df: DataFrame, query_id: int, k: int = 6,
     qvec = list(qrows[0].v)
     qarr = F.array(*[F.lit(float(x)) for x in qvec])
     qnrm = F.sqrt(dot(qarr, qarr))
+    from .. import partitioning
+
     v = _as_double(F.col(vec_col))
     rel = dot(F.col("vec"), qarr) / (F.col("nrm") * qnrm)
+    # the relevance scan folds dim-length dot products per row
+    # (interpreted): spread an under-split parquet source so the one
+    # corpus-sized stage uses the full core count (the kcenter /
+    # char_entropy r9 lesson)
+    df = partitioning.spread(df)
     state = (df.filter(F.col(id_col) != query_id)
              .select(F.col(id_col).cast("long").alias("id"),
                      v.alias("vec"), l2_norm(v).alias("nrm"))
