@@ -365,9 +365,13 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     base = cache.persist(base)
     e = _band_rows_numpy(base.select("id", "vec"), dim, widths)
     l, r = e.alias("l"), e.alias("r")
-    cands = (l.join(r, (F.col("l.bi") == F.col("r.bi"))
-                    & (F.col("l.bv") == F.col("r.bv"))
-                    & (F.col("l.id") < F.col("r.id")))
+    # shuffle_hash (r10): the band self-join reuses one exchange of
+    # the band-row table for both sides; hash-building it avoids the
+    # SMJ's sort of every band row — pure win, the key is hash-equi
+    cands = (l.hint("shuffle_hash")
+             .join(r, (F.col("l.bi") == F.col("r.bi"))
+                   & (F.col("l.bv") == F.col("r.bv"))
+                   & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
              .distinct())
     a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
@@ -385,6 +389,31 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     # suggested 11x the other way was a session-state artifact —
     # trust the clean A/B.
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Verify-join physical strategy (r10). Without intervention both
+    # re-join steps planned as SortMergeJoin, and the id_b-side sort
+    # of candidate rows CARRYING va (pairs x ~550 bytes, ~12 GB at
+    # sf10's 22.8M candidates) dominated the whole chain in
+    # UnsafeExternalSorter.insertRecord/copyMemory with wildly
+    # unstable spill + shuffle-file-cleanup behavior — measured
+    # 74-700s for the sf10 verify across IDENTICAL reps (jstack: all
+    # 32 threads in the sorter, not the sim eval; the r9 scale-curve
+    # rows for this family under-recorded exactly this). Two paths:
+    # - under the gate (vector-table source <= 256 MB on disk, read
+    #   from file metadata only): BROADCAST the (id, vec, nrm) table
+    #   into both probes — the pair stream never shuffles its
+    #   attached vectors at all, the single biggest disk-churn source
+    #   in the chain. 256 MB compressed is a deliberately
+    #   executor-memory-sized gate, the same documented-threshold
+    #   pattern as connected_components' driver gate.
+    # - above the gate (real-cluster corpus): shuffle_hash on the
+    #   vector side — same shuffles as SMJ, hash build instead of
+    #   sort, no broadcast assumption.
+    from ..partitioning import estimated_input_bytes
+    src_bytes = estimated_input_bytes(df)
+    if src_bytes is not None and src_bytes <= (256 << 20):
+        a, b = F.broadcast(a), F.broadcast(b)
+    else:
+        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     return (cands.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
             .filter(F.col("sim") >= threshold))

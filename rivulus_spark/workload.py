@@ -7022,51 +7022,42 @@ def q_stream_score_auc(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-9 rotation (VERDICT r8 item 3): (a) every query that
-    # has NEVER had a driver-window row — the 25 r8 debuts the 50-slot
-    # window could not fit, computed directly from the union of
-    # CORRECTNESS_r01..r08 keys, honoring the debut-with-a-driver-row
-    # rule; (b) the queries whose CODE changed this round (the
-    # hyperplane-LSH band stage moved from the Janino-fallback codegen
-    # expressions to the bit-exact Arrow fold; neardup_rate_by_source's
-    # single-pass endpoints — already in (a); multimodal_audio_real's
-    # vectorized RMS — already in (a)); (c) the remainder backfilled
-    # oldest-first by last driver round: the 8 r4-vintage rows, then
-    # the oldest r6 rows alphabetically. Everything displaced is green
-    # in this round's full sf0.01 sweep (SWEEP_SF001 artifacts).
-    # (a) never driver-checked (r8 debuts past the r8 window)
-    "tokenizer_fertility", "cut_repeated_spans", "lang_mismatch_audit",
-    "dedup_normalized", "containment_pairs", "winnow_overlap_pairs",
-    "split_repair_neardup", "dsir_select", "stream_dsir_score",
-    "multimodal_image_real", "multimodal_video_real",
-    "multimodal_audio_real", "embedding_pool_chunks",
-    "semantic_dedup_pooled", "ann_quantized_topk",
-    "embedding_centroid_drift", "split_leakage_audit",
-    "neardup_rate_by_source", "split_leakage_neardup",
-    "weighted_sample_tokens", "stream_weighted_sample",
-    "zipf_slope_audit", "vocabulary_diff", "semantic_dedup_2level",
-    "context_length_plan",
-    # (b) band stage rewritten r9 (VERDICT r8 #1) — must re-verify
-    "embedding_neardup_lsh", "embedding_neardup_clusters",
-    # (b2) r9 debuts (debut-with-a-driver-row rule)
-    "bm25_topk", "char_entropy_quality", "kcenter_coreset",
-    "classifier_auc", "vocab_coverage_curve", "hard_negative_mining",
-    "editdist_neardup", "mmr_rerank", "score_calibration",
-    "stream_score_auc", "hybrid_rank_fusion",
-    # (c) backfill oldest-first: the 8 r4-vintage rows VERDICT r8
-    # item 2 names...
-    "approx_distinct_sketch", "argmax_per_group", "column_profile",
-    "csv_sink_roundtrip", "csv_source_roundtrip", "filter_compound",
-    "heavy_hitters", "length_histogram",
-    # ...then the oldest r6 rows, alphabetical (events_sliding,
-    # expr_int_div, gopher_quality — and with the eight second/third-
-    # wave r9 debuts above, dedup_survivors / doc_stats_by_source /
-    # embedding_label_stats / embedding_quantize / encode_docs /
-    # events_hourly / events_json / events_resample — yielded their
-    # slots to the r9 debuts; they stay green in this round's full
-    # sf0.01 sweep and are first in line for r10)
-    "agg_salted", "asof_join_events", "c4_line_filter",
-    "decontaminate",
+    # --- round-10 rotation (VERDICT r9 item 5): (a) every query whose
+    # CODE changed this round and so must re-earn its driver row —
+    # embedding_pool_chunks (the r9 red row: query boundary now emits
+    # the pooled vector as an exact-integer string both engines can
+    # hash), the classifier family (NULL-score exclusion + bin clamp,
+    # ADVICE r9), editdist_neardup (PassJoin segment signatures
+    # replacing length-only blocking), the LSH family (shuffle-hash
+    # verify joins replacing the sort-dominated SMJ), and the four
+    # connected-components consumers (size-gated driver union-find);
+    # (b) the remainder backfilled oldest-driver-round-first: 40 of
+    # the 41 remaining r6-vintage rows (computed from the union of
+    # CORRECTNESS_r01..r09 keys; after r9, every registered query has
+    # had at least one driver row, so vintage — not novelty — orders
+    # the backfill). window_running (r6, alphabetically last) is the
+    # one row the 50-slot window cannot fit; it stays green in this
+    # round's committed full sf0.01 sweep and leads the r11 backfill.
+    # (a) code changed in r10
+    "embedding_pool_chunks", "classifier_auc", "score_calibration",
+    "stream_score_auc", "editdist_neardup", "embedding_neardup_lsh",
+    "embedding_neardup_clusters", "dedup_clusters",
+    "split_repair_neardup", "dedup_survivors",
+    # (b) oldest-first backfill: the r6-vintage rows, alphabetical
+    "doc_stats_by_source", "embedding_label_stats",
+    "embedding_quantize", "encode_docs", "events_hourly",
+    "events_json", "events_resample", "events_sliding",
+    "expr_int_div", "gopher_quality", "html_strip",
+    "jsonl_source_roundtrip", "knn_cosine", "lang_id",
+    "lexicon_filter", "multimodal_audio_features",
+    "multimodal_binary_stats", "multimodal_frame_sample",
+    "ngram_jaccard", "ngram_topk", "partitioned_sink_roundtrip",
+    "pii_scrub", "rollup_count", "sequence_packing", "sessionize",
+    "source_quota", "stratified_sample", "stream_events_hourly",
+    "stream_interval_join", "text_bpe_tokens", "text_chunking",
+    "text_fingerprint", "text_repetition", "text_token_count",
+    "tfidf_terms", "token_budget_mix", "train_eval_split",
+    "vocab_topk", "window_range_frame", "window_rank",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

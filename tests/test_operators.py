@@ -1474,7 +1474,8 @@ def test_connected_components_long_path_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long")
     got = {r.node: r.cluster
-           for r in dedup.connected_components(edges).collect()}
+           for r in dedup.connected_components(
+               edges, driver_edge_gate=0).collect()}
     assert got == {i: 0 for i in range(12)}
 
 
@@ -1487,7 +1488,8 @@ def test_connected_components_many_rounds_with_stats_reset(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(119)], "doc_a long, doc_b long")
     got = {r.node: r.cluster
-           for r in dedup.connected_components(edges, max_iters=60)
+           for r in dedup.connected_components(edges, max_iters=60,
+                                               driver_edge_gate=0)
            .collect()}
     assert got == {i: 0 for i in range(120)}
 
@@ -1499,11 +1501,40 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iters=1)
+        dedup.connected_components(edges, max_iters=1, driver_edge_gate=0)
     # r7 (ADVICE): max_iters <= 0 must raise the documented error up
     # front, not a NameError from the unbound `changed` in for/else
     with pytest.raises(ValueError, match="max_iters"):
         dedup.connected_components(edges, max_iters=0)
+
+
+def test_connected_components_driver_gate_parity(spark):
+    """VERDICT r9 #4: the under-the-gate driver union-find path must
+    produce EXACTLY the distributed pointer-jumping labels — checked
+    on a seeded random graph mixing chains, stars, singleton pairs,
+    and a cycle — and the default gate routes small graphs through
+    it (same answer either way is the contract; parity IS the
+    test)."""
+    import random
+
+    rng = random.Random(7)
+    es = [(i, i + 1) for i in range(0, 40, 2)]          # 20 pairs
+    es += [(100, 100 + j) for j in range(1, 8)]          # star
+    es += [(200 + j, 200 + j + 1) for j in range(9)]     # chain
+    es += [(300, 301), (301, 302), (302, 300)]           # cycle
+    es += [(rng.randrange(400, 440), rng.randrange(400, 440))
+           for _ in range(25)]                           # random blob
+    es = [e for e in es if e[0] != e[1]]
+    edges = spark.createDataFrame(es, "doc_a long, doc_b long")
+    fast = {(r.node, r.cluster) for r in
+            dedup.connected_components(edges).collect()}
+    slow = {(r.node, r.cluster) for r in
+            dedup.connected_components(
+                edges, driver_edge_gate=0).collect()}
+    assert fast == slow
+    # labels really are the min reachable id on a known component
+    lab = dict(fast)
+    assert all(lab[300 + j] == 300 for j in range(3))
 
 
 # ----------------------------------------------------------------------
@@ -3292,11 +3323,22 @@ def test_hard_negatives_label_mismatch_in_join(spark):
     assert sims[4] == 0.0
 
 
+def _py_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
 def test_editdist_neardup_pairs(spark):
-    """Blocking returns exactly the brute-force pairs, each once:
-    same-bucket, cross-bucket-boundary, and |len diff| > max_dist
-    cases; long texts out of scope; null id/text dropped; bucket <
-    max_dist is the designed error."""
+    """Both candidate generators (PassJoin segments and the r9
+    length-block form) return exactly the brute-force pairs, each
+    once: near-pairs, cross-bucket-boundary, and |len diff| >
+    max_dist cases; long texts out of scope; null id/text dropped;
+    bucket < max_dist is the blocked form's designed error."""
     from rivulus_spark.operators import dedup as dd
 
     docs = spark.createDataFrame([
@@ -3307,32 +3349,77 @@ def test_editdist_neardup_pairs(spark):
         (5, "z" * 300),           # past max_len: out of scope
         (6, None), (None, "kitten"),
     ], "doc_id long, text string")
-    got = sorted((r.doc_a, r.doc_b, r.dist) for r in
-                 dd.editdist_neardup_pairs(docs, max_dist=8, max_len=256,
-                                           bucket=16).collect())
     # brute force over the in-scope rows (1,2,3,4)
     import itertools
     rows = {1: "kitten", 2: "sitting", 3: "kitten" + "x" * 24,
             4: "kitten" + "x" * 26}
-
-    def lev(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                         prev + (ca != cb))
-        return dp[len(b)]
-
-    want = sorted((a, b, lev(rows[a], rows[b]))
+    want = sorted((a, b, _py_lev(rows[a], rows[b]))
                   for a, b in itertools.combinations(sorted(rows), 2)
-                  if lev(rows[a], rows[b]) <= 8)
-    assert got == want
-    assert (1, 2, 3) in got and (3, 4, 2) in got
-    assert len(got) == len(set((a, b) for a, b, _ in got))  # no dup pairs
+                  if _py_lev(rows[a], rows[b]) <= 8)
+    for form in (
+            lambda d: dd.editdist_neardup_pairs(d, max_dist=8,
+                                                max_len=256),
+            lambda d: dd.editdist_neardup_pairs_blocked(
+                d, max_dist=8, max_len=256, bucket=16)):
+        got = sorted((r.doc_a, r.doc_b, r.dist)
+                     for r in form(docs).collect())
+        assert got == want
+        assert (1, 2, 3) in got and (3, 4, 2) in got
+        assert len(got) == len(set((a, b) for a, b, _ in got))
 
     with pytest.raises(ValueError, match="bucket width"):
-        dd.editdist_neardup_pairs(docs, max_dist=8, bucket=4)
+        dd.editdist_neardup_pairs_blocked(docs, max_dist=8, bucket=4)
+    with pytest.raises(ValueError, match="max_dist"):
+        dd.editdist_neardup_pairs(docs, max_dist=0)
+
+
+def test_editdist_passjoin_matches_brute_force_randomized(spark):
+    """PassJoin candidate completeness on a seeded adversarial
+    corpus: random base strings mutated with insert/delete/substitute
+    typos at and past the tau boundary, strings SHORTER than the
+    segment count (the zero-length-segment wildcard channel),
+    equal-length pairs (orientation dedup), the empty string, and
+    near-boundary length gaps — the pair set must equal the exact
+    O(n²) brute force, for two different max_dist values."""
+    import itertools
+    import random
+
+    from rivulus_spark.operators import dedup as dd
+
+    rng = random.Random(20260816)
+    alpha = "abcdef"
+
+    def mutate(s, n):
+        s = list(s)
+        for _ in range(n):
+            op = rng.choice("ids" if s else "i")
+            j = rng.randrange(len(s) + 1 if op == "i" else len(s))
+            if op == "i":
+                s.insert(j, rng.choice(alpha))
+            elif op == "d":
+                del s[j]
+            else:
+                s[j] = rng.choice(alpha)
+        return "".join(s)
+
+    texts = ["", "a", "ab", "abc" * 5]
+    for _ in range(12):
+        base = "".join(rng.choice(alpha)
+                       for _ in range(rng.randrange(0, 40)))
+        texts.append(base)
+        for n in (1, 3, 7, 9, 12):
+            texts.append(mutate(base, n))
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (3, 8):
+        want = sorted(
+            (a, b, _py_lev(ta, tb))
+            for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+            if _py_lev(ta, tb) <= tau)
+        got = sorted((r.doc_a, r.doc_b, r.dist) for r in
+                     dd.editdist_neardup_pairs(
+                         docs, max_dist=tau, max_len=256).collect())
+        assert got == want, f"tau={tau}: {len(got)} vs {len(want)}"
 
 
 def test_mmr_select_greedy_replica(spark):

@@ -628,13 +628,31 @@ def test_bpe_round_plan_is_partial_agg_plus_one_row_topk(spark):
 
 
 def test_editdist_block_join_is_equi(spark):
-    """The length-adjacent blocking must lower to an EQUI join on the
-    bucket key (SortMerge/ShuffledHash) — a nested-loop over the
-    short-doc table would be the O(n^2) plan the blocking exists to
-    avoid — and the thresholded levenshtein stays JVM codegen."""
+    """PassJoin candidate generation (r10) must lower to an EQUI join
+    on the (indexed_len, segment_index, substring_hash) signature key
+    — a nested-loop over the short-doc table would be the O(n^2) plan
+    the pigeonhole segments exist to avoid — with the hash-join
+    physical form (no sort of the signature stream) and the
+    thresholded levenshtein staying JVM codegen."""
     p = plan(spark, "editdist_neardup")
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
     assert "EvalPython" not in p, p
+    assert "ShuffledHashJoin" in p, p
+
+
+def test_lsh_verify_joins_are_hash_not_sort(spark):
+    """r10: no join in the LSH chain may be SortMergeJoin — the
+    former SMJ sorted pair-count rows CARRYING the vectors, and that
+    sorter (not the sim eval) dominated the sf10 chain with unstable
+    spill (74-700s across identical reps). The band self-join is
+    pinned shuffle-hash; the verify re-joins broadcast the vector
+    table under the 256 MB source gate (as here, at test scale) and
+    fall back to shuffle-hash above it."""
+    p = plan(spark, "embedding_neardup_lsh")
+    assert "SortMergeJoin" not in p, p
+    assert p.count("ShuffledHashJoin") >= 1, p   # band self-join
+    assert p.count("BroadcastHashJoin") >= 2, p  # gated verify joins
+    assert "CartesianProduct" not in p, p
 
 
 def test_hybrid_fusion_merges_topk_tables(spark):
@@ -656,3 +674,32 @@ def test_score_auc_single_bounded_shuffle(spark):
     p = plan(spark, "classifier_auc")
     assert p.count("HashAggregate") >= 2, p   # partial + final counts
     assert "EvalPython" not in p, p
+
+
+def test_spread_is_noop_on_well_split_source(spark, tmp_path):
+    """The 100 TB safety property of partitioning.spread (VERDICT r9
+    #7): on a source whose file metadata already yields >= target
+    scan splits (many row groups), spread() must return the SAME
+    frame — no repartition node, no accidental full-corpus shuffle —
+    while a single-row-group file still gets the round-robin fix."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark import partitioning
+
+    many = str(tmp_path / "many")
+    # 64 separate files -> >= 64 scan splits, comfortably past the
+    # local[32] default parallelism target
+    spark.range(64000).withColumn("p", F.col("id") % 64) \
+        .repartition(64, "p").write.parquet(many)
+    df = spark.read.parquet(many)
+    assert partitioning._estimated_scan_splits(df) >= 32
+    out = partitioning.spread(df)
+    assert out is df  # identity, not just equal plan: zero overhead
+
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    small = spark.read.parquet(one)
+    spread_small = partitioning.spread(small)
+    assert spread_small is not small
+    assert "Exchange" in spread_small._jdf.queryExecution() \
+        .executedPlan().toString()
