@@ -6756,14 +6756,17 @@ SELECT doc_a, doc_b, dist FROM (
 """)
 def q_editdist_neardup(spark, sf_dir):
     """Char-level near-dup pairs over short texts
-    (dedup.editdist_neardup_pairs, r9 debut): Levenshtein <= 8 on
-    docs <= 256 chars via length-adjacent blocking (answer-identical
-    to the brute-force oracle because dist >= |len diff|). The corpus
-    is pre-filtered to ASCII rows (octet_length == length, the same
-    predicate in both engines) because DuckDB's levenshtein counts
-    UTF-8 BYTES while Spark's counts CHARACTERS — the operator itself
-    is char-correct on any text; the registered query pins parity on
-    the slice where the two definitions coincide."""
+    (dedup.editdist_neardup_pairs, r9 debut; r10: PassJoin pigeonhole
+    segment signatures replace length-only blocking — candidates come
+    from an equi-hash join on (indexed_len, segment_idx,
+    substring_hash), volume ∝ true matches instead of block², exact
+    output unchanged so the length-banded brute-force DuckDB oracle
+    carries over verbatim): Levenshtein <= 8 on docs <= 256 chars.
+    The corpus is pre-filtered to ASCII rows (octet_length == length,
+    the same predicate in both engines) because DuckDB's levenshtein
+    counts UTF-8 BYTES while Spark's counts CHARACTERS — the operator
+    itself is char-correct on any text; the registered query pins
+    parity on the slice where the two definitions coincide."""
     docs = _t(spark, sf_dir, "documents").filter(
         F.octet_length("text") == F.length("text"))
     return dedup.editdist_neardup_pairs(docs, max_dist=8, max_len=256)
