@@ -38,9 +38,16 @@ HEADLINE = {
                           "BroadcastExchange, no nested loop; one numpy "
                           "matmul per pair inside MapInPandas"),
     "heavy_hitters": "exact top-k as TakeOrderedAndProject over partial counts",
-    "embedding_neardup_lsh": ("hyperplane-LSH banding: candidates from an "
-                              "equi-join on (band_idx, band_value); exact "
-                              "verify joins only candidate ids"),
+    "embedding_neardup_lsh": ("hyperplane-LSH banding: candidates from a "
+                              "shuffle-hash equi-join on (band_idx, "
+                              "band_value); exact verify joins only "
+                              "candidate ids — vector table broadcast "
+                              "under the 256MB gate, shuffle-hash above "
+                              "it, never a vector-carrying sort"),
+    "editdist_neardup": ("PassJoin pigeonhole segments: candidates from a "
+                         "shuffle-hash equi-join on (indexed_len, seg_idx, "
+                         "substring_hash); thresholded levenshtein verify "
+                         "on id-joined candidate pairs only"),
     "stratified_sample": ("content-hash sampling is a pure projection: "
                           "filter reaches the scan, no shuffle anywhere"),
     "argmax_per_group": "max_by argmax — partially aggregatable, no window sort",
