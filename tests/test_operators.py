@@ -3422,6 +3422,29 @@ def test_editdist_passjoin_matches_brute_force_randomized(spark):
         assert got == want, f"tau={tau}: {len(got)} vs {len(want)}"
 
 
+def test_editdist_passjoin_char_semantics_unicode(spark):
+    """The PassJoin segments slice by CHARACTER (Spark substr), so
+    multi-byte text keeps the operator's char-level Levenshtein
+    contract: 'café' vs 'cafe' is one substitution, and the accented
+    pair still blocks/verifies correctly (the REGISTERED query
+    restricts to ASCII only for DuckDB byte-parity — the operator
+    itself must stay char-correct)."""
+    from rivulus_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([
+        (1, "café au lait"),
+        (2, "cafe au lait"),     # dist 1 (é -> e)
+        (3, "caffè au lait"),    # vs 1: insert f, è->é => dist 2
+        (4, "naïve approach"),
+        (5, "naive approach"),   # dist 1
+    ], "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.dist for r in
+           dd.editdist_neardup_pairs(docs, max_dist=3).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(4, 5)] == 1
+
+
 def test_mmr_select_greedy_replica(spark):
     """MMR on hand-placed 2-d vectors vs a Python replica of the
     identical greedy (lam*rel - (1-lam)*maxsim, lowest-id ties):

@@ -703,3 +703,26 @@ def test_spread_is_noop_on_well_split_source(spark, tmp_path):
     assert spread_small is not small
     assert "Exchange" in spread_small._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def test_lsh_verify_falls_back_to_shuffle_hash_above_gate(spark):
+    """Above the 256 MB vector-source gate the LSH verify must NOT
+    broadcast (a corpus-sized vector table cannot be a broadcast
+    build side on a real cluster) — it pins shuffle_hash instead.
+    The gate reads file metadata via partitioning.estimated_input_bytes,
+    monkeypatched here to simulate a big source."""
+    from rivulus_spark import partitioning
+    from rivulus_spark.operators import similarity
+
+    orig = partitioning.estimated_input_bytes
+    partitioning.estimated_input_bytes = lambda df: 1 << 30
+    try:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        out = similarity.cosine_neardup_pairs_lsh(
+            emb, threshold=0.5, dim=64, n_planes=16, n_bands=4)
+        p = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        partitioning.estimated_input_bytes = orig
+    assert p.count("ShuffledHashJoin") >= 3, p   # band join + 2 verify
+    assert "SortMergeJoin" not in p, p
