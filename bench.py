@@ -20,6 +20,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _proc_tree_cpu() -> float:
+    """CPU seconds (utime+stime) burned so far by THIS process and every
+    live descendant — in local mode that is the Python driver, the
+    SparkSubmit JVM it launched, and any Python worker daemons. One
+    /proc pass builds the ppid tree; a missing pid (raced exit) is
+    skipped. This is the self-adjudication metric (VERDICT r10 #1): a
+    rep whose wall time doubles while its OWN tree's CPU delta does not
+    was externally contended — wall-only records can never show that.
+    Reaped children are NOT captured (their cutime lands in the parent's
+    stat only after wait()), but Spark's JVM and workers live for the
+    whole bench, so the delta across a rep is complete."""
+    me = os.getpid()
+    kids: dict[int, list[int]] = {}
+    cpu: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: fields after the LAST ')'
+        rest = raw[raw.rfind(b")") + 2:].split()
+        pid = int(d)
+        kids.setdefault(int(rest[1]), []).append(pid)  # ppid -> pid
+        cpu[pid] = int(rest[11]) + int(rest[12])       # utime + stime
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
+def _host_cpu_busy() -> float:
+    """Host-wide busy CPU seconds (all cores, all processes) from the
+    /proc/stat aggregate line: total minus idle minus iowait. The delta
+    across a rep, divided by the rep's wall, is the average number of
+    busy cores on the whole machine — subtracting our own tree's rate
+    isolates CO-TENANT load, the quantity the load-average telemetry
+    (kept below) could only hint at."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (sum(vals) - vals[3] - vals[4]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -57,6 +108,7 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
     gc_ms: dict[str, int] = {}
+    rep_rows: dict[str, list[list[float]]] = {}
 
     def jvm_gc_ms() -> int:
         # cumulative JVM GC time via the management MXBeans — a pure
@@ -69,8 +121,23 @@ def main() -> None:
         except Exception:
             return -1
 
+    try:
+        import multiprocessing
+        n_cpus = multiprocessing.cpu_count()
+    except Exception:
+        n_cpus = None
+
+    # optional name filter (comma-separated substrings) for targeted
+    # runs: the co-tenancy self-check demo and per-query iteration both
+    # need a bench that runs a handful of queries under the exact
+    # production protocol instead of all 183
+    only = [s for s in os.environ.get("RIVULUS_BENCH_QUERIES", "")
+            .split(",") if s.strip()]
+    items = {n: f for n, f in QUERIES.items()
+             if not only or any(s in n for s in only)}
+
     total = 0.0
-    for name, fn in QUERIES.items():
+    for name, fn in items.items():
         if warm_dir is not None:
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -91,10 +158,26 @@ def main() -> None:
                     round(os.getloadavg()[0], 1))
             except OSError:
                 pass
+            ts = time.time()
+            cpu0, host0 = _proc_tree_cpu(), _host_cpu_busy()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                rep_times.append(time.perf_counter() - t0)
+                wall = time.perf_counter() - t0
+                rep_times.append(wall)
+                # self-adjudication row (VERDICT r10 #1): our tree's CPU
+                # delta, its utilization of the machine, and the co-tenant
+                # busy-core rate — enough to separate "slow plan" (cpu
+                # scales with wall) from "contended host" (wall up, own
+                # cpu flat, other_cores high) from the artifact alone
+                cpu1, host1 = _proc_tree_cpu(), _host_cpu_busy()
+                own = cpu1 - cpu0
+                other = ((host1 - host0 - own) / wall
+                         if host0 >= 0 and host1 >= 0 else -1.0)
+                rep_rows.setdefault(name, []).append([
+                    round(ts, 1), round(wall, 3), round(own, 2),
+                    round(own / (wall * n_cpus), 3) if n_cpus else -1.0,
+                    round(max(other, 0.0), 2)])
             except Exception as e:
                 # a flaky rep (transient host load, OOM) must not mask
                 # the other reps: keep trying, and report the -1.0
@@ -126,11 +209,6 @@ def main() -> None:
     # unparseable).  Keep the official line compact — total + sf + the
     # slowest queries only, minified separators — and write the complete
     # per-query dict to a sidecar the judge can read directly.
-    try:
-        import multiprocessing
-        n_cpus = multiprocessing.cpu_count()
-    except Exception:
-        n_cpus = None
     detail = {
         "metric": "workload_total_runtime",
         "value": round(total, 3),
@@ -146,6 +224,16 @@ def main() -> None:
         "load_1min_at_reps": loads,
         "jvm_gc_delta_ms": gc_ms,
         "n_cpus": n_cpus,
+        # per-rep self-adjudication (VERDICT r10 #1): epoch start,
+        # wall, OUR process tree's CPU seconds (driver + JVM + Python
+        # workers via /proc walk), util = cpu/(wall*n_cpus), and the
+        # co-tenant busy-core rate (host busy cores minus ours, from
+        # /proc/stat). Reading: util steady across reps but wall
+        # inflated + other_cores >> 0 = external contention, NOT a plan
+        # regression; wall and cpu moving together = real engine cost.
+        "rep_fields": ["epoch_start", "wall_sec", "tree_cpu_sec",
+                       "cpu_util", "other_busy_cores"],
+        "reps": rep_rows,
         # the 5 WindowExec unpartitioned-window warnings in the log
         # tail are the AUDITED bounded-key shapes (every one justified
         # by name in tests/test_plans.py's blanket window audit:

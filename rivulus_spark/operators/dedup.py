@@ -1141,11 +1141,23 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
 
 def _cc_driver_union_find(sym: DataFrame) -> DataFrame:
     """connected_components' under-the-gate path: path-compressed
-    union-find over the collected (src, dst) edge list, labels = min
-    member id per root (the same deterministic contract as the
-    distributed min-label propagation). Near-linear (inverse-Ackermann)
-    in edges; the caller's gate bounds the collect."""
-    rows = sym.collect()
+    union-find over the collected edge list, labels = min member id per
+    root (the same deterministic contract as the distributed min-label
+    propagation). Near-linear (inverse-Ackermann) in edges; the
+    caller's gate bounds the collect.
+
+    Driver-memory accounting (ADVICE r10): only the UNDIRECTED half of
+    the symmetrized frame crosses the boundary (src <= dst — half the
+    rows; union-find needs each edge once), and it crosses as Arrow
+    columns via ``toPandas`` (16 bytes/edge of numpy int64, not ~150+
+    bytes/edge of Row objects), so the wire+buffer cost at the 1M-edge
+    gate is ~16 MB as documented. The union-find structures themselves
+    are Python dicts over node ids — ~100 bytes/entry, so up to ~2M
+    nodes ≈ 200-400 MB of driver heap at the gate boundary; that is
+    the real driver budget this gate implies, comparable to a large
+    broadcast, and well inside the 48g driver this engine configures
+    (session.py). Set driver_edge_gate lower on thin drivers."""
+    und = sym.filter(F.col("src") <= F.col("dst")).toPandas()
     parent: dict = {}
 
     def find(x):
@@ -1156,8 +1168,7 @@ def _cc_driver_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        s, d = row[0], row[1]
+    for s, d in zip(und.iloc[:, 0].tolist(), und.iloc[:, 1].tolist()):
         if s not in parent:
             parent[s] = s
         if d not in parent:

@@ -360,9 +360,18 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     shape under spark.sql.codegen.fallback=false.
     """
     widths = band_widths(n_planes, n_bands)
+    # deliberately NOT persisted (ADVICE r10): Spark's cache manager
+    # substitutes a persisted plan back into ANY frame with the same
+    # logical plan, and a cached child (TableCacheQueryStage) defeats
+    # AQE's exchange-reuse canonicalization — so persisting here made
+    # the verify probes broadcast the vector table TWICE. Unpersisted,
+    # the band self-join shares one shuffle exchange (both sides
+    # canonically identical) and the two verify probes share one
+    # broadcast/shuffle of `base` (ReusedExchange, plan-pinned below),
+    # so the norm projection still computes exactly twice (band side +
+    # one shared verify side) — and a 100 TB vector table was never
+    # cacheable anyway.
     base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
-    from .. import cache
-    base = cache.persist(base)
     e = _band_rows_numpy(base.select("id", "vec"), dim, widths)
     l, r = e.alias("l"), e.alias("r")
     # shuffle_hash (r10): the band self-join reuses one exchange of
@@ -374,10 +383,14 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
                    & (F.col("l.id") < F.col("r.id")))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
              .distinct())
-    a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                    F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-                    F.col("nrm").alias("nb"))
+    # ONE shared (id, vec, nrm) projection feeds BOTH verify probes
+    # (ADVICE r10): the two sides previously projected per-side aliased
+    # columns, so their BroadcastExchange subtrees were not sameResult
+    # and the vector table was broadcast (or shuffled) TWICE. With an
+    # identical child plan on both joins, ReuseExchange collapses them
+    # into one physical broadcast/exchange (see the no-persist note on
+    # `base` above for why the child must stay uncached).
+    shared = base
     # verify stays the JVM interpreted fold — a MEASURED negative
     # result for the Arrow alternative (r9): a numpy sequential-fold
     # verify stage (bit-equal sims, 0 set difference on the sf10
@@ -388,7 +401,8 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     # than the interpreted fold saves. An isolated probe that
     # suggested 11x the other way was a session-state artifact —
     # trust the clean A/B.
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = (dot(F.col("sa.vec"), F.col("sb.vec"))
+           / (F.col("sa.nrm") * F.col("sb.nrm")))
     # Verify-join physical strategy (r10). Without intervention both
     # re-join steps planned as SortMergeJoin, and the id_b-side sort
     # of candidate rows CARRYING va (pairs x ~550 bytes, ~12 GB at
@@ -398,23 +412,29 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     # 74-700s for the sf10 verify across IDENTICAL reps (jstack: all
     # 32 threads in the sorter, not the sim eval; the r9 scale-curve
     # rows for this family under-recorded exactly this). Two paths:
-    # - under the gate (vector-table source <= 256 MB on disk, read
-    #   from file metadata only): BROADCAST the (id, vec, nrm) table
-    #   into both probes — the pair stream never shuffles its
+    # - under the gate (vector-table source <= 128 MB on disk, read
+    #   from file metadata only): BROADCAST the shared (id, vec, nrm)
+    #   table into both probes — the pair stream never shuffles its
     #   attached vectors at all, the single biggest disk-churn source
-    #   in the chain. 256 MB compressed is a deliberately
-    #   executor-memory-sized gate, the same documented-threshold
-    #   pattern as connected_components' driver gate.
+    #   in the chain. The gate compares COMPRESSED parquet bytes
+    #   against a deserialized in-memory build side that is typically
+    #   2-4x larger (ADVICE r10), so 128 MB on disk bounds the one
+    #   reused broadcast at ~0.5 GB deserialized — inside a default
+    #   executor, same documented-threshold pattern as
+    #   connected_components' driver gate.
     # - above the gate (real-cluster corpus): shuffle_hash on the
     #   vector side — same shuffles as SMJ, hash build instead of
-    #   sort, no broadcast assumption.
+    #   sort, no broadcast assumption; the identical vector-side
+    #   exchange is likewise reused across the two probes.
     from ..partitioning import estimated_input_bytes
     src_bytes = estimated_input_bytes(df)
-    if src_bytes is not None and src_bytes <= (256 << 20):
-        a, b = F.broadcast(a), F.broadcast(b)
+    if src_bytes is not None and src_bytes <= (128 << 20):
+        shared = F.broadcast(shared)
     else:
-        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
-    return (cands.join(a, "id_a").join(b, "id_b")
+        shared = shared.hint("shuffle_hash")
+    sa, sb = shared.alias("sa"), shared.alias("sb")
+    return (cands.join(sa, F.col("id_a") == F.col("sa.id"))
+            .join(sb, F.col("id_b") == F.col("sb.id"))
             .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
             .filter(F.col("sim") >= threshold))
 

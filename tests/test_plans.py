@@ -646,13 +646,24 @@ def test_lsh_verify_joins_are_hash_not_sort(spark):
     sorter (not the sim eval) dominated the sf10 chain with unstable
     spill (74-700s across identical reps). The band self-join is
     pinned shuffle-hash; the verify re-joins broadcast the vector
-    table under the 256 MB source gate (as here, at test scale) and
-    fall back to shuffle-hash above it."""
+    table under the 128 MB source gate (as here, at test scale) and
+    fall back to shuffle-hash above it.
+
+    r11 (ADVICE r10): the two verify probes must share ONE physical
+    broadcast of the (id, vec, nrm) table — ReusedExchange in the
+    final adaptive plan, which requires executing the query (AQE
+    reuses at runtime) and an UNCACHED build side (a persisted plan
+    is substituted back by the cache manager and its
+    TableCacheQueryStage defeats the canonical match)."""
     p = plan(spark, "embedding_neardup_lsh")
     assert "SortMergeJoin" not in p, p
     assert p.count("ShuffledHashJoin") >= 1, p   # band self-join
     assert p.count("BroadcastHashJoin") >= 2, p  # gated verify joins
     assert "CartesianProduct" not in p, p
+    df = QUERIES["embedding_neardup_lsh"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 2, final  # band + verify
 
 
 def test_hybrid_fusion_merges_topk_tables(spark):
