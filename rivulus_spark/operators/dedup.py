@@ -677,11 +677,83 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "id",
     )
 
 
+def lsh_candidate_edges_star(sigs: DataFrame, id_col: str = "id",
+                             sig_col: str = "sig",
+                             rows_per_band: int = LSH_ROWS,
+                             num_perm: int = NUM_PERM,
+                             band_widths: list[int] | None = None
+                             ) -> DataFrame:
+    """Hot-bucket-safe LSH banding for CLUSTER consumers (VERDICT r10
+    #3): per band bucket emit ``(bucket_min_id, member_id)`` STAR
+    edges instead of all member pairs. The star graph has exactly the
+    same connected components as the all-pairs graph (every member is
+    linked to the bucket minimum, which chains them transitively), but
+    O(occupancy) edges per bucket instead of O(occupancy²) — on a
+    mass-duplicated corpus (a million boilerplate near-identical docs
+    landing in one band bucket at 100 TB) the all-pairs form
+    (:func:`lsh_candidate_pairs`) materializes ~occupancy² rows and is
+    infeasible, while this stays linear in band rows.
+
+    Plan shape: one map-side-partial ``min`` per bucket over the
+    exploded band rows, then ONE hash equi-join of the band rows back
+    to their bucket minima — both stages keyed on the band hash, so
+    the exchange is shared; no self-join, no pair blowup, hash join
+    pinned (no sort of the band stream). Output ``(doc_a, doc_b)``
+    with doc_a < doc_b always (doc_a IS the bucket min), distinct
+    across buckets.
+
+    Use :func:`lsh_candidate_pairs` when the PAIR LIST is the
+    contract (every near-dup pair must be emitted and verified);
+    use this when the consumer is connected components / survivorship
+    (``minhash_lsh_dedup(edge_mode="star")``)."""
+    exploded = band_hash_rows(sigs, id_col, sig_col, rows_per_band,
+                              num_perm, band_widths)
+    mins = exploded.groupBy("bh").agg(F.min("id").alias("mid"))
+    return (exploded.hint("shuffle_hash").join(mins, "bh")
+            .filter(F.col("id") != F.col("mid"))
+            .select(F.col("mid").alias("doc_a"), F.col("id").alias("doc_b"))
+            .distinct())
+
+
+def band_bucket_occupancy(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 3,
+                          num_perm: int = NUM_PERM,
+                          rows_per_band: int = LSH_ROWS,
+                          band_widths: list[int] | None = None
+                          ) -> DataFrame:
+    """Band-bucket occupancy histogram — the hot-bucket telemetry for
+    the LSH chain (VERDICT r10 #3): one row per log2 occupancy class,
+    with the bucket count, band-row mass, and the ALL-PAIRS volume
+    those buckets would emit (``sum n·(n−1)/2``). A pipeline reads
+    this BEFORE choosing ``edge_mode``: a heavy tail (large
+    ``log2_occ`` rows with pair_volume >> n_rows) means the pair path
+    would blow up and cluster consumers should take the star path.
+    Cost: the signature pass plus one groupBy(bh) count and a
+    ~60-row rollup — linear, no join at all."""
+    sigs = minhash_signatures_arrow(df, text_col, id_col, k, num_perm)
+    occ = (band_hash_rows(sigs, rows_per_band=rows_per_band,
+                          num_perm=num_perm, band_widths=band_widths)
+           .groupBy("bh").agg(F.count("*").alias("n")))
+    # ceil(log2(n)) via integer BIT LENGTH of n-1 — exact on both
+    # engines, where a float log2 can land one ulp above an integer
+    # and ceil a power of two into the wrong class (the same exact-
+    # integer-bins contract as dataset_drift_psi)
+    log2_occ = (F.when(F.col("n") == 1, F.lit(0))
+                .otherwise(F.length(F.bin(F.col("n") - 1))).cast("long"))
+    return (occ.groupBy(log2_occ.alias("log2_occ"))
+            .agg(F.count("*").alias("n_buckets"),
+                 F.sum("n").alias("n_rows"),
+                 F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+                 .alias("pair_volume"))
+            .orderBy("log2_occ"))
+
+
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
                       text_col: str = "text",
                       id_col: str = "doc_id",
                       num_perm: int = NUM_PERM,
-                      band_widths: list[int] | None = None) -> DataFrame:
+                      band_widths: list[int] | None = None,
+                      edge_mode: str = "pairs") -> DataFrame:
     """Near-duplicate pairs at Jaccard >= threshold via MinHash+LSH
     candidates, then exact-Jaccard verification (no false positives;
     false-negative probability ~4e-8 at threshold 0.8 under the
@@ -712,11 +784,34 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     (MEMORY_AND_DISK, registered with :mod:`rivulus_spark.cache`;
     long-lived sessions call ``cache.unpersist_all()`` between units
     of work — the result is lazy, so the operator itself cannot know
-    when its caches die)."""
+    when its caches die).
+
+    ``edge_mode`` (VERDICT r10 #3): ``"pairs"`` (default) emits every
+    verified near-dup PAIR — the pair contract, but ~occupancy² rows
+    per band bucket, infeasible on a mass-duplicated corpus.
+    ``"star"`` emits only verified (bucket-min, member) STAR edges
+    (:func:`lsh_candidate_edges_star`) — O(occupancy) per bucket, for
+    CLUSTER consumers (connected components / survivorship). Star
+    caveat, by contract: the star CANDIDATE graph has identical
+    connected components to the all-pairs graph, and after exact
+    verification the components are identical whenever bucket
+    co-members are mutually near-dup at the threshold (the duplicate-
+    family case the mode exists for: mass boilerplate). On a corpus
+    where a bucket mixes docs similar to a third doc but not to each
+    other, a star edge can fail verification where some member-member
+    pair would pass — cluster consumers needing the exact
+    pair-verified components on such corpora must pay the pair path.
+    Use :func:`band_bucket_occupancy` to see which regime a corpus is
+    in before choosing."""
+    if edge_mode not in ("pairs", "star"):
+        raise ValueError(f"edge_mode must be 'pairs' or 'star', got "
+                         f"{edge_mode!r}")
     sigs = cache.persist(minhash_signatures_arrow(df, text_col, id_col,
                                                   k, num_perm))
-    cands = cache.persist(lsh_candidate_pairs(sigs, num_perm=num_perm,
-                                              band_widths=band_widths))
+    gen = (lsh_candidate_pairs if edge_mode == "pairs"
+           else lsh_candidate_edges_star)
+    cands = cache.persist(gen(sigs, num_perm=num_perm,
+                              band_widths=band_widths))
     cand_ids = (cands.select(F.col("doc_a").alias(id_col))
                 .union(cands.select(F.col("doc_b").alias(id_col)))
                 .distinct())
@@ -1190,6 +1285,86 @@ def _cc_driver_union_find(sym: DataFrame) -> DataFrame:
     schema = StructType([StructField("node", t, False),
                          StructField("cluster", t, False)])
     return sym.sparkSession.createDataFrame(out, schema=schema)
+
+
+def connected_components_incremental(labels: DataFrame,
+                                     new_edges: DataFrame,
+                                     a_col: str = "doc_a",
+                                     b_col: str = "doc_b",
+                                     max_iters: int = 25,
+                                     driver_edge_gate: int = 1_000_000
+                                     ) -> DataFrame:
+    """Cluster MAINTENANCE for daily ingest (VERDICT r10 #5): merge a
+    delta's new edges into persisted ``(node, cluster)`` labels
+    WITHOUT re-running connected components on the full graph — the
+    operation a 100 TB dedup pipeline actually performs per ingest
+    (the edge-level counterpart of ``minhash_lsh_dedup_incremental``,
+    which produces exactly the delta edges this consumes).
+
+    Contract: ``labels`` is :func:`connected_components` output
+    (cluster = min member id); returns the full updated label table
+    over old ∪ delta nodes, IDENTICAL to ``connected_components`` on
+    the concatenated edge sets (oracle-checked by equality in the
+    registered query). Requires delta node ids disjoint from old ids
+    only in the usual sense that an id names the same document in
+    both.
+
+    Three delta-sized steps and one labels-sized map — never an
+    iterative pass over the full graph:
+
+    1. Resolve each delta endpoint to its REPRESENTATIVE: its old
+       cluster label if present, else itself (one equi-join of the
+       distinct delta endpoints against the label table; on a real
+       deployment the persisted label table is BUCKETED on node —
+       sources/bucketed.py — so this probe shuffles only the delta).
+    2. Contract: delta edges become (rep_a, rep_b), drop rep_a ==
+       rep_b (an edge inside an existing cluster changes nothing).
+       Edges within old clusters are already contracted away, so the
+       contracted graph is delta-sized plus touched-cluster reps.
+    3. Run connected_components on the contracted graph (inherits the
+       driver union-find under ``driver_edge_gate``). Old reps are
+       min member ids of their clusters, so the min reachable rep IS
+       the min member of the merged component — labels stay the
+       deterministic min-id contract.
+    4. Remap: one broadcast left-join of the old label table against
+       the (rep -> merged label) table — touched clusters move,
+       untouched clusters coalesce through unchanged; delta-new nodes
+       take their contracted result directly. The full-table scan is
+       the unavoidable minimum (the output contract is the full
+       roster); there is no full-table SHUFFLE anywhere.
+    """
+    nodes = (new_edges.select(F.col(a_col).alias("node"))
+             .union(new_edges.select(F.col(b_col).alias("node")))
+             .distinct())
+    lab = labels.select(F.col("node"), F.col("cluster"))
+    reps = (nodes.join(lab, "node", "left")
+            .select("node", F.coalesce("cluster", "node").alias("rep")))
+    contracted = (new_edges
+                  .join(reps.withColumnRenamed("node", a_col)
+                        .withColumnRenamed("rep", "ra"), a_col)
+                  .join(reps.withColumnRenamed("node", b_col)
+                        .withColumnRenamed("rep", "rb"), b_col)
+                  .filter(F.col("ra") != F.col("rb"))
+                  .select("ra", "rb").distinct())
+    merged = connected_components(contracted, "ra", "rb",
+                                  max_iters=max_iters,
+                                  driver_edge_gate=driver_edge_gate)
+    remap = F.broadcast(merged.select(F.col("node").alias("rep"),
+                                      F.col("cluster").alias("mc")))
+    old_out = (lab.join(remap, lab.cluster == remap.rep, "left")
+               .select("node", F.coalesce("mc", "cluster").alias("cluster")))
+    # delta nodes absent from the old labels: rep == node; their merged
+    # label comes straight from the contracted result (every such node
+    # has a surviving contracted edge — its rep is unique to it); a
+    # delta endpoint whose edges ALL landed inside one existing cluster
+    # contracted away entirely, but such an endpoint is an old node and
+    # already in old_out
+    new_out = (reps.filter(F.col("rep") == F.col("node"))
+               .join(lab.select("node"), "node", "left_anti")
+               .join(remap, "rep", "left")
+               .select("node",
+                       F.coalesce("mc", F.col("node")).alias("cluster")))
+    return old_out.unionByName(new_out)
 
 
 def cluster_survivors(df: DataFrame, clusters: DataFrame,

@@ -313,7 +313,8 @@ def adaptive_lsh_params(n_rows: int, base_width: int = 4,
 def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
                              n_planes: int = 16, n_bands: int = 4,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             edge_mode: str = "pairs") -> DataFrame:
     """All-pairs cosine near-duplicates via hyperplane-LSH banding —
     the 100 TB path for the blocked-matmul contract. Output
     (id_a, id_b, sim), id_a < id_b, sim rounded to 6, exact-verified
@@ -358,6 +359,12 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     is bucket-bit-equal AND vectorized at any plane count;
     tests/test_plans.py pins no-fallback by running the realistic
     shape under spark.sql.codegen.fallback=false.
+
+    ``edge_mode="star"`` (cluster consumers only): emit verified
+    (bucket-min, member) star edges instead of all bucket pairs —
+    O(occupancy) per band bucket, the hot-bucket-safe form for
+    connected-components consumers on mass-duplicated corpora; see
+    dedup.lsh_candidate_edges_star for the contract and caveat.
     """
     widths = band_widths(n_planes, n_bands)
     # deliberately NOT persisted (ADVICE r10): Spark's cache manager
@@ -373,16 +380,37 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
     # cacheable anyway.
     base = with_norm(df, id_col, vec_col, "id", "vec", "nrm")
     e = _band_rows_numpy(base.select("id", "vec"), dim, widths)
-    l, r = e.alias("l"), e.alias("r")
-    # shuffle_hash (r10): the band self-join reuses one exchange of
-    # the band-row table for both sides; hash-building it avoids the
-    # SMJ's sort of every band row — pure win, the key is hash-equi
-    cands = (l.hint("shuffle_hash")
-             .join(r, (F.col("l.bi") == F.col("r.bi"))
-                   & (F.col("l.bv") == F.col("r.bv"))
-                   & (F.col("l.id") < F.col("r.id")))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-             .distinct())
+    if edge_mode == "star":
+        # hot-bucket-safe banding for CLUSTER consumers (VERDICT r10
+        # #3, same contract as dedup.lsh_candidate_edges_star): per
+        # (bi, bv) bucket link every member to the bucket MINIMUM —
+        # identical candidate-graph connected components, O(occupancy)
+        # instead of O(occupancy²) edges on a mass-duplicated corpus;
+        # after exact verification components match the pair path
+        # whenever bucket co-members are mutually near-dup (the
+        # boilerplate case the mode exists for — see the dedup twin's
+        # docstring for the precise caveat)
+        mins = e.groupBy("bi", "bv").agg(F.min("id").alias("mid"))
+        cands = (e.hint("shuffle_hash").join(mins, ["bi", "bv"])
+                 .filter(F.col("id") != F.col("mid"))
+                 .select(F.col("mid").alias("id_a"),
+                         F.col("id").alias("id_b"))
+                 .distinct())
+    elif edge_mode == "pairs":
+        l, r = e.alias("l"), e.alias("r")
+        # shuffle_hash (r10): the band self-join reuses one exchange of
+        # the band-row table for both sides; hash-building it avoids the
+        # SMJ's sort of every band row — pure win, the key is hash-equi
+        cands = (l.hint("shuffle_hash")
+                 .join(r, (F.col("l.bi") == F.col("r.bi"))
+                       & (F.col("l.bv") == F.col("r.bv"))
+                       & (F.col("l.id") < F.col("r.id")))
+                 .select(F.col("l.id").alias("id_a"),
+                         F.col("r.id").alias("id_b"))
+                 .distinct())
+    else:
+        raise ValueError(f"edge_mode must be 'pairs' or 'star', got "
+                         f"{edge_mode!r}")
     # ONE shared (id, vec, nrm) projection feeds BOTH verify probes
     # (ADVICE r10): the two sides previously projected per-side aliased
     # columns, so their BroadcastExchange subtrees were not sameResult

@@ -3808,11 +3808,11 @@ _SH_CTE = r"""
 """
 
 
-def _minhash_cand_ctes(num_perm: int = dedup.NUM_PERM,
+def _minhash_band_ctes(num_perm: int = dedup.NUM_PERM,
                        rows_per_band: int = dedup.LSH_ROWS,
                        band_widths: list[int] | None = None) -> str:
-    """CTE chain hs/sig/bnd/cand — MinHash signatures and banded LSH
-    candidate pairs, assuming a prior ``sh(doc_id, s)`` CTE. Shared by
+    """CTE chain hs/sig/bnd — MinHash signatures and banded LSH
+    band rows, assuming a prior ``sh(doc_id, s)`` CTE. Shared by
     _minhash_lsh_ctes (threshold-verified pairs) and the estimator
     audit oracle (which reads sig directly). ``band_widths`` replays
     the adaptive layout (dedup.adaptive_minhash_bands — the oracle
@@ -3852,7 +3852,17 @@ sig AS MATERIALIZED (
 ),
 bnd AS MATERIALIZED (
   {band_rows}
-),
+)"""
+
+
+def _minhash_cand_ctes(num_perm: int = dedup.NUM_PERM,
+                       rows_per_band: int = dedup.LSH_ROWS,
+                       band_widths: list[int] | None = None) -> str:
+    """_minhash_band_ctes plus the all-pairs ``cand`` CTE — the
+    historical candidate chain (see _minhash_band_ctes for the split:
+    the star-edge oracle reuses hs/sig/bnd without paying the
+    per-bucket pair join)."""
+    return _minhash_band_ctes(num_perm, rows_per_band, band_widths) + """,
 cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
   FROM bnd a JOIN bnd z ON a.bi = z.bi AND a.bv = z.bv
@@ -4057,6 +4067,169 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
         _t(spark, sf_dir, "documents"), threshold=0.8,
         band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
+
+
+def _star_clusters_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    """Banded relational replica of the star-edge LSH chain: band
+    rows (bit-identical signatures, same adaptive slices), per-bucket
+    MIN, (min, member) star edges, exact-Jaccard verification, then
+    the recursive-CTE connected-components fixpoint. Unlike the pair
+    contract there is no brute-force small-sf spec — the star edge
+    SET is banding-defined by contract (which members link to which
+    bucket minimum depends on the buckets), so the oracle replicates
+    the banding at every sf; recall of the underlying banding is
+    covered by dedup_minhash_lsh's small-sf brute spec and the
+    operator-level parity tests (star CC == pair CC on duplicate-
+    family corpora, tests/test_operators.py)."""
+    widths = dedup.adaptive_minhash_bands(_doc_rows(sf_dir))
+    return ("WITH RECURSIVE sh AS MATERIALIZED ("
+            + _SH_CTE.format(src="documents") + "),"
+            + _minhash_band_ctes(band_widths=widths) + """,
+starc AS MATERIALIZED (
+  SELECT DISTINCT m.mid AS doc_a, b.doc_id AS doc_b
+  FROM bnd b
+  JOIN (SELECT bi, bv, min(doc_id) AS mid FROM bnd GROUP BY bi, bv) m
+    ON b.bi = m.bi AND b.bv = m.bv AND b.doc_id != m.mid),
+ve AS (
+  SELECT c.doc_a, c.doc_b
+  FROM starc c JOIN sh sa ON sa.doc_id = c.doc_a
+               JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+              / len(list_distinct(list_concat(sa.s, sb.s))), 3) >= 0.8),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM ve
+      UNION SELECT doc_b, doc_a FROM ve),
+reach(node, lbl) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.node
+)
+SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+""")
+
+
+@_q("dedup_star_clusters", _star_clusters_oracle)
+def q_dedup_star_clusters(spark, sf_dir):
+    """Hot-bucket-safe duplicate clustering (VERDICT r10 #3): STAR
+    edges — (bucket-min, member) per LSH band bucket, O(occupancy)
+    instead of O(occupancy²) — exact-verified at Jaccard >= 0.8, then
+    connected components. The cluster-consumer path for
+    mass-duplicated corpora where the all-pairs band join is
+    infeasible (50k copies of one doc = 1.25B pairs vs 50k star
+    edges); components equal the pair path's whenever bucket
+    co-members are mutually near-dup (the duplicate-family regime —
+    see dedup.lsh_candidate_edges_star and band_bucket_occupancy).
+    Oracle replicates the banded star chain relationally and the CC
+    fixpoint as a recursive CTE."""
+    edges = dedup.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.8, edge_mode="star",
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
+    return dedup.connected_components(edges.select("doc_a", "doc_b"))
+
+
+def _band_occupancy_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    widths = dedup.adaptive_minhash_bands(_doc_rows(sf_dir))
+    return ("WITH sh AS MATERIALIZED ("
+            + _SH_CTE.format(src="documents") + "),"
+            + _minhash_band_ctes(band_widths=widths) + """,
+occ AS (SELECT bi, bv, count(*) AS n FROM bnd GROUP BY bi, bv)
+SELECT CASE WHEN n = 1 THEN 0 ELSE length(bin(n - 1)) END::BIGINT
+         AS log2_occ,
+       count(*)::BIGINT AS n_buckets,
+       sum(n)::BIGINT AS n_rows,
+       sum((n * (n - 1)) // 2)::BIGINT AS pair_volume
+FROM occ GROUP BY 1 ORDER BY 1
+""")
+
+
+@_q("dedup_band_occupancy", _band_occupancy_oracle)
+def q_dedup_band_occupancy(spark, sf_dir):
+    """LSH hot-bucket telemetry (dedup.band_bucket_occupancy): the
+    band-bucket occupancy histogram by exact integer log2 class
+    (bit-length bins — a float log2 can ceil a power of two into the
+    wrong class), with the all-pairs volume each class would emit.
+    The pipeline reads this BEFORE choosing edge_mode: a heavy
+    pair_volume tail says the pair path blows up and cluster
+    consumers should go star. Linear: signature pass + one
+    groupBy(bucket) count + a ~60-row rollup."""
+    return dedup.band_bucket_occupancy(
+        _t(spark, sf_dir, "documents"),
+        band_widths=dedup.adaptive_minhash_bands(_doc_rows(sf_dir)))
+
+
+@_q("dedup_incremental_cc", """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words)-1)]) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 250)
+),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 3) >= 0.5
+),
+ep_old AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM documents WHERE doc_id % 4 != 0
+  QUALIFY doc_a IS NOT NULL
+),
+ep_all AS (
+  SELECT lag(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS doc_a,
+         doc_id AS doc_b
+  FROM documents
+  QUALIFY doc_a IS NOT NULL
+),
+old_pairs AS (
+  SELECT * FROM ep_old
+  UNION
+  SELECT * FROM jp WHERE doc_a % 4 != 0 AND doc_b % 4 != 0),
+delta AS (
+  SELECT * FROM ep_all WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
+  UNION
+  SELECT * FROM jp WHERE doc_a % 4 = 0 OR doc_b % 4 = 0),
+pairs AS (SELECT * FROM old_pairs UNION SELECT * FROM delta),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.node
+)
+SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+""")
+def q_dedup_incremental_cc(spark, sf_dir):
+    """Incremental cluster maintenance (VERDICT r10 #5,
+    dedup.connected_components_incremental): three quarters of the
+    corpus plays the curated base — its near-dup edge set (the
+    dedup_clusters recipe: full-corpus exact-dup chain edges plus
+    bounded exact-Jaccard pairs) is clustered into persisted CC
+    labels — and the doc_id % 4 == 0 quarter plays the daily ingest:
+    every edge touching a delta doc is merged into the persisted
+    labels by contracting each delta endpoint to its old cluster
+    representative, running CC on the delta-sized contracted graph
+    only (driver union-find under the gate), and broadcast-remapping
+    the label table — no iterative pass over the full graph. The
+    union of base and delta chain edges connects exactly what the
+    full-corpus chains connect (both chain forms span each
+    fingerprint group), so the oracle recomputes CC over that union
+    from scratch: equality IS the incremental-equals-full-recompute
+    contract, including clusters MERGED by a delta edge between two
+    old clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") < 250)
+    is_new_a = F.col("doc_a") % 4 == 0
+    is_new_b = F.col("doc_b") % 4 == 0
+    jacc_all = (dedup.ngram_jaccard_pairs(sub, threshold=0.5)
+                .select("doc_a", "doc_b"))
+    old_edges = (dedup.exact_dup_edges(docs.filter(F.col("doc_id") % 4 != 0))
+                 .unionByName(jacc_all.filter(~is_new_a & ~is_new_b)))
+    delta = (dedup.exact_dup_edges(docs).filter(is_new_a | is_new_b)
+             .unionByName(jacc_all.filter(is_new_a | is_new_b)))
+    labels0 = dedup.connected_components(old_edges)
+    return dedup.connected_components_incremental(labels0, delta)
 
 
 #: the source that plays the daily ingest batch in the incremental

@@ -3571,3 +3571,139 @@ def test_rrf_fuse_hand_checked(spark):
     assert got == [(11, 1, q(both)),
                    (10, 2, q(1.0 / 61.0)),
                    (12, 3, q(1.0 / 62.0))]
+
+
+# ----------------------------------------------------------------------
+# star-edge LSH banding (hot-bucket mode, VERDICT r10 #3)
+# ----------------------------------------------------------------------
+
+def test_star_edges_same_components_as_pairs_minhash(spark):
+    """CC labels over verified STAR edges must equal CC labels over
+    verified all-PAIRS edges on a corpus of duplicate families (the
+    regime the mode exists for): same clusters, a fraction of the
+    edges. Uses the real sf0.01 documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.8)
+    star = dedup.minhash_lsh_dedup(docs, threshold=0.8, edge_mode="star")
+    lab_p = {r.node: r.cluster for r in
+             dedup.connected_components(pairs).collect()}
+    lab_s = {r.node: r.cluster for r in
+             dedup.connected_components(star).collect()}
+    assert lab_p == lab_s and len(lab_p) > 0
+    # and the star edge list is never larger than the pair list
+    assert star.count() <= pairs.count()
+
+
+def test_star_edges_same_components_as_pairs_cosine(spark):
+    """Same parity for the hyperplane-LSH embedding side — on a
+    duplicate-FAMILY corpus (clusters of near-identical vectors at a
+    dedup-grade threshold), which is the star contract's stated
+    regime. A retrieval-grade graph (low threshold, members similar
+    to a hub but not to each other) is explicitly outside the
+    contract: measured on sf0.01 embeddings at threshold 0.4 the pair
+    path verifies 31 member-member edges where the star path keeps 2
+    — that corpus must use edge_mode='pairs', which is why the mode
+    is opt-in and the occupancy histogram exists."""
+    import numpy as np
+
+    from rivulus_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for fam in range(20):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for c in range(4):
+            v = base + rng.normal(scale=0.01, size=64)
+            rows.append((fam * 10 + c, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 16-bit bands (65k buckets/band): star mode additionally needs
+    # bucket PRECISION matched to the threshold — with 4-bit bands a
+    # bucket mixes families, the bucket min comes from another family,
+    # and the (min, member) edge fails verification where the
+    # member-member pair would pass (measured: 22 of 80 nodes lost).
+    # adaptive_lsh_params picks widths in this discriminative regime
+    # for real corpus sizes; the caveat is documented on the operator.
+    kw = dict(threshold=0.95, dim=64, n_planes=64, n_bands=4)
+    pairs = sim.cosine_neardup_pairs_lsh(emb, **kw)
+    star = sim.cosine_neardup_pairs_lsh(emb, edge_mode="star", **kw)
+    lab_p = {r.node: r.cluster for r in dedup.connected_components(
+        pairs, a_col="id_a", b_col="id_b").collect()}
+    lab_s = {r.node: r.cluster for r in dedup.connected_components(
+        star, a_col="id_a", b_col="id_b").collect()}
+    assert lab_p == lab_s and len(lab_p) >= 60  # >= 3/4 of 80 members
+    assert star.count() <= pairs.count()
+
+
+def test_star_edges_hot_bucket_is_linear(spark):
+    """A mass-duplicated corpus (N copies of one doc, all landing in
+    the same band buckets): the star path emits exactly N-1 verified
+    edges (one component), where the pair path would emit N(N-1)/2.
+    N=512 keeps the quadratic reference tractable for the count
+    assertion; the three-decade measurement lives in SCALE_CURVE."""
+    n = 512
+    txt = "breaking news boilerplate syndicated across every mirror site"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(txt).alias("text"))
+    star = dedup.minhash_lsh_dedup(docs, threshold=0.8, edge_mode="star")
+    rows = star.collect()
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.jacc == 1.0 for r in rows)
+    assert dedup.minhash_lsh_dedup(docs, threshold=0.8).count() \
+        == n * (n - 1) // 2
+
+
+def test_band_bucket_occupancy_hand_check(spark):
+    """Occupancy histogram on a crafted corpus: 4 identical docs share
+    every band bucket (occupancy 4 -> log2_occ 2, pair_volume 6 per
+    bucket); 2 distinct docs occupy singleton buckets (log2_occ 0,
+    pair_volume 0)."""
+    rows = [(i, "four copies of this exact duplicated text") for i in range(4)]
+    rows += [(10, "something else entirely on its own here"),
+             (11, "and a third unrelated document body text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = {r.log2_occ: r for r in
+            dedup.band_bucket_occupancy(docs).collect()}
+    assert hist[2].n_rows == 4 * 32 and hist[2].pair_volume == 6 * 32
+    assert hist[0].pair_volume == 0
+
+
+def test_connected_components_incremental_equals_full(spark):
+    """Incremental CC contract: merging a delta's edges into persisted
+    labels equals full recompute on the concatenated edge sets.
+    Covers: two old clusters merged through a new node, a new node
+    attached to one cluster, a brand-new cluster, a redundant edge
+    inside an existing cluster, and an untouched cluster."""
+    def edges(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    old = edges([(1, 2), (2, 3), (10, 11), (20, 21)])
+    delta = edges([(3, 30), (30, 11),   # merges {1,2,3} with {10,11}
+                   (2, 50),             # attaches 50 to cluster 1
+                   (40, 41),            # brand-new cluster
+                   (21, 20)])           # redundant intra-cluster edge
+    labels = dedup.connected_components(old)
+    inc = {r.node: r.cluster for r in
+           dedup.connected_components_incremental(labels, delta).collect()}
+    full = {r.node: r.cluster for r in
+            dedup.connected_components(old.unionByName(delta)).collect()}
+    assert inc == full
+    assert inc[30] == 1 and inc[11] == 1 and inc[50] == 1
+    assert inc[40] == 40 and inc[41] == 40 and inc[20] == 20
+
+
+def test_connected_components_incremental_distributed_path(spark):
+    """Same contract with the driver union-find gated OFF — the
+    contracted graph runs the pointer-jumping path."""
+    def edges(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    old = edges([(1, 2), (5, 6)])
+    delta = edges([(2, 5), (7, 8)])
+    labels = dedup.connected_components(old)
+    inc = {r.node: r.cluster for r in
+           dedup.connected_components_incremental(
+               labels, delta, driver_edge_gate=0).collect()}
+    full = {r.node: r.cluster for r in
+            dedup.connected_components(old.unionByName(delta)).collect()}
+    assert inc == full and inc[6] == 1 and inc[8] == 7

@@ -737,3 +737,31 @@ def test_lsh_verify_falls_back_to_shuffle_hash_above_gate(spark):
         partitioning.estimated_input_bytes = orig
     assert p.count("ShuffledHashJoin") >= 3, p   # band join + 2 verify
     assert "SortMergeJoin" not in p, p
+
+
+def test_star_edge_plan_has_no_pair_join(spark):
+    """The star-edge LSH chain (hot-bucket mode) must get candidates
+    from a per-bucket MIN aggregate + one hash equi-join back to the
+    band rows — never a band self-join emitting occupancy² pair rows,
+    and never a cartesian/sort path. Asserted on the edge operator
+    itself: the registered query's FINAL plan is the driver
+    union-find's parallelized label RDD (CC executes eagerly under
+    the gate), which would hide the chain."""
+    from rivulus_spark import cache
+    from rivulus_spark.operators import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    star = dedup.minhash_lsh_dedup(docs, threshold=0.8, edge_mode="star")
+    p = star._jdf.queryExecution().executedPlan().toString()
+    cache.unpersist_all()
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "ShuffledHashJoin" in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial+final bucket min
+
+
+def test_band_occupancy_plan_is_joinless(spark):
+    """The occupancy histogram is telemetry: signature pass + two
+    aggregations — any join in this plan is a bug."""
+    p = plan(spark, "dedup_band_occupancy")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
