@@ -1055,7 +1055,35 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     tiny relative to the corpus even at 100 TB) is persisted so the
     tokenize + n_bits-way vote aggregation runs once instead of once
     per self-join side."""
+    s = cache.persist(simhash_table(df, text_col, id_col, out_col="sh",
+                                    n_bits=n_bits))
+    return hamming_neardup_pairs(s, id_col="id", hash_col="sh",
+                                 max_hamming=max_hamming, n_bits=n_bits)
+
+
+def hamming_neardup_pairs(sig: DataFrame, id_col: str = "id",
+                          hash_col: str = "sh", max_hamming: int = 3,
+                          n_bits: int = 32) -> DataFrame:
+    """Hamming-ball self-join over ANY (id, n_bits-hash) table —
+    EXACT pairs within ``max_hamming`` bits via pigeonhole banding,
+    the machinery shared by text SimHash (:func:`simhash_pairs`) and
+    the image perceptual hashes (multimodal.image_perceptual_hashes;
+    VERDICT r10 #4). Output (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Pigeonhole: split the hash into ``max_hamming + 1`` near-equal
+    bands; a pair within the ball can dirty at most ``max_hamming``
+    bands, so at least one band matches exactly — candidates are an
+    equi-join on (band_idx, band_value), a hash-partitioned shuffle
+    sized by true near-dups, never n². Exact ``bit_count`` of the
+    XOR (carried through the join) removes band-only collisions.
+
+    ``n_bits`` up to 64: band extraction is (hash >> start) & mask —
+    the arithmetic shift's sign extension on a negative top-bit-set
+    hash is masked back off, so int64-packed 64-bit hashes (two's
+    complement) band correctly."""
     n_bands = max_hamming + 1
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     if n_bands > n_bits:
         raise ValueError(
             f"pigeonhole banding needs max_hamming+1 <= n_bits bands "
@@ -1071,8 +1099,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     base_w, rem = divmod(n_bits, n_bands)
     widths = [base_w + 1 if j < rem else base_w for j in range(n_bands)]
     starts = [sum(widths[:j]) for j in range(n_bands)]
-    s = cache.persist(simhash_table(df, text_col, id_col, out_col="sh",
-                                    n_bits=n_bits))
+    s = sig.select(F.col(id_col).alias("id"),
+                   F.col(hash_col).alias("sh"))
     bands = F.array(*[
         F.struct(F.lit(j).alias("bi"),
                  F.shiftright(F.col("sh"), starts[j])

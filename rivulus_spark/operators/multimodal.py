@@ -155,12 +155,11 @@ def encode_ppm(width: int, height: int, r: int, g: int, b: int) -> bytes:
             + bytes([r, g, b]) * (width * height))
 
 
-def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
-    """REAL image decode, stdlib+numpy: binary PPM (P6). Returns
-    (width, height, mean_luma) with mean_luma = (0.299*mean_r +
-    0.587*mean_g + 0.114*mean_b) / 255 — per-channel means from exact
-    integer sums (numpy int64), then ONE float formula, so a
-    solid-color image reproduces the closed-form value bit-exactly.
+def _decode_ppm_raster(blob: bytes) -> tuple[int, int, "object"]:
+    """REAL image decode to the raw raster, stdlib+numpy: binary PPM
+    (P6) -> (width, height, uint8 ndarray of shape (height*width, 3)).
+    The parsing half shared by :func:`_decode_ppm` (summary features)
+    and :func:`image_perceptual_hashes` (pixel-level hashing).
     JPEG/PNG/anything non-P6 raises NotImplementedError with the
     honest reason."""
     import numpy as np
@@ -203,11 +202,98 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
             f"corrupt PPM: header promises {n} pixels but raster "
             f"carries {len(blob) - i} bytes")
     px = np.frombuffer(blob, dtype=np.uint8, count=3 * n, offset=i)
-    px = px.reshape(n, 3)
+    return width, height, px.reshape(n, 3)
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, float]:
+    """PPM summary features via :func:`_decode_ppm_raster`: (width,
+    height, mean_luma) with mean_luma = (0.299*mean_r + 0.587*mean_g +
+    0.114*mean_b) / 255 — per-channel means from exact integer sums
+    (numpy int64), then ONE float formula, so a solid-color image
+    reproduces the closed-form value bit-exactly."""
+    import numpy as np
+
+    width, height, px = _decode_ppm_raster(blob)
+    n = width * height
     sums = px.sum(axis=0, dtype=np.int64)  # exact integer channel sums
     mr, mg, mb = (float(s) / n for s in sums)
     luma = (0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0
     return width, height, luma
+
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash", LongType()),
+    StructField("ahash", LongType()),
+])
+
+
+def _perceptual_hashes_one(blob: bytes) -> tuple[int, int]:
+    """dHash + aHash of one decoded image — exact integer arithmetic
+    end to end so the hashes are engine-replicable (the WAV-RMS
+    contract applied to images):
+
+    - luma per pixel is the FIXED-POINT Rec.601 integer
+      ``299·r + 587·g + 114·b`` (no float, no rounding seam);
+    - dHash (difference hash): nearest-neighbor sample the luma plane
+      on a 9-wide × 8-tall grid at ``(x·W//9, y·H//8)``; bit (y,x) =
+      1 iff sample[y][x+1] > sample[y][x] (strict), packed row-major
+      (bit index y·8+x) into an int64 — gradient-based, invariant to
+      uniform brightness shifts;
+    - aHash (average hash): 8×8 grid at ``(x·W//8, y·H//8)``; bit =
+      1 iff sample·64 > total (strict integer cross-multiplication —
+      never a float mean).
+
+    Bit 63 can be set, so the packed value is viewed through uint64 →
+    int64 two's complement (hamming arithmetic downstream is bitwise
+    and unaffected)."""
+    import numpy as np
+
+    w, h, px = _decode_ppm_raster(blob)
+    lum = (px.astype(np.int64) @ np.array([299, 587, 114], np.int64)) \
+        .reshape(h, w)
+
+    def grid(gw, gh):
+        xs = (np.arange(gw) * w) // gw
+        ys = (np.arange(gh) * h) // gh
+        return lum[np.ix_(ys, xs)]
+
+    g9 = grid(9, 8)
+    dbits = (g9[:, 1:] > g9[:, :-1]).astype(np.uint64).ravel()
+    g8 = grid(8, 8)
+    abits = (g8.ravel() * 64 > int(g8.sum())).astype(np.uint64)
+    def pack(bits) -> int:
+        v = sum(int(b) << i for i, b in enumerate(bits))
+        return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+
+    return pack(dbits), pack(abits)
+
+
+def image_perceptual_hashes(df: DataFrame, id_col: str = "doc_id",
+                            content_col: str = "content") -> DataFrame:
+    """Per-image perceptual hashes (doc_id, dhash, ahash) via one
+    Arrow ``mapInPandas`` pass over REAL-decoded PPM rasters
+    (:func:`_decode_ppm_raster`; compressed formats raise with the
+    honest external-codec reason) — the image twin of the text
+    SimHash table. Downstream, near-duplicate images are Hamming-ball
+    pairs over ``dhash`` through the SAME pigeonhole band machinery
+    as SimHash (``dedup.hamming_neardup_pairs``): candidates from an
+    equi-join on (band_idx, band_value), exact ``bit_count`` verify —
+    linear shuffle at corpus scale, no pair enumeration. Map-only:
+    the hash table is 24 bytes/image regardless of image size, the
+    artifact a 100 TB image corpus persists once and re-pairs
+    cheaply."""
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                dh, ah = _perceptual_hashes_one(bytes(blob))
+                rows.append((doc_id, dh, ah))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              PHASH_SCHEMA.fields])
+
+    return (df.select(id_col, content_col)
+            .mapInPandas(_hash, PHASH_SCHEMA))
 
 
 IMAGE_FEATURES_SCHEMA = StructType([

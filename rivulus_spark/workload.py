@@ -4716,6 +4716,176 @@ def q_multimodal_resize_plan(spark, sf_dir):
     return multimodal.plan_resize(feats, max_w=512, max_h=512)
 
 
+def _pattern_ppm_blobs(spark, sf_dir):
+    """Structured P6 PPM blobs for the perceptual-hash family
+    (VERDICT r10 #4): 36x16 gray images whose pixel value is a
+    per-FAMILY quadratic pattern (family = doc_id // 4) with a
+    per-VARIANT single-pixel perturbation (+128 mod 256 at a
+    variant-specific dHash grid point) — so each family's four
+    variants are perceptual near-dups (dHash Hamming <= 4 by
+    construction: one sampled pixel touches at most 2 comparison
+    bits per variant) while different families' quadratics give
+    ~random 64-bit hashes (measured cross-family Hamming ~29). All
+    integer arithmetic, replicated in closed form by the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    W, H = 36, 16
+
+    def _enc(batches):
+        xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, v = did // 4, did % 4
+                a, b = base % 7 + 1, base % 5 + 1
+                c, d = base % 11, (base * 3) % 13
+                e, f = (base * 5) % 17, base % 251
+                val = (a*xx*xx + b*yy*yy + c*xx*yy + d*xx + e*yy + f) % 256
+                if v > 0:
+                    val[2 * (v + 2), 8 * v] = \
+                        (val[2 * (v + 2), 8 * v] + 128) % 256
+                raster = np.repeat(val.astype(np.uint8)[:, :, None], 3,
+                                   axis=2)
+                rows.append((did, f"P6\n{W} {H}\n255\n".encode("ascii")
+                             + raster.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.mapInPandas(_enc, "doc_id long, content binary")
+
+
+#: coefficient CTE + grid-sample CTEs shared by the perceptual-hash
+#: oracles: dg = the 9x8 dHash grid samples (px = 4x, py = 2y over the
+#: 36x16 raster), ag = the 8x8 aHash grid (px = 36x//8). The variant
+#: bump is applied at raster level in both (it can only land on a dg
+#: point by construction, but the CASE mirrors the raster faithfully).
+#: Gray images make the integer luma a constant multiple of the pixel
+#: value, and both hash definitions are scale-invariant (strict
+#: comparisons), so the oracle compares raw values.
+_PHASH_GRID_CTES = """
+co AS (
+  SELECT doc_id, doc_id % 4 AS v,
+         (doc_id // 4) % 7 + 1 AS a, (doc_id // 4) % 5 + 1 AS b,
+         (doc_id // 4) % 11 AS c, ((doc_id // 4) * 3) % 13 AS d,
+         ((doc_id // 4) * 5) % 17 AS e, (doc_id // 4) % 251 AS f
+  FROM documents),
+dg AS MATERIALIZED (
+  SELECT co.doc_id, y.y, x.x,
+         ((a*(4*x.x)*(4*x.x) + b*(2*y.y)*(2*y.y) + c*(4*x.x)*(2*y.y)
+           + d*(4*x.x) + e*(2*y.y) + f) % 256
+          + CASE WHEN v > 0 AND 4*x.x = 8*v AND y.y = v + 2
+                 THEN 128 ELSE 0 END) % 256 AS val
+  FROM co, range(9) x(x), range(8) y(y)),
+ag AS MATERIALIZED (
+  SELECT co.doc_id, y.y, x.x,
+         ((a*((x.x*36)//8)*((x.x*36)//8) + b*(2*y.y)*(2*y.y)
+           + c*((x.x*36)//8)*(2*y.y) + d*((x.x*36)//8) + e*(2*y.y) + f)
+            % 256
+          + CASE WHEN v > 0 AND (x.x*36)//8 = 8*v AND y.y = v + 2
+                 THEN 128 ELSE 0 END) % 256 AS val
+  FROM co, range(8) x(x), range(8) y(y)),
+db AS (
+  SELECT g0.doc_id,
+         sum(CASE WHEN g1.val > g0.val
+                  THEN 1::HUGEINT << (g0.y*8 + g0.x)
+                  ELSE 0::HUGEINT END) AS s
+  FROM dg g0 JOIN dg g1 ON g1.doc_id = g0.doc_id AND g1.y = g0.y
+                        AND g1.x = g0.x + 1
+  WHERE g0.x < 8
+  GROUP BY g0.doc_id),
+atot AS (SELECT doc_id, sum(val) AS tot FROM ag GROUP BY doc_id),
+ab AS (
+  SELECT ag.doc_id,
+         sum(CASE WHEN ag.val*64 > atot.tot
+                  THEN 1::HUGEINT << (ag.y*8 + ag.x)
+                  ELSE 0::HUGEINT END) AS s
+  FROM ag JOIN atot USING (doc_id) GROUP BY ag.doc_id),
+ph AS MATERIALIZED (
+  SELECT db.doc_id, db.s AS ds, ab.s AS asum,
+         CASE WHEN db.s >= 9223372036854775808
+              THEN (db.s - 18446744073709551616)::BIGINT
+              ELSE db.s::BIGINT END AS dhash,
+         CASE WHEN ab.s >= 9223372036854775808
+              THEN (ab.s - 18446744073709551616)::BIGINT
+              ELSE ab.s::BIGINT END AS ahash
+  FROM db JOIN ab USING (doc_id))
+"""
+
+
+@_q("image_phash", "WITH " + _PHASH_GRID_CTES + """
+SELECT doc_id, dhash, ahash FROM ph
+""")
+def q_image_phash(spark, sf_dir):
+    """Perceptual image hashes over REAL-decoded PPM rasters
+    (multimodal.image_perceptual_hashes): dHash (9x8 nearest-neighbor
+    grid, horizontal gradient bits) + aHash (8x8 grid vs exact
+    integer mean), packed row-major into int64 two's complement —
+    all integer arithmetic, so the oracle computes both hashes in
+    closed form from the synthesis quadratic and wraps the HUGEINT
+    bit sum identically. The decode side does the generic pixel work
+    (raster parse, integer luma, grid sampling); the oracle states
+    the expected samples directly."""
+    return multimodal.image_perceptual_hashes(
+        _pattern_ppm_blobs(spark, sf_dir))
+
+
+def _image_phash_neardup_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    """sf-CONDITIONAL pairing oracle: brute-force Hamming ball over
+    the closed-form hash table at driver scales (full recall spec —
+    a banding bug that LOSES a true pair fails here); past that the
+    banded pigeonhole replica ([13,13,13,13,12]-bit bands off the
+    UNSIGNED hugeint form, exact integer shifts) with the same exact
+    bit_count verification, which runs at any scale."""
+    brute = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+    widths = [13, 13, 13, 13, 12]
+    starts = [sum(widths[:j]) for j in range(len(widths))]
+    band_parts = "\n  UNION ALL ".join(
+        f"SELECT doc_id, dhash, {j} AS bi, "
+        f"(ds >> {starts[j]}) % {1 << widths[j]} AS bv FROM ph"
+        for j in range(len(widths)))
+    banded = f""",
+br AS MATERIALIZED (
+  {band_parts}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+  FROM br a JOIN br b ON a.bi = b.bi AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 4
+"""
+    body = brute if _is_small_sf(sf_dir) else banded
+    return "WITH " + _PHASH_GRID_CTES + body
+
+
+@_q("image_phash_neardup", _image_phash_neardup_oracle)
+def q_image_phash_neardup(spark, sf_dir):
+    """Perceptual image near-duplicates (VERDICT r10 #4): dHash
+    Hamming ball <= 4 over the image corpus via the SAME pigeonhole
+    band machinery as text SimHash (dedup.hamming_neardup_pairs, 5
+    bands over 64 bits -> equi-join candidates, exact bit_count
+    verify — linear shuffle, no pair enumeration). Finds each
+    family's variant pairs (single-pixel perturbations, Hamming <= 4
+    by construction) and rejects cross-family pairs (~29 bits). The
+    hash table is persisted: the band self-join consumes it twice and
+    the per-image Python decode must run once."""
+    from . import cache
+
+    h = cache.persist(multimodal.image_perceptual_hashes(
+        _pattern_ppm_blobs(spark, sf_dir)))
+    return (dedup.hamming_neardup_pairs(h, id_col="doc_id",
+                                        hash_col="dhash",
+                                        max_hamming=4, n_bits=64)
+            .select("doc_a", "doc_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
 # ======================================================================
 # North star: embedding similarity search (operators/similarity.py)
 # ======================================================================

@@ -3707,3 +3707,37 @@ def test_connected_components_incremental_distributed_path(spark):
     full = {r.node: r.cluster for r in
             dedup.connected_components(old.unionByName(delta)).collect()}
     assert inc == full and inc[6] == 1 and inc[8] == 7
+
+
+def test_hamming_neardup_pairs_64bit_brute_parity(spark):
+    """The generic Hamming-ball banding (shared by SimHash and the
+    image perceptual hashes) must equal brute force on random 64-bit
+    hashes INCLUDING negative (top-bit-set) values — the arithmetic
+    shift's sign extension is masked off in band extraction."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    hashes = list(base)
+    for h in base[:15]:                      # plant near-dups
+        flips = rng.sample(range(64), rng.randint(1, 4))
+        x = h
+        for b in flips:
+            x ^= 1 << b
+        hashes.append(x)
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = [(i, signed(u)) for i, u in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           dedup.hamming_neardup_pairs(df, id_col="id", hash_col="h",
+                                       max_hamming=4, n_bits=64).collect()}
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 4:
+                want.add((i, j, d))
+    assert got == want and len(want) >= 15
