@@ -7368,42 +7368,38 @@ def q_stream_score_auc(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-10 rotation (VERDICT r9 item 5): (a) every query whose
-    # CODE changed this round and so must re-earn its driver row —
-    # embedding_pool_chunks (the r9 red row: query boundary now emits
-    # the pooled vector as an exact-integer string both engines can
-    # hash), the classifier family (NULL-score exclusion + bin clamp,
-    # ADVICE r9), editdist_neardup (PassJoin segment signatures
-    # replacing length-only blocking), the LSH family (shuffle-hash
-    # verify joins replacing the sort-dominated SMJ), and the four
-    # connected-components consumers (size-gated driver union-find);
-    # (b) the remainder backfilled oldest-driver-round-first: 40 of
-    # the 41 remaining r6-vintage rows (computed from the union of
-    # CORRECTNESS_r01..r09 keys; after r9, every registered query has
-    # had at least one driver row, so vintage — not novelty — orders
-    # the backfill). window_running (r6, alphabetically last) is the
-    # one row the 50-slot window cannot fit; it stays green in this
-    # round's committed full sf0.01 sweep and leads the r11 backfill.
-    # (a) code changed in r10
-    "embedding_pool_chunks", "classifier_auc", "score_calibration",
-    "stream_score_auc", "editdist_neardup", "embedding_neardup_lsh",
-    "embedding_neardup_clusters", "dedup_clusters",
-    "split_repair_neardup", "dedup_survivors",
-    # (b) oldest-first backfill: the r6-vintage rows, alphabetical
-    "doc_stats_by_source", "embedding_label_stats",
-    "embedding_quantize", "encode_docs", "events_hourly",
-    "events_json", "events_resample", "events_sliding",
-    "expr_int_div", "gopher_quality", "html_strip",
-    "jsonl_source_roundtrip", "knn_cosine", "lang_id",
-    "lexicon_filter", "multimodal_audio_features",
-    "multimodal_binary_stats", "multimodal_frame_sample",
-    "ngram_jaccard", "ngram_topk", "partitioned_sink_roundtrip",
-    "pii_scrub", "rollup_count", "sequence_packing", "sessionize",
-    "source_quota", "stratified_sample", "stream_events_hourly",
-    "stream_interval_join", "text_bpe_tokens", "text_chunking",
-    "text_fingerprint", "text_repetition", "text_token_count",
-    "tfidf_terms", "token_budget_mix", "train_eval_split",
-    "vocab_topk", "window_range_frame", "window_rank",
+    # --- round-11 rotation (VERDICT r10 item 6): (a) the five r11
+    # DEBUTS, which have never had a driver row (star-edge clustering,
+    # band-occupancy telemetry, incremental CC, and the two perceptual
+    # image-hash queries); (b) the backfill strictly
+    # oldest-driver-round-first from the union of CORRECTNESS_r01..r10
+    # keys — window_running (r6 vintage, the one row r10's window
+    # could not fit), then ALL 41 r7-vintage rows, then the first
+    # three r8-vintage rows alphabetically (agg_q1/q3/q5). The
+    # remaining r8-vintage rows lead the r12 backfill; everything
+    # displaced stays green in the committed full sf0.01 sweep
+    # (SWEEP_SF001_r11.json).
+    # (a) r11 debuts
+    "dedup_star_clusters", "dedup_band_occupancy", "dedup_incremental_cc",
+    "image_phash", "image_phash_neardup",
+    # (b) oldest-first backfill: r6 remainder, r7 vintage, r8 head
+    "window_running",
+    "agg_having", "array_agg_sorted", "bpe_encode_corpus",
+    "bpe_train_merges", "charlm_quality", "corpus_datacard",
+    "cross_doc_line_dedup", "cube_count", "dataset_diff",
+    "decontaminate_bloom", "dedup_exact", "dedup_simhash_pairs",
+    "distinct_op", "embedding_pca_spectrum", "event_rate_anomalies",
+    "except_op", "filter_compare", "global_shuffle_layout",
+    "group_percentile_clip", "in_subquery_agg", "intersect_op",
+    "join_inner", "join_part_promo", "left_join_missing",
+    "limit_topk", "pipeline_curate", "pipeline_stats",
+    "quality_classifier_filter", "quality_classifier_weights",
+    "repeated_span_dedup", "scalar_subquery", "semantic_dedup",
+    "source_similarity_matrix", "stream_curate_sink",
+    "stream_dedup_watermark", "stream_quality_score",
+    "stream_running_totals", "stream_sessionize", "temperature_mix",
+    "union_op", "unpivot_status",
+    "agg_q1", "agg_q3", "agg_q5",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
