@@ -129,6 +129,16 @@ QUERIES_TO_RUN = [
     # misbehaves at scale — and the composed pool→SemDeDup pipeline
     "dedup_clusters", "embedding_neardup_clusters",
     "semantic_dedup_pooled",
+    # r11 debuts: star-edge clustering (per-bucket min + one hash
+    # join), occupancy telemetry (joinless rollup), incremental CC
+    # (delta-contracted graph + broadcast remap), and the perceptual
+    # image-hash family (Arrow decode+hash, banded Hamming pairing);
+    # editdist_neardup joins the measured curve proper now that
+    # PassJoin candidates are ∝ true matches (r10 fixed the block²
+    # blowup that kept it out)
+    "dedup_star_clusters", "dedup_band_occupancy",
+    "dedup_incremental_cc", "image_phash", "image_phash_neardup",
+    "editdist_neardup",
 ]
 
 # third-decade subset: the heaviest curve queries — sf10 is ~60M
@@ -204,16 +214,18 @@ HUGE_QUERIES = [
     # r9 debuts: posting-table lexical retrieval + the fused hybrid;
     # fixed-k greedy rounds (kcenter/mmr); score-cardinality-bounded
     # rollups (AUC, calibration, in-stream AUC); char-stream entropy;
-    # anchor-broadcast hard negatives; vocab-bounded coverage.
-    # editdist_neardup is deliberately NOT here: its length-blocked
-    # candidate set on this flat-length synthetic corpus is ~1.4e9
-    # pairs at sf10 (measured 14.2M at sf1, x~100 on 10x docs) —
-    # the operator's regime is short-text/title corpora with
-    # duplication-heavy blocks; the sf1 point records the shape
+    # anchor-broadcast hard negatives; vocab-bounded coverage
     "bm25_topk", "char_entropy_quality", "kcenter_coreset",
     "classifier_auc", "vocab_coverage_curve", "hard_negative_mining",
     "mmr_rerank", "score_calibration", "stream_score_auc",
     "hybrid_rank_fusion",
+    # r11: editdist_neardup's r9 exclusion (length-blocked candidates
+    # ~1.4e9 pairs at sf10) is obsolete — PassJoin candidates are
+    # ∝ true matches (sf10 measured 33.2s in its debut round); the
+    # r11 debuts join all three decades alongside it
+    "editdist_neardup",
+    "dedup_star_clusters", "dedup_band_occupancy",
+    "dedup_incremental_cc", "image_phash", "image_phash_neardup",
 ]
 
 
