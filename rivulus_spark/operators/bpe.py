@@ -130,7 +130,15 @@ def train_merges(words: DataFrame, n_merges: int,
     vocab = words.select(
         "freq",
         F.regexp_extract_all("word", F.lit("."), 0).alias("syms"))
-    vocab = vocab.localCheckpoint(eager=True)
+    # LAZY localCheckpoint (opt r11): truncates the logical plan
+    # identically (the returned frame is a LogicalRDD either way), but
+    # materialization folds into the next round's counting job instead
+    # of paying a dedicated job per round — one job round-trip saved
+    # per merge (~70ms each locally; at cluster scale, one fewer
+    # scheduling barrier per round). The blocks are still computed
+    # exactly once: the first consumer materializes, later consumers
+    # (the fold) read the checkpoint.
+    vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (pair_counts(vocab)
@@ -148,7 +156,7 @@ def train_merges(words: DataFrame, n_merges: int,
             # truncate lineage so round k doesn't re-analyze k folds
             # (final round: the post-merge vocab is never read again,
             # so both the fold and its checkpoint job are skipped)
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.localCheckpoint(eager=False)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
@@ -158,6 +166,22 @@ def train_merges_from_docs(df: DataFrame, n_merges: int,
     """End-to-end: corpus → word table → merge table."""
     return train_merges(word_freqs(df, col), n_merges,
                         min_count=min_count)
+
+
+def corpus_word_table(df: DataFrame, col: str = "text") -> DataFrame:
+    """``(word, freq)`` over ALL non-empty whitespace tokens — ONE
+    corpus tokenize pass shared by training and encoding (opt r11).
+    Training's word table is this filtered to ``length >= 2`` (the
+    filter commutes with the per-word group-by, so frequencies are
+    identical to :func:`word_freqs`); encoding's distinct-word vocab is
+    the key set. A train+encode query that derives both from one
+    persisted copy of this table saves a full corpus tokenize pass and
+    a corpus-token distinct shuffle versus calling
+    :func:`train_merges_from_docs` and :func:`encode_docs_with_merges`
+    back to back."""
+    w = (df.select(F.explode(tokens(col)).alias("word"))
+         .filter(F.length("word") > 0))
+    return w.groupBy("word").agg(F.count("*").alias("freq"))
 
 
 def apply_merges(vocab: DataFrame, merges: list[tuple[str, str]],
@@ -183,7 +207,8 @@ def apply_merges(vocab: DataFrame, merges: list[tuple[str, str]],
 def tokenizer_fertility(df: DataFrame, merge_table: DataFrame,
                         group_col: str = "lang", col: str = "text",
                         id_col: str = "doc_id",
-                        chars_col: str = "n_chars") -> DataFrame:
+                        chars_col: str = "n_chars",
+                        vocab_words: DataFrame | None = None) -> DataFrame:
     """Per-group tokenizer fertility audit: how many BPE pieces the
     trained tokenizer spends per whitespace token and how many source
     characters each piece covers, grouped by ``group_col`` (language,
@@ -199,8 +224,10 @@ def tokenizer_fertility(df: DataFrame, merge_table: DataFrame,
     Scale shape: :func:`encode_docs_with_merges`' Heaps-law collapse
     (merges apply to the distinct-word table, the token stream joins
     the vocab-sized lookup) plus one id-keyed metadata join and a
-    group-by over the handful of group keys. No new heavy stage."""
-    enc = encode_docs_with_merges(df, merge_table, col, id_col)
+    group-by over the handful of group keys. No new heavy stage.
+    ``vocab_words`` forwards to :func:`encode_docs_with_merges`."""
+    enc = encode_docs_with_merges(df, merge_table, col, id_col,
+                                  vocab_words=vocab_words)
     meta = df.select(F.col(id_col), F.col(group_col),
                      F.col(chars_col))
     j = enc.join(meta, id_col)
@@ -218,7 +245,9 @@ def tokenizer_fertility(df: DataFrame, merge_table: DataFrame,
 
 def encode_docs_with_merges(df: DataFrame, merge_table: DataFrame,
                             col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            vocab_words: DataFrame | None = None
+                            ) -> DataFrame:
     """Tokenize-and-encode the corpus with a trained merge table:
     ``(id, n_tokens, n_pieces)`` per document — the fit→encode loop
     closed (train_merges learns the table; this spends it).
@@ -232,7 +261,13 @@ def encode_docs_with_merges(df: DataFrame, merge_table: DataFrame,
     same as the k-means centroid collect.
 
     Documents with no tokens produce no row (explode semantics);
-    the synthetic corpus has none."""
+    the synthetic corpus has none.
+
+    ``vocab_words``: optionally supply the corpus word table
+    (:func:`corpus_word_table`, typically persisted by a caller that
+    also trained on it) — its distinct ``word`` keys replace the
+    internal corpus-token ``distinct`` pass, saving a tokenize scan
+    plus a corpus-token shuffle in a train+encode composition."""
     merges = [(r["lhs"], r["rhs"]) for r in
               merge_table.orderBy("merge_rank").collect()]
     # drop empty-string split artifacts (trailing non-space whitespace
@@ -242,7 +277,9 @@ def encode_docs_with_merges(df: DataFrame, merge_table: DataFrame,
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(tokens(col)).alias("word"))
             .filter(F.length("word") > 0))
-    vocab = toks.select("word").distinct().withColumn(
+    words = (vocab_words.select("word") if vocab_words is not None
+             else toks.select("word").distinct())
+    vocab = words.withColumn(
         "syms", F.regexp_extract_all("word", F.lit("."), 0))
     pieces = (apply_merges(vocab, merges)
               .select("word", F.size("syms").cast("long")

@@ -1182,14 +1182,24 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     # 100% of one core for >10 min before any round finished. The
     # checkpoint truncates the edge lineage to an O(1) scan, same as
     # the per-round label tables below.
-    sym = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-           .union(edges.select(F.col(b_col).alias("src"),
-                               F.col(a_col).alias("dst")))
+    #
+    # Checkpoint the UNDIRECTED list, not the symmetrized one (opt
+    # r11, guide §2.3/§5): the former union-of-two-selects evaluated
+    # the whole upstream edge pipeline TWICE into the checkpoint (one
+    # scan per union branch), and the driver path then collected both
+    # edge directions (2x rows — ADVICE r10). Checkpointing the raw
+    # edge projection runs the upstream once and halves the driver
+    # collect; the distributed path builds the symmetrized view from
+    # the in-memory checkpoint blocks (two cheap block scans, no
+    # recomputation).
+    und = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
            .localCheckpoint())
     # one cheap count over the just-materialized checkpoint blocks
-    # decides the path; sym carries both directions, so /2
-    if driver_edge_gate > 0 and sym.count() // 2 <= driver_edge_gate:
-        return _cc_driver_union_find(sym)
+    # decides the path
+    if driver_edge_gate > 0 and und.count() <= driver_edge_gate:
+        return _cc_driver_union_find(und)
+    sym = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # eager localCheckpoint: materializes AND truncates lineage, so
     # round k's plan never contains round k-1's (old checkpoint blocks
@@ -1262,25 +1272,26 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     return labels.select("node", F.col("label").alias("cluster"))
 
 
-def _cc_driver_union_find(sym: DataFrame) -> DataFrame:
+def _cc_driver_union_find(und_edges: DataFrame) -> DataFrame:
     """connected_components' under-the-gate path: path-compressed
     union-find over the collected edge list, labels = min member id per
     root (the same deterministic contract as the distributed min-label
     propagation). Near-linear (inverse-Ackermann) in edges; the
     caller's gate bounds the collect.
 
-    Driver-memory accounting (ADVICE r10): only the UNDIRECTED half of
-    the symmetrized frame crosses the boundary (src <= dst — half the
-    rows; union-find needs each edge once), and it crosses as Arrow
-    columns via ``toPandas`` (16 bytes/edge of numpy int64, not ~150+
-    bytes/edge of Row objects), so the wire+buffer cost at the 1M-edge
-    gate is ~16 MB as documented. The union-find structures themselves
-    are Python dicts over node ids — ~100 bytes/entry, so up to ~2M
-    nodes ≈ 200-400 MB of driver heap at the gate boundary; that is
-    the real driver budget this gate implies, comparable to a large
-    broadcast, and well inside the 48g driver this engine configures
-    (session.py). Set driver_edge_gate lower on thin drivers."""
-    und = sym.filter(F.col("src") <= F.col("dst")).toPandas()
+    Driver-memory accounting (ADVICE r10, tightened opt r11): the
+    caller now hands the UNDIRECTED edge checkpoint directly (it no
+    longer materializes a symmetrized 2x frame at all), and it crosses
+    as Arrow columns via ``toPandas`` (16 bytes/edge of numpy int64,
+    not ~150+ bytes/edge of Row objects), so the wire+buffer cost at
+    the 1M-edge gate is ~16 MB as documented. The union-find
+    structures themselves are Python dicts over node ids — ~100
+    bytes/entry, so up to ~2M nodes ≈ 200-400 MB of driver heap at the
+    gate boundary; that is the real driver budget this gate implies,
+    comparable to a large broadcast, and well inside the 48g driver
+    this engine configures (session.py). Set driver_edge_gate lower on
+    thin drivers."""
+    und = und_edges.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -1309,10 +1320,10 @@ def _cc_driver_union_find(sym: DataFrame) -> DataFrame:
     # node ids keep whatever comparable type the edge list carried
     from pyspark.sql.types import StructField, StructType
 
-    t = sym.schema[0].dataType
+    t = und_edges.schema[0].dataType
     schema = StructType([StructField("node", t, False),
                          StructField("cluster", t, False)])
-    return sym.sparkSession.createDataFrame(out, schema=schema)
+    return und_edges.sparkSession.createDataFrame(out, schema=schema)
 
 
 def connected_components_incremental(labels: DataFrame,
@@ -1361,13 +1372,23 @@ def connected_components_incremental(labels: DataFrame,
        the unavoidable minimum (the output contract is the full
        roster); there is no full-table SHUFFLE anywhere.
     """
-    nodes = (new_edges.select(F.col(a_col).alias("node"))
-             .union(new_edges.select(F.col(b_col).alias("node")))
+    # checkpoint the delta ONCE (opt r11): its lineage (typically a
+    # near-dup candidate chain) is otherwise re-evaluated by each of
+    # the two endpoint scans below plus both contraction joins; the
+    # delta is ingest-sized by contract, so the checkpoint is small
+    ne = (new_edges.select(F.col(a_col), F.col(b_col))
+          .localCheckpoint())
+    nodes = (ne.select(F.col(a_col).alias("node"))
+             .union(ne.select(F.col(b_col).alias("node")))
              .distinct())
     lab = labels.select(F.col("node"), F.col("cluster"))
+    # reps is consumed three times (two contraction joins + the
+    # new-node tail) — checkpoint the delta-sized table instead of
+    # re-running its label join per consumer
     reps = (nodes.join(lab, "node", "left")
-            .select("node", F.coalesce("cluster", "node").alias("rep")))
-    contracted = (new_edges
+            .select("node", F.coalesce("cluster", "node").alias("rep"))
+            .localCheckpoint())
+    contracted = (ne
                   .join(reps.withColumnRenamed("node", a_col)
                         .withColumnRenamed("rep", "ra"), a_col)
                   .join(reps.withColumnRenamed("node", b_col)

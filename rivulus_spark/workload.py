@@ -1645,11 +1645,18 @@ def q_bpe_encode_corpus(spark, sf_dir):
     (word, n_pieces) lookup; every stage is JVM-side, the merge list
     is a k-row driver barrier. Oracle: the independent reference
     trainer+encoder materialized per document."""
+    from . import cache
     from .operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe.train_merges_from_docs(docs, n_merges=8)
-    return bpe.encode_docs_with_merges(docs, merges)
+    # ONE persisted (word, freq) table feeds both training (len>=2
+    # filter) and the encode vocab (opt r11): saves a corpus tokenize
+    # pass + a corpus-token distinct shuffle vs training and encoding
+    # from the raw docs twice
+    words = cache.persist(bpe.corpus_word_table(docs))
+    merges = bpe.train_merges(words.filter(F.length("word") >= 2),
+                              n_merges=8)
+    return bpe.encode_docs_with_merges(docs, merges, vocab_words=words)
 
 
 def _tokenizer_fertility_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
@@ -1676,11 +1683,17 @@ def q_tokenizer_fertility(spark, sf_dir):
     metadata join + 5-key group-by; ratios are single divisions of
     exact integer sums. Oracle: the independent reference
     trainer+encoder aggregated per language."""
+    from . import cache
     from .operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe.train_merges_from_docs(docs, n_merges=8)
-    return bpe.tokenizer_fertility(docs, merges, group_col="lang")
+    # same shared-word-table composition as q_bpe_encode_corpus (opt
+    # r11): one tokenize pass for train + encode
+    words = cache.persist(bpe.corpus_word_table(docs))
+    merges = bpe.train_merges(words.filter(F.length("word") >= 2),
+                              n_merges=8)
+    return bpe.tokenizer_fertility(docs, merges, group_col="lang",
+                                   vocab_words=words)
 
 
 #: classifier feature columns (order matters: weights/means/stds align)
@@ -4218,12 +4231,17 @@ def q_dedup_incremental_cc(spark, sf_dir):
     from scratch: equality IS the incremental-equals-full-recompute
     contract, including clusters MERGED by a delta edge between two
     old clusters."""
+    from . import cache
+
     docs = _t(spark, sf_dir, "documents")
     sub = docs.filter(F.col("doc_id") < 250)
     is_new_a = F.col("doc_a") % 4 == 0
     is_new_b = F.col("doc_b") % 4 == 0
-    jacc_all = (dedup.ngram_jaccard_pairs(sub, threshold=0.5)
-                .select("doc_a", "doc_b"))
+    # persisted (opt r11): the bounded all-pairs Jaccard chain feeds
+    # BOTH the base edge set and the delta — without it the whole
+    # shingle/intersection pipeline runs twice
+    jacc_all = cache.persist(dedup.ngram_jaccard_pairs(sub, threshold=0.5)
+                             .select("doc_a", "doc_b"))
     old_edges = (dedup.exact_dup_edges(docs.filter(F.col("doc_id") % 4 != 0))
                  .unionByName(jacc_all.filter(~is_new_a & ~is_new_b)))
     delta = (dedup.exact_dup_edges(docs).filter(is_new_a | is_new_b)
