@@ -123,6 +123,18 @@ def train_merges(words: DataFrame, n_merges: int,
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from ..partitioning import driver_loop_conf
+
+    spark = words.sparkSession
+    with driver_loop_conf(spark):
+        return _train_merges_loop(words, n_merges, min_count)
+
+
+def _train_merges_loop(words: DataFrame, n_merges: int,
+                       min_count: int) -> DataFrame:
+    """train_merges' driver loop, run under driver_loop_conf (AQE off:
+    each round's pair-count argmax is one 1-row TakeOrdered job, not an
+    AQE stage pair; see partitioning.driver_loop_conf)."""
     spark = words.sparkSession
     # regexp_extract_all('.') chars, not split on a zero-width
     # pattern: Spark's split(limit=-1) keeps the trailing empty

@@ -63,10 +63,21 @@ def logreg_fit(
     d+1 doubles — nothing row-sized ever reaches the driver."""
     if not feature_cols:
         raise ValueError("feature_cols must be non-empty")
-    d = len(feature_cols)
+    from ..partitioning import driver_loop_conf
+
     feats = cache.persist(df.select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("__y")))
+    with driver_loop_conf(df.sparkSession):
+        return _logreg_fit_loop(feats, feature_cols, n_iters, lr)
+
+
+def _logreg_fit_loop(feats: DataFrame, feature_cols: list[str],
+                     n_iters: int, lr: float):
+    """logreg_fit's driver loop, run under driver_loop_conf (AQE off:
+    each round is one global aggregation to d+1 doubles — one job, not
+    an AQE stage pair; see partitioning.driver_loop_conf)."""
+    d = len(feature_cols)
     stats = feats.agg(
         *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feature_cols)],
         *[F.stddev_pop(c).alias(f"s{i}")

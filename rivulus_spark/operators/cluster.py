@@ -106,6 +106,8 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
     because cosine is scale-invariant. ``dim`` is kept for signature
     stability only: the r7 interpreted zip_with merge needed the
     width; the numpy merge reads it from the data."""
+    from ..partitioning import driver_loop_conf
+
     cents = dict(centroid_pairs(init_centroids, id_col, vec_col))
     sc = df.sparkSession.sparkContext
 
@@ -119,20 +121,24 @@ def kmeans_train_pairs(df: DataFrame, init_centroids, dim: int,
             "s": [np.vstack([np.asarray(v) for v in pdf["sums"]])
                   .sum(axis=0).tolist()]})
 
-    for _ in range(n_iters):
-        bc = sc.broadcast(sorted(cents.items()))
-        merged = (
-            _train_partials(df, bc, vec_col)
-            .groupBy("cell")
-            .applyInPandas(_merge, "cell long, n long, s array<double>")
-            .collect())  # k tiny rows: the Lloyd iteration barrier
-        # the collect() barrier fully materialized this iteration's
-        # job, so its broadcast can be dropped immediately — without
-        # this a long-lived session leaks one block per iteration
-        bc.unpersist()
-        # mean update; empty cells keep their previous centroid
-        for r in merged:
-            cents[r.cell] = [s / r.n for s in r.s]
+    # AQE off across the Lloyd rounds (driver_loop_conf): each round
+    # reduces to k tiny rows — the stage-per-exchange materialization
+    # AQE adds per round buys nothing here
+    with driver_loop_conf(df.sparkSession):
+        for _ in range(n_iters):
+            bc = sc.broadcast(sorted(cents.items()))
+            merged = (
+                _train_partials(df, bc, vec_col)
+                .groupBy("cell")
+                .applyInPandas(_merge, "cell long, n long, s array<double>")
+                .collect())  # k tiny rows: the Lloyd iteration barrier
+            # the collect() barrier fully materialized this iteration's
+            # job, so its broadcast can be dropped immediately — without
+            # this a long-lived session leaks one block per iteration
+            bc.unpersist()
+            # mean update; empty cells keep their previous centroid
+            for r in merged:
+                cents[r.cell] = [s / r.n for s in r.s]
     return sorted(cents.items())
 
 

@@ -806,8 +806,18 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     if edge_mode not in ("pairs", "star"):
         raise ValueError(f"edge_mode must be 'pairs' or 'star', got "
                          f"{edge_mode!r}")
-    sigs = cache.persist(minhash_signatures_arrow(df, text_col, id_col,
-                                                  k, num_perm))
+    # NOT persisted (opt r11): both banding modes consume the
+    # signature table through ONE band-hash exchange — the self-join's
+    # two sides (pairs) and the min-agg + probe (star) canonicalize to
+    # the same child, so exchange/stage reuse already materializes the
+    # post-signature rows once in shuffle files (guide §2.4). The
+    # persist on top duplicated that sig-sized materialization — ~1 KB
+    # x n_docs of extra storage pressure at corpus scale for zero
+    # saved compute. Locally neutral (interleaved A/B, 5 reps each:
+    # min 1.929s persisted vs 1.923s without, tree-CPU parity 21.3 vs
+    # 22.1s — the CPU parity is the proof the Arrow signature pass
+    # does NOT re-run without the persist).
+    sigs = minhash_signatures_arrow(df, text_col, id_col, k, num_perm)
     gen = (lsh_candidate_pairs if edge_mode == "pairs"
            else lsh_candidate_edges_star)
     cands = cache.persist(gen(sigs, num_perm=num_perm,
