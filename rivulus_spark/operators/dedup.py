@@ -900,8 +900,12 @@ def minhash_lsh_dedup_incremental(new_df: DataFrame, corpus_df: DataFrame,
     candidate-matched docs — nothing else. Requires the id spaces of
     batch and corpus to be disjoint (shingle verification unions both
     sides keyed on id)."""
-    new_sigs = cache.persist(minhash_signatures_arrow(
-        new_df, text_col, id_col, k, num_perm))
+    # new_sigs is consumed exactly once (by new_bands, which IS
+    # persisted) — persisting it as well only duplicated the
+    # delta-sized signature materialization (opt r11, same reasoning
+    # as minhash_lsh_dedup's signature table)
+    new_sigs = minhash_signatures_arrow(
+        new_df, text_col, id_col, k, num_perm)
     new_bands = cache.persist(band_hash_rows(new_sigs, num_perm=num_perm))
     idx = index if index is not None else minhash_band_index(
         corpus_df, text_col, id_col, k, num_perm)
