@@ -340,14 +340,20 @@ def kcenter_select(df: DataFrame, k: int, dim: int,
 
     Scale shape: k-1 rounds; each round is ONE corpus scan updating a
     running (id, vec, mind) state — ``least(mind, d2(new_center))``
-    with the center as a broadcast literal array — followed by a
-    1-row ``max(struct(mind, -id))`` aggregate (the argmax with the
-    id tie-break) collected to the driver: a documented k-row driver
-    barrier, the kmeans-loop pattern. State is localCheckpointed each
-    round, so round r's plan never contains round r-1's fold chain
-    (the connected-components lineage lesson); total cost k scans +
-    k checkpoint writes, never k²·n distance work and never a
-    corpus × corpus stage."""
+    with the center as a broadcast literal array — folded into a
+    1-row ``max_by`` aggregate that carries the winner's VECTOR out
+    with its (mind, -id) argmax key (opt r11: the former
+    ``filter(id == winner).head()`` vector fetch was a SECOND full
+    corpus scan per round; max_by returns the payload in the same
+    scan, halving per-round corpus passes at any scale), collected to
+    the driver: a documented k-row driver barrier, the kmeans-loop
+    pattern. State is lazily localCheckpointed each round (the next
+    round's aggregate materializes it — no separate checkpoint job),
+    so round r's plan never contains round r-1's fold chain (the
+    connected-components lineage lesson); the loop runs under
+    driver_loop_conf (AQE off: a global 1-row aggregate gains nothing
+    from stage re-planning). Total cost k scans, never k²·n distance
+    work and never a corpus × corpus stage."""
     if k < 1:
         raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
     from .similarity import _as_double
@@ -377,25 +383,29 @@ def kcenter_select(df: DataFrame, k: int, dim: int,
                        lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    state = state.withColumn("mind", d2(center)).localCheckpoint()
-    for rnd in range(1, k):
-        far = (state.agg(F.max(F.struct(F.col("mind"),
-                                        (-F.col("id")).alias("nid")))
-                         .alias("m"))
-               .select(F.col("m.mind").alias("mind"),
-                       (-F.col("m.nid")).alias("id")).head())
-        radius = float(far.mind)
-        if radius <= 0.0:
-            break  # every remaining point duplicates a center
-        nxt = int(far.id)
-        rows = state.filter(F.col("id") == nxt).head(1)
-        center = list(rows[0].vec)
-        import math
-        selected.append((rnd, nxt,
-                         math.floor(radius * 1_000_000) / 1_000_000))
-        state = (state.withColumn(
-            "mind", F.least(F.col("mind"), d2(center)))
-            .localCheckpoint())
+    import math
+
     spark = df.sparkSession
+    # max_by ordering struct(mind, -id) == the former
+    # max(struct(mind, -id)) argmax: ids are unique, so the ordering
+    # key never ties and the returned payload row is deterministic
+    argmax_key = F.struct(F.col("mind"), (-F.col("id")).alias("nid"))
+    with partitioning.driver_loop_conf(spark):
+        state = (state.withColumn("mind", d2(center))
+                 .localCheckpoint(eager=False))
+        for rnd in range(1, k):
+            far = (state.agg(
+                F.max_by(F.struct("mind", "id", "vec"), argmax_key)
+                .alias("m")).select("m.*").head())
+            radius = float(far.mind)
+            if radius <= 0.0:
+                break  # every remaining point duplicates a center
+            nxt = int(far.id)
+            center = list(far.vec)
+            selected.append((rnd, nxt,
+                             math.floor(radius * 1_000_000) / 1_000_000))
+            state = (state.withColumn(
+                "mind", F.least(F.col("mind"), d2(center)))
+                .localCheckpoint(eager=False))
     return spark.createDataFrame(
         selected, "round long, vec_id long, radius_q double")

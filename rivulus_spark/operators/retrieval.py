@@ -140,10 +140,15 @@ def mmr_select(df: DataFrame, query_id: int, k: int = 6,
     sort-limit (TakeOrderedAndProject, the limit_topk pattern; swap
     in ann_ivf_topk for the scan at billion-vector scale, same
     contract downstream). The k greedy rounds then run on the
-    n_cands-row candidate table: per round one tiny argmax job (a
+    n_cands-row candidate table: per round ONE tiny argmax job (a
     documented 1-row driver barrier, the kcenter/kmeans loop pattern)
-    and one localCheckpointed maxsim update, so round r's plan never
-    drags round r−1's fold chain. Total: one corpus scan + k
+    whose ``max_by`` carries the winner's (vec, nrm) payload out with
+    the argmax key (opt r11: the former ``filter(id ==
+    winner).head()`` was a second candidate-table job per round), and
+    a lazily-localCheckpointed maxsim update the next round's argmax
+    materializes, so round r's plan never drags round r−1's fold
+    chain; the loop runs under driver_loop_conf (AQE off — nothing
+    to re-plan in a 1-row aggregate). Total: one corpus scan + k
     candidate-sized jobs."""
     if k < 1 or n_cands < k:
         raise ValueError(
@@ -177,30 +182,40 @@ def mmr_select(df: DataFrame, query_id: int, k: int = 6,
              .orderBy(F.col("rel").desc(), F.col("id"))
              .limit(n_cands)
              .withColumn("maxsim", F.lit(0.0))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     lam_c, div_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
     picked: list[tuple[int, int, float]] = []
-    for rnd in range(k):
-        score = lam_c * F.col("rel") - div_c * F.col("maxsim")
-        best = (state.agg(F.max(F.struct(score.alias("sc"),
-                                         (-F.col("id")).alias("nid")))
-                          .alias("m"))
-                .select(F.col("m.sc").alias("sc"),
-                        (-F.col("m.nid")).alias("id")).head())
-        if best is None or best.sc is None:
-            break  # candidate pool exhausted (n_cands < corpus-k)
-        sel = int(best.id)
-        picked.append((rnd, sel,
-                       math.floor(float(best.sc) * 1_000_000) / 1_000_000))
-        if rnd == k - 1:
-            break
-        srow = state.filter(F.col("id") == sel).head()
-        sarr = F.array(*[F.lit(float(x)) for x in srow.vec])
-        snrm = F.lit(float(srow.nrm))
-        pair = dot(F.col("vec"), sarr) / (F.col("nrm") * snrm)
-        state = (state.filter(F.col("id") != sel)
-                 .withColumn("maxsim", F.greatest(F.col("maxsim"), pair))
-                 .localCheckpoint())
+    from ..partitioning import driver_loop_conf
+
+    with driver_loop_conf(df.sparkSession):
+        for rnd in range(k):
+            score = lam_c * F.col("rel") - div_c * F.col("maxsim")
+            # max_by key struct(sc, -id) == the former
+            # max(struct(sc, -id)) argmax; ids are unique so the key
+            # never ties and the payload row is deterministic
+            best = (state
+                    .select(score.alias("sc"), "id", "vec", "nrm")
+                    .agg(F.max_by(
+                        F.struct("sc", "id", "vec", "nrm"),
+                        F.struct(F.col("sc"),
+                                 (-F.col("id")).alias("nid")))
+                        .alias("m"))
+                    .select("m.*").head())
+            if best is None or best.sc is None:
+                break  # candidate pool exhausted (n_cands < corpus-k)
+            sel = int(best.id)
+            picked.append(
+                (rnd, sel,
+                 math.floor(float(best.sc) * 1_000_000) / 1_000_000))
+            if rnd == k - 1:
+                break
+            sarr = F.array(*[F.lit(float(x)) for x in best.vec])
+            snrm = F.lit(float(best.nrm))
+            pair = dot(F.col("vec"), sarr) / (F.col("nrm") * snrm)
+            state = (state.filter(F.col("id") != sel)
+                     .withColumn("maxsim",
+                                 F.greatest(F.col("maxsim"), pair))
+                     .localCheckpoint(eager=False))
     return df.sparkSession.createDataFrame(
         picked, "round long, vec_id long, mmr_q double")
 
