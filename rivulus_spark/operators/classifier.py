@@ -91,19 +91,33 @@ def _logreg_fit_loop(feats: DataFrame, feature_cols: list[str],
     if n == 0:
         raise ValueError("cannot fit on an empty DataFrame")
 
-    def zscore(i: int) -> Column:
-        return (F.col(feature_cols[i]) - F.lit(means[i])) / F.lit(stds[i])
-
+    # Pre-compute the z-scored features ONCE into the persisted frame
+    # and give the residual a NAME in a projection before the gradient
+    # sums consume it. Numerically identical (same ops, same
+    # left-to-right order), but the per-round analyzed tree shrinks
+    # ~5x: the old form re-derived (x-m)/s inside every sum and
+    # inlined a copy of the sigmoid-residual into each of the d+1
+    # gradient expressions, and at 12 rounds that analysis overhead —
+    # not codegen, not the job itself — was most of the round cost
+    # (measured at sf0.1: a trivial same-shape agg round is ~100 ms,
+    # a logreg round was ~230 ms; literal-vs-cached-plan A/B showed
+    # codegen caching contributes nothing).
+    zfeats = cache.persist(feats.select(
+        *[((F.col(c) - F.lit(means[i])) / F.lit(stds[i])).alias(f"__z{i}")
+          for i, c in enumerate(feature_cols)],
+        F.col("__y")))
     w = [0.0] * (d + 1)  # [intercept, w_1..w_d]
     for _ in range(n_iters):
         z = F.lit(w[0])
         for i in range(d):
-            z = z + F.lit(w[i + 1]) * zscore(i)
+            z = z + F.lit(w[i + 1]) * F.col(f"__z{i}")
         r = _sigmoid(z) - F.col("__y")
-        g = feats.agg(
-            F.sum(r).alias("g0"),
-            *[F.sum(r * zscore(i)).alias(f"g{i + 1}")
-              for i in range(d)]).first()
+        g = (zfeats
+             .select(r.alias("__r"),
+                     *[F.col(f"__z{i}") for i in range(d)])
+             .agg(F.sum("__r").alias("g0"),
+                  *[F.sum(F.col("__r") * F.col(f"__z{i}"))
+                    .alias(f"g{i + 1}") for i in range(d)])).first()
         for j in range(d + 1):
             w[j] -= lr * g[f"g{j}"] / n
     out = {"intercept": w[0]}
