@@ -694,22 +694,27 @@ def lsh_candidate_edges_star(sigs: DataFrame, id_col: str = "id",
     (:func:`lsh_candidate_pairs`) materializes ~occupancy² rows and is
     infeasible, while this stays linear in band rows.
 
-    Plan shape: one map-side-partial ``min`` per bucket over the
-    exploded band rows, then ONE hash equi-join of the band rows back
-    to their bucket minima — both stages keyed on the band hash, so
-    the exchange is shared; no self-join, no pair blowup, hash join
-    pinned (no sort of the band stream). Output ``(doc_a, doc_b)``
-    with doc_a < doc_b always (doc_a IS the bucket min), distinct
-    across buckets.
+    Plan shape: the bucket minimum is a WINDOW ``min`` partitioned on
+    the band hash — ONE exchange of the band rows, then a narrow
+    (bh, id) in-partition sort, no join at all. The former min-agg +
+    equi-join-back form had a partial aggregate under the agg side's
+    exchange, so the two exchanges did NOT canonicalize and the whole
+    upstream (the Arrow signature pass included) evaluated TWICE —
+    star candidates measured slower than the pair self-join on the
+    same corpus (1.77s vs 1.16s warm at sf0.1) despite emitting fewer
+    rows. Output ``(doc_a, doc_b)`` with doc_a < doc_b always (doc_a
+    IS the bucket min), distinct across buckets.
 
     Use :func:`lsh_candidate_pairs` when the PAIR LIST is the
     contract (every near-dup pair must be emitted and verified);
     use this when the consumer is connected components / survivorship
     (``minhash_lsh_dedup(edge_mode="star")``)."""
+    from pyspark.sql import Window
+
     exploded = band_hash_rows(sigs, id_col, sig_col, rows_per_band,
                               num_perm, band_widths)
-    mins = exploded.groupBy("bh").agg(F.min("id").alias("mid"))
-    return (exploded.hint("shuffle_hash").join(mins, "bh")
+    mid = F.min("id").over(Window.partitionBy("bh"))
+    return (exploded.select(mid.alias("mid"), "id")
             .filter(F.col("id") != F.col("mid"))
             .select(F.col("mid").alias("doc_a"), F.col("id").alias("doc_b"))
             .distinct())

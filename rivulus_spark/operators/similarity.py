@@ -390,8 +390,16 @@ def cosine_neardup_pairs_lsh(df: DataFrame, threshold: float, dim: int,
         # whenever bucket co-members are mutually near-dup (the
         # boilerplate case the mode exists for — see the dedup twin's
         # docstring for the precise caveat)
-        mins = e.groupBy("bi", "bv").agg(F.min("id").alias("mid"))
-        cands = (e.hint("shuffle_hash").join(mins, ["bi", "bv"])
+        # bucket-min via a WINDOW over one (bi, bv) exchange, not a
+        # min-agg + join-back: the agg side's exchange child is a
+        # partial aggregate, so the join form's two exchanges never
+        # canonicalize and _band_rows_numpy (the expensive Arrow
+        # projection pass) evaluated TWICE — see
+        # dedup.lsh_candidate_edges_star for the measured A/B
+        from pyspark.sql import Window
+
+        mid = F.min("id").over(Window.partitionBy("bi", "bv"))
+        cands = (e.select(mid.alias("mid"), "id")
                  .filter(F.col("id") != F.col("mid"))
                  .select(F.col("mid").alias("id_a"),
                          F.col("id").alias("id_b"))

@@ -741,22 +741,33 @@ def test_lsh_verify_falls_back_to_shuffle_hash_above_gate(spark):
 
 def test_star_edge_plan_has_no_pair_join(spark):
     """The star-edge LSH chain (hot-bucket mode) must get candidates
-    from a per-bucket MIN aggregate + one hash equi-join back to the
-    band rows — never a band self-join emitting occupancy² pair rows,
-    and never a cartesian/sort path. Asserted on the edge operator
-    itself: the registered query's FINAL plan is the driver
-    union-find's parallelized label RDD (CC executes eagerly under
-    the gate), which would hide the chain."""
+    from a WINDOW min over one band-hash exchange — never a band
+    self-join emitting occupancy² pair rows, never a cartesian path,
+    and no candidate-side join AT ALL (the r11 min-agg + join-back
+    form evaluated the Arrow signature pass twice because the agg
+    side's partial aggregate broke exchange canonicalization; the
+    only joins left in the plan are the verify probes). Asserted on
+    the edge operator itself: the registered query's FINAL plan is
+    the driver union-find's parallelized label RDD (CC executes
+    eagerly under the gate), which would hide the chain."""
     from rivulus_spark import cache
     from rivulus_spark.operators import dedup
 
     docs = spark.read.parquet(SF + "/documents.parquet")
     star = dedup.minhash_lsh_dedup(docs, threshold=0.8, edge_mode="star")
     p = star._jdf.queryExecution().executedPlan().toString()
+    cands = dedup.lsh_candidate_edges_star(
+        dedup.minhash_signatures_arrow(docs, "text", "doc_id", 3,
+                                       dedup.NUM_PERM))
+    pc = cands._jdf.queryExecution().executedPlan().toString()
     cache.unpersist_all()
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
-    assert "ShuffledHashJoin" in p, p
-    assert p.count("HashAggregate") >= 2, p  # partial+final bucket min
+    assert "Window" in pc, pc          # bucket min is a window...
+    assert "Join" not in pc, pc        # ...not a join-back
+    # and the signature pass (Arrow eval) appears ONCE in the
+    # candidate chain — the double-evaluation regression this form
+    # exists to prevent
+    assert pc.count("ArrowEvalPython") <= 1, pc
 
 
 def test_band_occupancy_plan_is_joinless(spark):
