@@ -1211,10 +1211,14 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
     # collect; the distributed path builds the symmetrized view from
     # the in-memory checkpoint blocks (two cheap block scans, no
     # recomputation).
+    # LAZY checkpoint: the gate count below is the first action, so
+    # materialization fuses into it (one job, not an eager-checkpoint
+    # job followed by a count job); every later consumer reads the
+    # same blocks
     und = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-           .localCheckpoint())
-    # one cheap count over the just-materialized checkpoint blocks
-    # decides the path
+           .localCheckpoint(eager=False))
+    # one cheap count — materializing the checkpoint blocks as it
+    # runs — decides the path
     if driver_edge_gate > 0 and und.count() <= driver_edge_gate:
         return _cc_driver_union_find(und)
     sym = und.union(und.select(F.col("dst").alias("src"),
@@ -1394,9 +1398,12 @@ def connected_components_incremental(labels: DataFrame,
     # checkpoint the delta ONCE (opt r11): its lineage (typically a
     # near-dup candidate chain) is otherwise re-evaluated by each of
     # the two endpoint scans below plus both contraction joins; the
-    # delta is ingest-sized by contract, so the checkpoint is small
+    # delta is ingest-sized by contract, so the checkpoint is small.
+    # LAZY: eager=True would spend a dedicated job per checkpoint
+    # before any consumer runs — the first consumer materializes it
+    # instead (two fewer serial jobs per ingest, same reuse after)
     ne = (new_edges.select(F.col(a_col), F.col(b_col))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     nodes = (ne.select(F.col(a_col).alias("node"))
              .union(ne.select(F.col(b_col).alias("node")))
              .distinct())
@@ -1406,7 +1413,7 @@ def connected_components_incremental(labels: DataFrame,
     # re-running its label join per consumer
     reps = (nodes.join(lab, "node", "left")
             .select("node", F.coalesce("cluster", "node").alias("rep"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     contracted = (ne
                   .join(reps.withColumnRenamed("node", a_col)
                         .withColumnRenamed("rep", "ra"), a_col)
