@@ -123,18 +123,17 @@ def train_merges(words: DataFrame, n_merges: int,
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    from ..partitioning import driver_loop_conf
-
-    spark = words.sparkSession
-    with driver_loop_conf(spark):
-        return _train_merges_loop(words, n_merges, min_count)
-
-
-def _train_merges_loop(words: DataFrame, n_merges: int,
-                       min_count: int) -> DataFrame:
-    """train_merges' driver loop, run under driver_loop_conf (AQE off:
-    each round's pair-count argmax is one 1-row TakeOrdered job, not an
-    AQE stage pair; see partitioning.driver_loop_conf)."""
+    # NOT run under driver_loop_conf (opt r11, second session): unlike
+    # the GD/Lloyd/k-center rounds — k-row aggregates over a narrow
+    # persisted table, where scoping AQE off measured faster at sf0.1
+    # AND sf1 — a BPE merge round is a corpus-VOCAB-sized
+    # explode-aggregate (pair_counts: every symbol pair of every vocab
+    # word, grouped on pair strings) before the TakeOrdered(1): the
+    # shape AQE's runtime partition sizing exists for. Factor-isolated
+    # A/B at sf1 (interleaved, min-of-4): AQE off 4.91s, AQE ON 2.92s
+    # (-41%); sf0.1 agrees (3.73 vs 2.66). The lazy checkpoints below
+    # are the factor that carries entry #6's win; checkpoint eagerness
+    # measured neutral (4.96 vs 4.91 at sf1).
     spark = words.sparkSession
     # regexp_extract_all('.') chars, not split on a zero-width
     # pattern: Spark's split(limit=-1) keeps the trailing empty

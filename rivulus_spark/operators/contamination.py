@@ -231,11 +231,21 @@ def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
     doc. Ids must be unique across both frames.
 
     Built on the same MinHash+LSH machinery as dedup (signatures on
-    the union, banded candidates, exact-Jaccard verification), then
-    restricted to cross-side pairs — so the cost profile is the dedup
-    one, not |train| x |eval|. ``band_widths`` sizes the banding for
-    large corpora (dedup.adaptive_minhash_bands over the UNION's row
-    count — both sides share one signature table)."""
+    the union, banded candidates, exact-Jaccard verification),
+    restricted to cross-side pairs BELOW the verify (opt r11): the
+    cross-side predicate is pushed into the chain as a
+    ``cand_filter``, so same-side candidates — the train×train
+    near-dups that dominate any real corpus's pair mass — are dropped
+    BEFORE the shingle re-explode and intersection joins instead of
+    after them. Verification is per-pair independent, so the output
+    is identical to post-filtering (parity-tested); the verify cost
+    becomes ∝ cross-side candidates, never |train|×|train| near-dup
+    incidence, and never |train| x |eval|. The restriction joins the
+    candidates against the EVAL id set (a benchmark suite — small by
+    nature, broadcastable at corpus scale; a pair is cross-side iff
+    exactly one endpoint is an eval id). ``band_widths`` sizes the
+    banding for large corpora (dedup.adaptive_minhash_bands over the
+    UNION's row count — both sides share one signature table)."""
     from .dedup import minhash_lsh_dedup
 
     t = (train.select(F.col(id_col), F.col(text_col))
@@ -243,9 +253,22 @@ def fuzzy_contamination(train: DataFrame, eval_df: DataFrame,
     e = (eval_df.select(F.col(id_col), F.col(text_col))
          .withColumn("__side", F.lit("e")))
     both = t.unionByName(e)
+    eids = eval_df.select(F.col(id_col).alias("__eid"))
+
+    def _cross_side_only(cands):
+        ea = eids.select(F.col("__eid").alias("__ea"))
+        eb = eids.select(F.col("__eid").alias("__eb"))
+        return (cands
+                .join(ea, cands["doc_a"] == F.col("__ea"), "left")
+                .join(eb, cands["doc_b"] == F.col("__eb"), "left")
+                .filter(F.col("__ea").isNotNull()
+                        != F.col("__eb").isNotNull())
+                .select("doc_a", "doc_b"))
+
     pairs = minhash_lsh_dedup(both, threshold=threshold, k=k,
                               text_col=text_col, id_col=id_col,
-                              band_widths=band_widths)
+                              band_widths=band_widths,
+                              cand_filter=_cross_side_only)
     sides = both.select(F.col(id_col).alias("__id"), "__side")
     x = (pairs
          .join(sides.alias("sa"), pairs.doc_a == F.col("sa.__id"))

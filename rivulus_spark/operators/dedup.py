@@ -758,7 +758,8 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
                       id_col: str = "doc_id",
                       num_perm: int = NUM_PERM,
                       band_widths: list[int] | None = None,
-                      edge_mode: str = "pairs") -> DataFrame:
+                      edge_mode: str = "pairs",
+                      cand_filter=None) -> DataFrame:
     """Near-duplicate pairs at Jaccard >= threshold via MinHash+LSH
     candidates, then exact-Jaccard verification (no false positives;
     false-negative probability ~4e-8 at threshold 0.8 under the
@@ -807,10 +808,31 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     pair would pass — cluster consumers needing the exact
     pair-verified components on such corpora must pay the pair path.
     Use :func:`band_bucket_occupancy` to see which regime a corpus is
-    in before choosing."""
+    in before choosing.
+
+    ``cand_filter`` (opt r11): an optional ``DataFrame -> DataFrame``
+    restriction applied to the CANDIDATE pair table before it is
+    persisted and verified. Exact-Jaccard verification is per-pair
+    independent (a pair's jacc reads only its own two docs' shingle
+    sets), so for any per-pair predicate P,
+    ``filter(P) ∘ verify == verify ∘ filter(P)`` — a consumer that
+    post-filters the verified pairs (cross-side contamination,
+    cross-split leakage) can pass the same predicate here and skip
+    verifying the pairs it would discard: the shingle re-explode
+    semi-join, the intersection join, and the size joins all shrink to
+    the surviving candidates. The filter must be a pure per-pair
+    restriction on (doc_a, doc_b) — it must not add, rename, or
+    reorder columns — and it composes with ``edge_mode="pairs"`` only
+    (star edges are CC proxies; filtering them changes the component
+    structure, not just the reported subset)."""
     if edge_mode not in ("pairs", "star"):
         raise ValueError(f"edge_mode must be 'pairs' or 'star', got "
                          f"{edge_mode!r}")
+    if cand_filter is not None and edge_mode != "pairs":
+        raise ValueError("cand_filter requires edge_mode='pairs': star "
+                         "edges are connected-component proxies, and a "
+                         "pair-level restriction on them changes the "
+                         "components, not just the reported pair subset")
     # NOT persisted (opt r11): both banding modes consume the
     # signature table through ONE band-hash exchange — the self-join's
     # two sides (pairs) and the min-agg + probe (star) canonicalize to
@@ -825,8 +847,10 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.8, k: int = 3,
     sigs = minhash_signatures_arrow(df, text_col, id_col, k, num_perm)
     gen = (lsh_candidate_pairs if edge_mode == "pairs"
            else lsh_candidate_edges_star)
-    cands = cache.persist(gen(sigs, num_perm=num_perm,
-                              band_widths=band_widths))
+    raw_cands = gen(sigs, num_perm=num_perm, band_widths=band_widths)
+    if cand_filter is not None:
+        raw_cands = cand_filter(raw_cands)
+    cands = cache.persist(raw_cands)
     cand_ids = (cands.select(F.col("doc_a").alias(id_col))
                 .union(cands.select(F.col("doc_b").alias(id_col)))
                 .distinct())

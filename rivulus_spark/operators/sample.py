@@ -194,29 +194,24 @@ def temperature_mix_plan(df: DataFrame, strata_col: str, weight_col: str,
         .alias("rate"))
 
 
-def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
-                  seed: str = "") -> DataFrame:
-    """Deterministic train/val/test assignment: each row gets the split
-    whose cumulative bucket range its key hash falls into. Fractions
-    must sum to 1; the last split absorbs the final bucket range
-    exactly, so every row is assigned. Content-addressed like
-    ``hash_sample``: re-runs, repartitions, and other engines agree on
-    every row's split — the property that keeps eval rows out of train
-    across pipeline versions. Pure projection, no shuffle.
-
-    Null keys: a null ``key_col`` hashes to null, whose comparisons are
-    null, so the CASE falls through to the LAST split — deterministic
-    and identical in the SQL oracle (DuckDB's CASE behaves the same),
-    but it concentrates every malformed row in that split. Note the
-    asymmetry with ``hash_sample``, which DROPS null keys; filter or
-    repair null keys before splitting if that matters for your eval
-    set."""
+def split_expr(key: Column, splits: dict[str, float],
+               seed: str = "") -> Column:
+    """The split-assignment CASE of :func:`assign_splits` as a pure
+    column over an ARBITRARY key expression. Because the assignment is
+    content-addressed, any point in a plan that has the key can
+    re-derive the row's split without joining the assignment table —
+    this is what lets a consumer push a cross-split restriction below
+    an expensive verify stage (q_split_leakage_neardup passes it as a
+    ``cand_filter``: candidate pairs whose endpoints hash into the
+    same split can never appear in the leak report, so verifying them
+    is discarded work). Same null semantics as assign_splits: a null
+    key falls through to the LAST split."""
     if not splits:
         raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    b = hash_bucket(F.col(key_col), seed)
+    b = hash_bucket(key, seed)
     names = list(splits)
     expr = F.lit(names[-1])  # catch-all: last split owns the tail range
     cum = 0.0
@@ -226,7 +221,28 @@ def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
         bounds.append((name, int(cum * N_BUCKETS)))
     for name, bound in reversed(bounds):
         expr = F.when(b < bound, F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return expr
+
+
+def assign_splits(df: DataFrame, splits: dict[str, float], key_col: str,
+                  seed: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative bucket range its key hash falls into. Fractions
+    must sum to 1; the last split absorbs the final bucket range
+    exactly, so every row is assigned. Content-addressed like
+    ``hash_sample``: re-runs, repartitions, and other engines agree on
+    every row's split — the property that keeps eval rows out of train
+    across pipeline versions. Pure projection, no shuffle
+    (:func:`split_expr` is the underlying column).
+
+    Null keys: a null ``key_col`` hashes to null, whose comparisons are
+    null, so the CASE falls through to the LAST split — deterministic
+    and identical in the SQL oracle (DuckDB's CASE behaves the same),
+    but it concentrates every malformed row in that split. Note the
+    asymmetry with ``hash_sample``, which DROPS null keys; filter or
+    repair null keys before splitting if that matters for your eval
+    set."""
+    return df.withColumn("split", split_expr(F.col(key_col), splits, seed))
 
 
 def weighted_sample(df: DataFrame, k: int, weight_col: str,

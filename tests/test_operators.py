@@ -1803,6 +1803,106 @@ def test_fuzzy_contamination_flags_cross_side_neardups(spark):
     assert out[0].n_eval_matches == 1 and out[0].max_jacc >= 0.5
 
 
+def test_minhash_lsh_dedup_cand_filter_prefilter_parity(spark):
+    """The cand_filter contract (opt r11): for a per-pair predicate P,
+    filtering the CANDIDATES before verification equals filtering the
+    VERIFIED pairs after it — on a corpus whose near-dup pairs span
+    both sides of P, so the pre-filter demonstrably drops pairs the
+    unfiltered chain verifies."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the old mill"
+    alt = "pack my box with five dozen liquor jugs for the harvest fair"
+    docs = spark.createDataFrame([
+        (1, base + " today"), (2, base + " tonight"),   # low-id pair
+        (3, base + " gently"),                          # chains with 1,2
+        (10, alt + " again"), (11, alt + " anew"),      # high-id pair
+        (5, "completely unrelated filler content about spark engines"),
+    ], "doc_id long, text string")
+    pred = (F.col("doc_a") < 4) != (F.col("doc_b") < 4)  # cross-group
+
+    full = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    post = sorted((r.doc_a, r.doc_b, r.jacc)
+                  for r in full.filter(pred).collect())
+    pre = sorted((r.doc_a, r.doc_b, r.jacc)
+                 for r in dedup.minhash_lsh_dedup(
+                     docs, threshold=0.5,
+                     cand_filter=lambda c: c.filter(pred)).collect())
+    assert pre == post
+    # the unfiltered chain really does verify same-group pairs the
+    # pre-filter skips — otherwise this test proves nothing
+    assert len(full.collect()) > len(pre)
+
+    with pytest.raises(ValueError, match="cand_filter"):
+        dedup.minhash_lsh_dedup(docs, edge_mode="star",
+                                cand_filter=lambda c: c)
+
+
+def test_fuzzy_contamination_prefilter_skips_same_side_pairs(spark):
+    """fuzzy_contamination's pushed-down cross-side restriction returns
+    exactly the post-filtered report on a corpus dominated by
+    train×train near-dups (the pair mass the pre-filter exists to skip
+    verifying)."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import contamination, dedup
+
+    boiler = "click here to subscribe to our newsletter and never miss"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} issue number {i % 2}") for i in range(8)]
+        + [(50, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([
+        (100, "the secret benchmark answer is forty two indeed"),
+        (101, "an unrelated evaluation prompt about gardening"),
+    ], "doc_id long, text string")
+
+    out = sorted((r.doc_id, r.n_eval_matches, r.max_jacc) for r in
+                 contamination.fuzzy_contamination(
+                     train, ev, threshold=0.5).collect())
+
+    # reference: the unfiltered chain post-restricted to cross-side
+    both = (train.withColumn("__side", F.lit("t"))
+            .unionByName(ev.withColumn("__side", F.lit("e"))))
+    pairs = dedup.minhash_lsh_dedup(both, threshold=0.5)
+    sides = both.select(F.col("doc_id").alias("__id"), "__side")
+    x = (pairs.join(sides.alias("sa"), pairs.doc_a == F.col("sa.__id"))
+         .join(sides.alias("sb"), pairs.doc_b == F.col("sb.__id"))
+         .filter(F.col("sa.__side") != F.col("sb.__side")))
+    train_id = F.when(F.col("sa.__side") == "t",
+                      F.col("doc_a")).otherwise(F.col("doc_b"))
+    ref = sorted((r.doc_id, r.n_eval_matches, r.max_jacc) for r in
+                 (x.select(train_id.alias("doc_id"), "jacc")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").alias("n_eval_matches"),
+                       F.round(F.max("jacc"), 3).alias("max_jacc"))
+                  ).collect())
+    assert out == ref
+    assert [r[0] for r in out] == [50]  # the planted leak, none of the
+    # boilerplate train×train near-dup mass
+
+
+def test_split_expr_matches_assign_splits(spark):
+    """split_expr over a bare id column re-derives exactly the split
+    assign_splits attaches — the content-addressing property the
+    q_split_leakage_neardup cand_filter pushdown rests on."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import sample
+
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = sample.assign_splits(df, splits, key_col="doc_id", seed="split1")
+    b = df.select("doc_id", sample.split_expr(
+        F.col("doc_id"), splits, "split1").alias("split"))
+    assert (a.join(b, "doc_id")
+            .filter(a.split != b.split).count()) == 0
+    # all three splits actually occur at n=500 (non-degenerate check)
+    assert a.select("split").distinct().count() == 3
+
+
 def test_global_rank_matches_spark_window(spark):
     """Two-pass distributed rank == Spark's own global-window
     row_number/ntile/percent_rank, on a size not divisible by n (uneven
