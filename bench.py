@@ -55,20 +55,29 @@ def _proc_tree_cpu() -> float:
     return total / os.sysconf("SC_CLK_TCK")
 
 
-def _host_cpu_busy() -> float:
-    """Host-wide busy CPU seconds (all cores, all processes) from the
-    /proc/stat aggregate line: total minus idle minus iowait. The delta
-    across a rep, divided by the rep's wall, is the average number of
-    busy cores on the whole machine — subtracting our own tree's rate
-    isolates CO-TENANT load, the quantity the load-average telemetry
-    (kept below) could only hint at."""
+def _host_cpu_busy() -> tuple[float, float]:
+    """(busy, steal) host-wide CPU seconds from the /proc/stat
+    aggregate line: busy = total minus idle minus iowait; steal =
+    field 8 (time this guest's vCPUs were runnable but the hypervisor
+    ran someone else). The busy delta across a rep, divided by the
+    rep's wall, is the average number of busy cores on the whole
+    machine — subtracting our own tree's rate isolates CO-TENANT load.
+    Steal is broken out separately (opt r11, third session) because a
+    HYPERVISOR co-tenant is invisible to the guest-process view: an
+    01:15 full-bench attempt recorded own-tree CPU inflated up to 6x
+    on code-identical queries with ZERO JVM GC delta and
+    other_busy_cores ~1-3 — the signature of stolen/diluted cycles
+    (SMT sharing), which /proc/stat steal makes explicit. A rep with
+    steal_cores >> 0 was contended below the OS, full stop."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return (sum(vals) - vals[3] - vals[4]) / os.sysconf("SC_CLK_TCK")
+        tck = os.sysconf("SC_CLK_TCK")
+        steal = vals[7] / tck if len(vals) > 7 else 0.0
+        return (sum(vals) - vals[3] - vals[4]) / tck, steal
     except (OSError, IndexError, ValueError):
-        return -1.0
+        return -1.0, -1.0
 
 
 def main() -> None:
@@ -159,7 +168,7 @@ def main() -> None:
             except OSError:
                 pass
             ts = time.time()
-            cpu0, host0 = _proc_tree_cpu(), _host_cpu_busy()
+            cpu0, (host0, steal0) = _proc_tree_cpu(), _host_cpu_busy()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -170,14 +179,17 @@ def main() -> None:
                 # busy-core rate — enough to separate "slow plan" (cpu
                 # scales with wall) from "contended host" (wall up, own
                 # cpu flat, other_cores high) from the artifact alone
-                cpu1, host1 = _proc_tree_cpu(), _host_cpu_busy()
+                cpu1, (host1, steal1) = _proc_tree_cpu(), _host_cpu_busy()
                 own = cpu1 - cpu0
                 other = ((host1 - host0 - own) / wall
                          if host0 >= 0 and host1 >= 0 else -1.0)
+                steal = ((steal1 - steal0) / wall
+                         if steal0 >= 0 and steal1 >= 0 else -1.0)
                 rep_rows.setdefault(name, []).append([
                     round(ts, 1), round(wall, 3), round(own, 2),
                     round(own / (wall * n_cpus), 3) if n_cpus else -1.0,
-                    round(max(other, 0.0), 2)])
+                    round(max(other, 0.0), 2),
+                    round(max(steal, 0.0), 2)])
             except Exception as e:
                 # a flaky rep (transient host load, OOM) must not mask
                 # the other reps: keep trying, and report the -1.0
@@ -232,7 +244,7 @@ def main() -> None:
         # inflated + other_cores >> 0 = external contention, NOT a plan
         # regression; wall and cpu moving together = real engine cost.
         "rep_fields": ["epoch_start", "wall_sec", "tree_cpu_sec",
-                       "cpu_util", "other_busy_cores"],
+                       "cpu_util", "other_busy_cores", "steal_cores"],
         "reps": rep_rows,
         # the 5 WindowExec unpartitioned-window warnings in the log
         # tail are the AUDITED bounded-key shapes (every one justified
