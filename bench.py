@@ -74,8 +74,22 @@ def _host_cpu_busy() -> tuple[float, float]:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
         tck = os.sysconf("SC_CLK_TCK")
-        steal = vals[7] / tck if len(vals) > 7 else 0.0
-        return (sum(vals) - vals[3] - vals[4]) / tck, steal
+        # busy = the EXPLICIT guest-visible work fields
+        # (user+nice+system+irq+softirq), not sum-idle-iowait: the
+        # latter double-counts steal (vals[7] — reported separately as
+        # steal_cores) and guest/guest_nice (vals[8:10], which the
+        # kernel already folds into user/nice). ADVICE r11: with the
+        # subtraction form, steal time inflated other_busy_cores AND
+        # appeared again as steal_cores; now the two signals are
+        # orthogonal (other = co-tenant processes in THIS guest,
+        # steal = the hypervisor ran a different guest).
+        if len(vals) < 7:
+            # short /proc/stat (old kernels / some container runtimes):
+            # 'not measurable' must not read as 'zero contention'
+            return -1.0, -1.0
+        busy = (vals[0] + vals[1] + vals[2] + vals[5] + vals[6]) / tck
+        steal = vals[7] / tck if len(vals) > 7 else -1.0
+        return busy, steal
     except (OSError, IndexError, ValueError):
         return -1.0, -1.0
 
@@ -113,11 +127,27 @@ def main() -> None:
     # transient host load); the minimum is the standard steady-state
     # throughput estimator (cf. JMH)
     reps = max(1, int(os.environ.get("RIVULUS_BENCH_REPS", "3")))
+    # clean-by-construction records (VERDICT r11 #1): a rep whose
+    # telemetry shows the host was contended while it ran (hypervisor
+    # steal above ~half a core, or co-tenant processes above ~2 busy
+    # cores) is not evidence about the engine. Per query: if NO rep is
+    # clean, re-run up to MAX_RETRIES extra reps; then report the min
+    # over CLEAN reps only, falling back to min-over-all with a
+    # per-query contended flag when the host never quieted. The
+    # all-reps minimum stays readable from spread[name][0]
+    # (additions-only: rep rows, spread, and every existing field are
+    # unchanged; four r11 full-bench records had to be discarded by
+    # hand over exactly this).
+    steal_thresh = float(os.environ.get("RIVULUS_BENCH_STEAL_MAX", "0.5"))
+    other_thresh = float(os.environ.get("RIVULUS_BENCH_OTHER_MAX", "2.0"))
+    max_retries = max(0, int(os.environ.get("RIVULUS_BENCH_RETRIES", "2")))
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
     gc_ms: dict[str, int] = {}
     rep_rows: dict[str, list[list[float]]] = {}
+    contended: dict[str, bool] = {}
+    retried: dict[str, int] = {}
 
     def jvm_gc_ms() -> int:
         # cumulative JVM GC time via the management MXBeans — a pure
@@ -161,7 +191,8 @@ def main() -> None:
         # host-state evidence; with these, a contended run (load >>
         # n_cpus, or GC spiking) is self-evident in BENCH_DETAIL.json
         gc0 = jvm_gc_ms()
-        for _ in range(reps):
+
+        def one_rep() -> None:
             try:
                 loads.setdefault(name, []).append(
                     round(os.getloadavg()[0], 1))
@@ -178,30 +209,57 @@ def main() -> None:
                 # delta, its utilization of the machine, and the co-tenant
                 # busy-core rate — enough to separate "slow plan" (cpu
                 # scales with wall) from "contended host" (wall up, own
-                # cpu flat, other_cores high) from the artifact alone
+                # cpu flat, other_cores high) from the artifact alone.
+                # -1.0 is the NOT-MEASURABLE sentinel throughout (ADVICE
+                # r11: a telemetry-read failure must not read as "clean");
+                # measured values clamp jitter-negatives to 0.
                 cpu1, (host1, steal1) = _proc_tree_cpu(), _host_cpu_busy()
                 own = cpu1 - cpu0
-                other = ((host1 - host0 - own) / wall
+                other = (round(max((host1 - host0 - own) / wall, 0.0), 2)
                          if host0 >= 0 and host1 >= 0 else -1.0)
-                steal = ((steal1 - steal0) / wall
+                steal = (round(max((steal1 - steal0) / wall, 0.0), 2)
                          if steal0 >= 0 and steal1 >= 0 else -1.0)
                 rep_rows.setdefault(name, []).append([
                     round(ts, 1), round(wall, 3), round(own, 2),
                     round(own / (wall * n_cpus), 3) if n_cpus else -1.0,
-                    round(max(other, 0.0), 2),
-                    round(max(steal, 0.0), 2)])
+                    other, steal])
             except Exception as e:
                 # a flaky rep (transient host load, OOM) must not mask
                 # the other reps: keep trying, and report the -1.0
                 # failure sentinel only when NO rep ever completed
                 print(f"bench: {name} rep FAILED: {e}", file=sys.stderr)
-                cache.unpersist_all()
-                continue
             # each rep is timed self-contained: drop intermediates the
             # operators persisted (rivulus_spark.cache contract)
             cache.unpersist_all()
+
+        def clean_row(row: list[float]) -> bool:
+            # row[4]=other_busy_cores, row[5]=steal_cores; the -1.0
+            # not-measurable sentinel cannot CLEAR a rep of contention,
+            # but with no telemetry at all there is nothing to flag —
+            # only measured exceedances mark a rep contended
+            return not (row[5] > steal_thresh or row[4] > other_thresh)
+
+        for _ in range(reps):
+            one_rep()
+        # bounded retry while no completed rep is clean
+        n_extra = 0
+        while (n_extra < max_retries and rep_times
+               and not any(clean_row(r) for r in rep_rows.get(name, []))):
+            one_rep()
+            n_extra += 1
+        if n_extra:
+            retried[name] = n_extra
         cache.unpersist_all()
-        best = min(rep_times) if rep_times else -1.0
+        clean_walls = [w for w, r in zip(rep_times, rep_rows.get(name, []))
+                       if clean_row(r)]
+        if clean_walls:
+            best = min(clean_walls)
+        else:
+            best = min(rep_times) if rep_times else -1.0
+            if rep_times:
+                # every rep ran contended: the number is a ceiling, not
+                # an engine measurement — flagged, min-over-all reported
+                contended[name] = True
         timings[name] = round(best, 3)
         # min+max spread per query (r5 VERDICT item 6): two driver runs
         # of the same tree disagreed by 1.29x in total, making per-query
@@ -243,9 +301,23 @@ def main() -> None:
         # /proc/stat). Reading: util steady across reps but wall
         # inflated + other_cores >> 0 = external contention, NOT a plan
         # regression; wall and cpu moving together = real engine cost.
+        # -1.0 anywhere in a rep row = not measurable, never "zero"
+        # (ADVICE r11: the sentinel used to be clamped away).
         "rep_fields": ["epoch_start", "wall_sec", "tree_cpu_sec",
                        "cpu_util", "other_busy_cores", "steal_cores"],
         "reps": rep_rows,
+        # clean-by-construction record (VERDICT r11 #1): queries[name]
+        # is the min over reps whose telemetry is clean (steal_cores <=
+        # steal_max AND other_busy_cores <= other_max); when no rep was
+        # clean after the bounded retries, it falls back to the
+        # min-over-all-reps (always still readable as spread[name][0])
+        # and the query is flagged in "contended". "retried" counts the
+        # extra reps run because no initial rep was clean.
+        "contention_thresholds": {"steal_max": steal_thresh,
+                                  "other_max": other_thresh,
+                                  "max_retries": max_retries},
+        "contended": contended,
+        "retried": retried,
         # the 5 WindowExec unpartitioned-window warnings in the log
         # tail are the AUDITED bounded-key shapes (every one justified
         # by name in tests/test_plans.py's blanket window audit:
@@ -266,6 +338,20 @@ def main() -> None:
         try:
             with open(curve_path) as f:
                 detail["scale_curve"] = json.load(f)
+        except Exception:
+            pass
+    # fold in the committed per-query spill report (tools/spill_report.py
+    # over the heaviest queries at sf1/sf10) — VERDICT r11 #7: a spill
+    # regression must be visible from the BENCH_DETAIL artifact. Spill is
+    # measured by a dedicated tool rather than per rep here because the
+    # AppStatusStore crawl costs ~0.5-1s per read (py4j per-stage round
+    # trips), which would add minutes of dead time to every bench run.
+    spill_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "SPILL_r12.json")
+    if os.path.exists(spill_path):
+        try:
+            with open(spill_path) as f:
+                detail["spill_report"] = json.load(f)
         except Exception:
             pass
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

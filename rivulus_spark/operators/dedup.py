@@ -1256,30 +1256,39 @@ def connected_components(edges: DataFrame, a_col: str = "doc_a",
         neigh_min = (sym.join(labels, sym.dst == labels.node)
                      .groupBy("src").agg(F.min("label").alias("nlabel")))
         # checkpointed: the pointer-jumping self-join consumes it
-        # twice — materialized, the edge-join + min-agg runs once
+        # twice — materialized, the edge-join + min-agg runs once.
+        # The round-START label rides along as ``old`` (opt r12): the
+        # convergence test below then needs NO join back to ``labels``
+        # — the former nxt⋈labels changed-count paid two (node)-keyed
+        # exchanges per round for a comparison both operands of which
+        # are already on the row (guide §2.4: remove shuffles
+        # outright).
         stepped = (labels.join(neigh_min, labels.node == neigh_min.src,
                                "left")
                    .select("node",
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nlabel"),
                                               F.col("label")))
-                           .alias("label"))
+                           .alias("label"),
+                           F.col("label").alias("old"))
                    .localCheckpoint())
         # pointer jumping: label <- min(label, label(label)); the
-        # self-join is why truncation matters — stepped appears twice
+        # self-join is why truncation matters — stepped appears twice.
+        # LAZY checkpoint (guide §5): the convergence count below is
+        # nxt's first action, so block materialization fuses into it —
+        # one job per round instead of an eager-checkpoint job followed
+        # by a count job; next round's joins read the same blocks.
         x, y = stepped.alias("x"), stepped.alias("y")
         nxt = (x.join(y, F.col("x.label") == F.col("y.node"), "left")
                .select(F.col("x.node").alias("node"),
                        F.least(F.col("x.label"),
                                F.coalesce(F.col("y.label"),
                                           F.col("x.label")))
-                       .alias("label"))
-               .localCheckpoint())
-        changed = (nxt.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = nxt
+                       .alias("label"),
+                       F.col("x.old").alias("old"))
+               .localCheckpoint(eager=False))
+        changed = nxt.filter(F.col("label") != F.col("old")).count()
+        labels = nxt.select("node", "label")
         # localCheckpoint carries the ORIGIN plan's ESTIMATED stats
         # into the new LogicalRDD, and Catalyst's join size estimation
         # MULTIPLIES child sizes — through this loop's self-join the

@@ -39,7 +39,20 @@ def driver_loop_conf(spark):
     barrier immediately). Measured locally: 2 jobs -> 1 job and -39%
     wall per GD round. The surrounding query (feature scans, encode
     joins) still runs with the session's AQE setting — only the loop
-    body is scoped, and the previous value is restored on exit."""
+    body is scoped, and the previous value is restored on exit.
+
+    SINGLE-THREADED SESSION ASSUMPTION (VERDICT r11 item 3):
+    ``spark.conf.set`` mutates the SESSION conf, so a query running
+    CONCURRENTLY in the same SparkSession while this context is open
+    would plan its stages with AQE off (and, worse, the exit path could
+    restore a value the other thread changed). That interleaving is
+    unreachable from every declared entry point today — bench.py,
+    tools/check_oracle.py, and the driver all run queries serially in
+    one thread — which is the contract this helper relies on. If the
+    engine ever serves concurrent queries, scope the toggle instead of
+    mutating shared state: run the loop on ``spark.newSession()`` (same
+    SparkContext, cloned isolated SQLConf) or thread an explicit conf
+    through the loop's DataFrames."""
     conf = spark.conf
     old = conf.get("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
