@@ -7398,38 +7398,37 @@ def q_stream_score_auc(spark, sf_dir):
 # ======================================================================
 
 _PRIORITY: list[str] = [
-    # --- round-11 rotation (VERDICT r10 item 6): (a) the five r11
-    # DEBUTS, which have never had a driver row (star-edge clustering,
-    # band-occupancy telemetry, incremental CC, and the two perceptual
-    # image-hash queries); (b) the backfill strictly
-    # oldest-driver-round-first from the union of CORRECTNESS_r01..r10
-    # keys — window_running (r6 vintage, the one row r10's window
-    # could not fit), then ALL 41 r7-vintage rows, then the first
-    # three r8-vintage rows alphabetically (agg_q1/q3/q5). The
-    # remaining r8-vintage rows lead the r12 backfill; everything
-    # displaced stays green in the committed full sf0.01 sweep
-    # (SWEEP_SF001_r11.json).
-    # (a) r11 debuts
-    "dedup_star_clusters", "dedup_band_occupancy", "dedup_incremental_cc",
-    "image_phash", "image_phash_neardup",
-    # (b) oldest-first backfill: r6 remainder, r7 vintage, r8 head
-    "window_running",
-    "agg_having", "array_agg_sorted", "bpe_encode_corpus",
-    "bpe_train_merges", "charlm_quality", "corpus_datacard",
-    "cross_doc_line_dedup", "cube_count", "dataset_diff",
-    "decontaminate_bloom", "dedup_exact", "dedup_simhash_pairs",
-    "distinct_op", "embedding_pca_spectrum", "event_rate_anomalies",
-    "except_op", "filter_compare", "global_shuffle_layout",
-    "group_percentile_clip", "in_subquery_agg", "intersect_op",
-    "join_inner", "join_part_promo", "left_join_missing",
-    "limit_topk", "pipeline_curate", "pipeline_stats",
-    "quality_classifier_filter", "quality_classifier_weights",
-    "repeated_span_dedup", "scalar_subquery", "semantic_dedup",
-    "source_similarity_matrix", "stream_curate_sink",
-    "stream_dedup_watermark", "stream_quality_score",
-    "stream_running_totals", "stream_sessionize", "temperature_mix",
-    "union_op", "unpivot_status",
-    "agg_q1", "agg_q3", "agg_q5",
+    # --- round-12 rotation (VERDICT r11 item 2), continuing the
+    # documented oldest-LAST-CHECKED-first backfill over the union of
+    # CORRECTNESS_r01..r11 keys: all 46 rows whose most recent driver
+    # check is round 8 (the r8-vintage remainder the r11 comment
+    # promised would lead this backfill), then the first 4
+    # r9-last-checked rows alphabetically (agg_salted,
+    # ann_quantized_topk, approx_distinct_sketch, argmax_per_group).
+    # Everything displaced stays green in the committed full sf0.01
+    # sweep for THIS round (SWEEP_SF001_r12.json — the r11 rotation
+    # cited a sweep file that was never committed; fixed per VERDICT
+    # r11 item 2, the r12 artifact is committed alongside this
+    # rotation). Remaining r9-last-checked rows lead the r13 backfill.
+    # (a) r8-last-checked remainder, alphabetical
+    "ann_ivf_topk", "ann_lsh_topk", "ann_recall", "anti_join",
+    "bucketed_join_agg", "contamination_severity", "dataset_drift_psi",
+    "decontaminate_fuzzy", "dedup_incremental", "dedup_minhash_estimate",
+    "dedup_minhash_lsh", "dedup_simhash", "doc_duplication_score",
+    "embedding_neardup", "expr_arith", "full_outer_join",
+    "intra_doc_dedup", "join_null_safe", "join_salted", "join_three",
+    "kmeans_assign_sizes", "kmeans_cluster_sizes", "mem_source_join",
+    "multimodal_image_features", "multimodal_resize_plan",
+    "orc_sink_roundtrip", "percentile_clip", "pipeline_curate_v2",
+    "pivot_status", "pmi_collocations", "range_join_events",
+    "schema_evolution_roundtrip", "select_project", "semi_join",
+    "shard_export_manifest", "sketch_quantiles",
+    "source_term_divergence", "sql_entry_q6", "stream_decontaminate",
+    "stream_dedup", "stream_drift_psi", "text_quality", "window_lag",
+    "window_ntile", "winnow_fingerprints", "wordlm_quality",
+    # (b) r9-last-checked head, alphabetical
+    "agg_salted", "ann_quantized_topk", "approx_distinct_sketch",
+    "argmax_per_group",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
