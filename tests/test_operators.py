@@ -2479,6 +2479,92 @@ def test_bpe_merge_is_greedy_leftmost_nonoverlapping(spark):
     assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
 
 
+def test_bpe_batched_round_equals_sequential(spark):
+    """The multi-merge round planner (opt r12) must be invisible in
+    the merge table. Three adversarial fixtures, each hand-checked
+    against strictly sequential rounds:
+    (a) two disjoint dominant pairs DO batch in one counting round and
+        the table is still the sequential one;
+    (b) a SELF-overlapping winner (c,c) blocks batching — its greedy
+        residue creates (cc,c) at count 8, which outranks the
+        would-be batch mate (a,a) at 5 (the case that falsifies a
+        naive disjointness-only rule);
+    (c) chained merges (rank k+1 consuming rank k's output) never
+        batch and stay exact."""
+    import rivulus_spark.operators.bpe as bpe
+
+    # (a) batching fires: one counting round advances two ranks
+    words = spark.createDataFrame(
+        [("er", 30), ("in", 29), ("xq", 5)], "word string, freq long")
+    calls = {"n": 0}
+    real = bpe.pair_counts
+
+    def spy(vocab):
+        calls["n"] += 1
+        return real(vocab)
+
+    bpe.pair_counts, _saved = spy, real
+    try:
+        got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+               for r in bpe.train_merges(words, n_merges=2)
+               .orderBy("merge_rank").collect()]
+    finally:
+        bpe.pair_counts = _saved
+    assert got == [(1, "e", "r", 30), (2, "i", "n", 29)]
+    assert calls["n"] == 1, f"expected ONE counting round, got {calls}"
+
+    # (b) self-merge residue: sequential order is (c,c), (cc,c), (a,a)
+    words = spark.createDataFrame(
+        [("baab", 5), ("ccc", 8)], "word string, freq long")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in bpe.train_merges(words, n_merges=4)
+           .orderBy("merge_rank").collect()]
+    assert got == [(1, "c", "c", 16), (2, "cc", "c", 8),
+                   (3, "a", "a", 5), (4, "aa", "b", 5)]
+
+    # (c) chained merges (the hand-checked Sennrich fixture's shape)
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2
+                      + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in bpe.train_merges_from_docs(df, n_merges=6)
+           .orderBy("merge_rank").collect()]
+    assert got[:4] == [(1, "e", "s", 9), (2, "es", "t", 9),
+                       (3, "l", "o", 7), (4, "lo", "w", 7)]
+
+
+def test_bpe_apply_merges_batching_matches_sequential(spark):
+    """apply_merges' one-pass grouping (opt r12) must encode exactly
+    like rank-order sequential application, including when a later
+    merge's output string collides with an earlier one's (freshness
+    gate) and when merges chain."""
+    from pyspark.sql import functions as F
+
+    from rivulus_spark.operators import bpe
+
+    vocab = spark.createDataFrame(
+        [("abqab",), ("cdq",), ("abc",), ("aabbccdd",)], "word string") \
+        .withColumn("syms", F.regexp_extract_all("word", F.lit("."), 0))
+    cases = [
+        [("a", "b"), ("c", "d")],                   # disjoint: batches
+        [("a", "b"), ("ab", "q")],                  # chained: must not
+        [("a", "b"), ("c", "d"), ("ab", "cd")],     # mixed
+        [("b", "c"), ("a", "bc")],                  # left-chain trap
+    ]
+    for merges in cases:
+        got = bpe.apply_merges(vocab, merges).select("word", "syms")
+        exp = vocab
+        for lhs, rhs in merges:
+            exp = exp.withColumn(
+                "syms", bpe._apply_merge("syms", lhs, rhs))
+        exp = exp.select("word", "syms")
+        assert (got.exceptAll(exp).count() == 0
+                and exp.exceptAll(got).count() == 0), (
+            merges,
+            sorted(map(tuple, got.collect())),
+            sorted(map(tuple, exp.collect())))
+
+
 def test_bpe_word_collapsed_to_single_symbol_is_inert(spark):
     """A word fully fused into one symbol must survive later rounds
     (slice/aggregate on a 1-element array) and contribute no pairs."""
